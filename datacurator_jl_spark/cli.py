@@ -1,0 +1,81 @@
+"""CLI driver — the Spark analogue of the reference's ``scripts/curator.jl``
+(args at scripts/curator.jl:29-54; delegate + counters flush at :115-145).
+
+    python -m datacurator_jl_spark.cli --recipe recipe.toml \
+        --input /path/docs.parquet --output /path/outdir [--cores 8]
+
+Runs the compiled recipe as one Spark job and writes:
+    outdir/kept/        kept documents (parquet, incl. scrubbed_text)
+    outdir/drop_log/    (url, rule_id) for every dropped document
+    outdir/counters.csv recipe counters (name,count) — matches the
+                        reference CLI's counters.csv shape
+    outdir/lineage/     per-partition (partition_id, rule_id, kept,
+                        dropped, bytes) metrics
+
+Exit code 0 = :proceed, 2 = :quit (a rule requested global early exit —
+reference src/DataCurator.jl:2515-2519), 1 = error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datacurator-spark", description=__doc__)
+    ap.add_argument("--recipe", "-r", required=True, help="TOML recipe file")
+    ap.add_argument("--input", "-i", help="input parquet path (overrides recipe inputdirectory)")
+    ap.add_argument("--output", "-o", help="output directory (overrides recipe outputdirectory)")
+    ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
+    ap.add_argument("--verbose", "-v", action="store_true")
+    args = ap.parse_args(argv)
+
+    from datacurator_jl_spark.recipe import RecipeError, load_recipe
+
+    try:
+        spec = load_recipe(args.recipe)
+    except (RecipeError, OSError) as e:
+        print(f"recipe error: {e}", file=sys.stderr)
+        return 1
+
+    input_path = args.input or spec.inputdirectory
+    output_dir = args.output or spec.outputdirectory
+    if not input_path or not output_dir:
+        print("need --input and --output (or recipe inputdirectory/outputdirectory)", file=sys.stderr)
+        return 1
+
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.session import get_spark
+
+    spark = get_spark("datacurator-cli", cores=args.cores)
+    try:
+        df = spark.read.parquet(input_path)
+        result = Pipeline(spec).apply(df)
+        if args.verbose:
+            result.df.explain("formatted")
+
+        os.makedirs(output_dir, exist_ok=True)
+        result.kept().write.mode("overwrite").parquet(os.path.join(output_dir, "kept"))
+        result.dropped().write.mode("overwrite").parquet(os.path.join(output_dir, "drop_log"))
+        result.lineage().write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
+
+        counters = result.counters().toPandas()
+        counters.to_csv(os.path.join(output_dir, "counters.csv"), index=False)
+        for name in spec.file_lists:
+            result.file_list(name).select(spec.name_col).write.mode("overwrite").text(
+                os.path.join(output_dir, f"list_{name}")
+            )
+
+        if args.verbose:
+            print(counters.to_string(index=False))
+        quit_requested = result.quit_requested()
+        print(f"done: output at {output_dir} ({'quit' if quit_requested else 'proceed'})")
+        return 2 if quit_requested else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

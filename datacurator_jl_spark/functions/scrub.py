@@ -1,0 +1,77 @@
+"""PII / toxicity scrub as an ordered chain of native ``regexp_replace``.
+
+Byte-identical output is a hard requirement (BASELINE.json input_hint), so
+the scrub path is pinned to ONE regex engine: Spark's native
+``regexp_replace`` (Java dialect). The pandas oracle in tests re-implements
+the same patterns with Python ``re`` and asserts byte equality — the
+patterns below deliberately stay in the dialect-neutral subset (no
+lookaround, no backrefs, no \\p classes).
+
+Order matters and is fixed (reference composes transforms left-to-right,
+src/DataCurator.jl:1919-1924 collapse_functions): SSN before PHONE, since a
+phone pattern could otherwise partially consume an SSN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied strictly in this order.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    (
+        "ssn",
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "[SSN]",
+    ),
+    (
+        "phone",
+        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\b",
+        "[PHONE]",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+)
+
+# Toxicity: fixed slur/profanity marker list (placeholder lexicon — the
+# real deployment swaps in a vetted list; the MECHANISM is what's tested).
+TOXICITY_PATTERN = r"\b(badword1|badword2|slur1)\b"
+
+
+def scrub_pii(text: Column, rules: tuple[tuple[str, str, str], ...] = SCRUB_RULES) -> Column:
+    """Apply the ordered scrub chain; null text stays null."""
+    out = text
+    for _name, pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def contains_pii(text: Column) -> Column:
+    pats = "|".join(f"({p})" for _n, p, _r in SCRUB_RULES)
+    return text.rlike(pats)
+
+
+def contains_toxicity(text: Column) -> Column:
+    return F.lower(text).rlike(TOXICITY_PATTERN)
+
+
+def scrub_pii_pandas(s):
+    """Pure-pandas oracle of ``scrub_pii`` (same patterns, Python ``re``).
+
+    Used only in tests to assert byte-identical output between the Spark
+    path and an independent implementation.
+    """
+    import re
+
+    out = s
+    for _name, pat, repl in SCRUB_RULES:
+        out = out.str.replace(re.compile(pat), repl.replace("\\", "\\\\"), regex=True)
+    return out

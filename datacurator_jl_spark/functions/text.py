@@ -1,0 +1,281 @@
+"""Text-quality heuristic expressions (Gopher/C4-style), all as native
+``pyspark.sql.Column`` expressions — JVM-side, whole-stage-codegen'd,
+never per-row Python.
+
+These are the graft analogue of the reference's content-describe ops
+(``describe_image`` 8-moment stats, reference src/DataCurator.jl:902-916)
+and predicate builders (``buildcomp``, src/DataCurator.jl:2270-2293):
+whole-column boolean masks / stat columns built once per document.
+
+Everything here is deterministic and mirrors 1:1 into ANSI SQL for the
+DuckDB oracle (see __spark_entry__.oracle_sql). Regexes stay in the
+RE2-compatible common subset of Java-regex (Spark) and RE2 (DuckDB):
+character classes, ``\\b``, ``+``, alternation — no backrefs, no
+lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Word lists. Fixed, versioned: determinism of keep/drop labels depends on
+# these never changing silently (SURVEY.md §7.4 determinism requirement).
+# ---------------------------------------------------------------------------
+
+# C4-style English stop words used for the "natural language" heuristic.
+EN_STOPWORDS = (
+    "the and of to in is that it for was on are as with his they at be this "
+    "have from or had by not word but what some we can out other were all "
+    "there when up use your how said an each she"
+).split()
+
+# Distinctive function words per language for the n-gram/stopword langid
+# heuristic. Chosen to be (mostly) disjoint across languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and is was are have not with for this that".split(),
+    "de": "der die das und ist nicht ein eine mit von sich auch".split(),
+    "fr": "le la les et est que une pour dans qui pas vous".split(),
+    "es": "el los las una por con para como pero sus este".split(),
+    "it": "il gli della che per una sono del nel alla come".split(),
+}
+
+TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def _word_boundary_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# Basic stats
+# ---------------------------------------------------------------------------
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(text)
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def n_lines(text: Column) -> Column:
+    return F.size(F.split(text, r"\n"))
+
+
+def mean_word_length(text: Column) -> Column:
+    """Average token length; null for empty docs."""
+    w = words(text)
+    nw = F.size(w)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(nw > 0, total.cast("double") / nw)
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """|distinct lowercase words| / |words|; 1.0 for empty docs.
+
+    Low values = repeated-word spam (Gopher repetition rule)."""
+    w = words(F.lower(text))
+    nw = F.size(w)
+    return F.when(nw > 0, F.size(F.array_distinct(w)).cast("double") / nw).otherwise(
+        F.lit(1.0)
+    )
+
+
+def distinct_line_ratio(text: Column) -> Column:
+    """|distinct lines| / |lines|; repeated-line spam detector."""
+    lines = F.split(text, r"\n")
+    nl = F.size(lines)
+    return F.when(nl > 0, F.size(F.array_distinct(lines)).cast("double") / nl).otherwise(
+        F.lit(1.0)
+    )
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.regexp_count(text, F.lit(pattern))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters; 0.0 for empty."""
+    n = F.length(text)
+    return F.when(n > 0, _count_matches(text, "[A-Za-z]").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, _count_matches(text, "[0-9]").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def uppercase_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n > 0, _count_matches(text, "[A-Z]").cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def symbol_ratio(text: Column) -> Column:
+    """Fraction of characters outside letters/digits/whitespace/basic
+    punctuation — the C4 'symbol ratio' junk detector."""
+    n = F.length(text)
+    ok = _count_matches(text, "[A-Za-z0-9\\s.,;:'\"!?()\\-]")
+    return F.when(n > 0, (n - ok).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """English stop-word hits / word count; 0.0 for empty docs."""
+    hits = _count_matches(F.lower(text), _word_boundary_pattern(EN_STOPWORDS))
+    nw = n_words(text)
+    return F.when(nw > 0, hits.cast("double") / nw).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column) -> Column:
+    return _count_matches(F.lower(text), _word_boundary_pattern(EN_STOPWORDS))
+
+
+def max_word_length(text: Column) -> Column:
+    w = words(text)
+    return F.when(
+        F.size(w) > 0,
+        F.array_max(F.transform(w, lambda x: F.length(x))),
+    ).otherwise(F.lit(0))
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of lines ending in '...' (C4 rule)."""
+    lines = F.split(text, r"\n")
+    nl = F.size(lines)
+    cnt = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (Gopher rule)."""
+    lines = F.split(text, r"\n")
+    nl = F.size(lines)
+    cnt = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([-*•●▪])"))
+    )
+    return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
+
+
+def terminal_punct_line_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines ending in terminal punctuation."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    nl = F.size(lines)
+    pat = r"[.!?\"']$"
+    cnt = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(pat)))
+    return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (heuristic, fully native — the vectorized stand-in for a
+# fastText stage; the mapInPandas model-stage plumbing lives in
+# plans/stages.py for when a real model is available)
+# ---------------------------------------------------------------------------
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language -> marker-word hit count."""
+    low = F.lower(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k in LANG_MARKERS]),
+        F.array(
+            *[
+                _count_matches(low, _word_boundary_pattern(ws))
+                for ws in LANG_MARKERS.values()
+            ]
+        ),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when all zero.
+
+    Ties break by the fixed language order in LANG_MARKERS (deterministic —
+    SURVEY.md §7.4 requires documented tie-breaking).
+    """
+    low = F.lower(text)
+    counts = {
+        k: _count_matches(low, _word_boundary_pattern(ws))
+        for k, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # build reversed when-chain so earlier languages win ties
+    for k in reversed(list(counts)):
+        expr = F.when((best > 0) & (counts[k] == best), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def lang_top_score(text: Column) -> Column:
+    low = F.lower(text)
+    return F.greatest(
+        *[
+            _count_matches(low, _word_boundary_pattern(ws))
+            for ws in LANG_MARKERS.values()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity proxy (KenLM stand-in): a deterministic, fully-native score.
+# Real-model plumbing (per-worker lazy load, Arrow batches) is in
+# plans/stages.py; this native proxy keeps the hot path JVM-side.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_proxy(text: Column) -> Column:
+    """Lower = more natural text. Combines stopword density, word-length
+    shape and repetition into one score in [0, ~10]. Deterministic.
+    """
+    sw = stopword_ratio(text)
+    mwl = F.coalesce(mean_word_length(text), F.lit(0.0))
+    rep = distinct_word_ratio(text)
+    sym = symbol_ratio(text)
+    # natural English: sw ~0.3-0.6, mwl ~4-6, rep high, sym ~0
+    return (
+        F.abs(mwl - F.lit(4.5)) / F.lit(4.5)
+        + (F.lit(1.0) - rep)
+        + F.lit(4.0) * sym
+        + F.greatest(F.lit(0.0), F.lit(0.25) - sw) * F.lit(8.0)
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-ish runs + standalone punctuation.
+
+    Pattern: runs of letters, runs of digits, or single non-space symbol.
+    """
+    return _count_matches(text, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized document fingerprint: md5 over whitespace-collapsed,
+    lowercased text. Stable across engines (md5 is md5 everywhere)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1], higher = better. Weighted, deterministic
+    blend of the heuristics — a native stand-in for a learned quality model.
+    """
+    sw = F.least(stopword_ratio(text) * F.lit(2.5), F.lit(1.0))
+    rep = distinct_word_ratio(text)
+    sym = F.lit(1.0) - F.least(symbol_ratio(text) * F.lit(5.0), F.lit(1.0))
+    alpha = alpha_ratio(text)
+    return (sw * F.lit(0.35) + rep * F.lit(0.25) + sym * F.lit(0.2) + alpha * F.lit(0.2))

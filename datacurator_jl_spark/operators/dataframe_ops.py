@@ -1,0 +1,130 @@
+"""Relational ops with the reference's dataframe-function semantics
+(``execute_dataframe_function`` src/DataCurator.jl:2026-2057,
+``extract_columns`` :1780-1788, ``groupbycolumn`` :941-965).
+
+All pure DataFrame built-ins: filter/select/groupBy compile to
+Catalyst-optimized plans (pushdown + partial aggregation); nothing here
+ever leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.operators.buildcomp import buildcomp_mask
+
+# aggregate-function names the reference resolves via `lookup` into Julia
+# Base functions (sum/maximum/minimum/mean/...; src/DataCurator.jl:944)
+AGG_FNS = {
+    "sum": F.sum,
+    "maximum": F.max,
+    "max": F.max,
+    "minimum": F.min,
+    "min": F.min,
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": lambda c: F.median(c),
+    "std": F.stddev_samp,
+    "count": F.count,
+    "length": F.count,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def _known(df: DataFrame, cols: list[str]) -> list[str]:
+    """Reference warns + no-ops on unknown columns (src/DataCurator.jl:2035-2040)."""
+    known = [c for c in cols if c in df.columns]
+    if len(known) != len(cols):
+        import warnings
+
+        warnings.warn(f"unknown columns ignored: {set(cols) - set(known)}")
+    return known
+
+
+def extract(
+    df: DataFrame,
+    specs: list[tuple[str, Any, Any]],
+    selectcols: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows matching ALL predicates, then project (AND semantics)."""
+    out = df.filter(buildcomp_mask(specs, "and"))
+    if selectcols:
+        out = out.select(*_known(df, selectcols))
+    return out
+
+
+def extract_any(
+    df: DataFrame,
+    specs: list[tuple[str, Any, Any]],
+    selectcols: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows matching ANY predicate (OR semantics)."""
+    out = df.filter(buildcomp_mask(specs, "or"))
+    if selectcols:
+        out = out.select(*_known(df, selectcols))
+    return out
+
+
+def delete_rows(df: DataFrame, specs: list[tuple[str, Any, Any]]) -> DataFrame:
+    """Drop rows matching ALL predicates.
+
+    Null semantics pinned: the reference's delete removes rows where the
+    mask is TRUE; rows with null mask (null operands) are KEPT — hence
+    the explicit null-safe complement below, not ``~mask`` alone (SQL
+    ``NOT null`` is null and would silently drop those rows from the
+    output of a plain filter).
+    """
+    mask = buildcomp_mask(specs, "and")
+    return df.filter(~F.coalesce(mask, F.lit(False)))
+
+
+def extract_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Projection (reference rewrites the CSV; we just select)."""
+    return df.select(*_known(df, columns))
+
+
+def groupbycolumn(
+    df: DataFrame,
+    groupcols: list[str],
+    targets: list[str],
+    functions: list[str],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Group-by + named aggregations (reference src/DataCurator.jl:941-947:
+    ``groupbycolumn(df, cols, targets, fns, names)``).
+
+    Scale: a single hash aggregate; Catalyst inserts a map-side partial
+    aggregation before the shuffle, so this holds at 100 TB as long as
+    group cardinality per partition stays bounded.
+    """
+    if names is None:
+        names = [f"{t}_{f}" for t, f in zip(targets, functions)]
+    aggs = []
+    for t, f, n in zip(targets, functions, names):
+        if f not in AGG_FNS:
+            raise ValueError(f"unknown aggregate fn {f!r}")
+        aggs.append(AGG_FNS[f](F.col(t)).alias(n))
+    return df.groupBy(*groupcols).agg(*aggs)
+
+
+def describe_column(df: DataFrame, col: str) -> DataFrame:
+    """8-moment describe of one numeric column — the graft analogue of the
+    reference's ``describe_image`` intensity stats
+    (src/DataCurator.jl:902-916: min, Q1, mean, median, Q3, max, std,
+    kurtosis)."""
+    c = F.col(col)
+    q = F.percentile_approx(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000))
+    return df.agg(
+        F.min(c).alias("minimum"),
+        q.getItem(0).alias("Q1"),
+        F.avg(c).alias("mean"),
+        q.getItem(1).alias("median"),
+        q.getItem(2).alias("Q3"),
+        F.max(c).alias("maximum"),
+        F.stddev_samp(c).alias("std"),
+        F.kurtosis(c).alias("kurtosis"),
+    )

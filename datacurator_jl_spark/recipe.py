@@ -1,0 +1,253 @@
+"""TOML recipe -> validated RecipeSpec IR.
+
+Mirrors the reference's eager compile pipeline
+(``create_template_from_toml`` -> ``validate_top_config`` ->
+``validate_global`` -> ``decode_level``, reference
+src/DataCurator.jl:2961-3004, 2911-2948, 3372-3466, 3087-3130): a recipe
+is rejected with a clear error BEFORE any data is touched — unknown rule
+names, wrong arity, malformed sections are all compile-time errors (the
+reference's ``lookup`` throws on unknown symbols, src/DataCurator.jl:3559).
+
+Grammar (TOML):
+
+    [global]
+    act_on_success = true          # default false, like the reference
+    hierarchical   = false
+    name_col  = "url"              # node identity column
+    text_col  = "text"             # content column
+    counters  = ["seen", ["bytes", "size_of_file"]]
+    file_lists = ["kept_urls", {name = "drop_log"}]
+    [global.common_conditions]
+    short = ["min_length", 50]     # named reusable rules (reference
+    [global.common_actions]        #  src/DataCurator.jl:3477-3506)
+    note = ["count", "noted"]
+
+    [any]                          # flat recipe: one rule list
+    all = false                    # true => AND-fuse conditions, chain all
+    conditions = ["has_text", ["min_length", 50]]
+    actions = [["scrub_pii"], "keep"]
+    counter_actions = [["drop_log"], ["drop_log"]]   # optional, per rule
+
+    [level_2]                      # hierarchical recipes: rules keyed by a
+    ...                            # per-row integer `level` column; [any]
+                                   # is the -1 default (src/DataCurator.jl:4194-4218)
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+RuleExpr = Any  # str | list (name + args, possibly nested combinators) | dict
+
+
+class RecipeError(ValueError):
+    """Compile-time recipe validation failure."""
+
+
+@dataclass(frozen=True)
+class Rule:
+    """(condition, action[, counteraction]) — the reference's rule tuple
+    (``make_tuple``, src/DataCurator.jl:4170-4176)."""
+
+    condition: RuleExpr
+    action: RuleExpr
+    counteraction: RuleExpr | None = None
+    rule_id: str = ""
+
+
+@dataclass
+class RecipeSpec:
+    act_on_success: bool = False
+    hierarchical: bool = False
+    name_col: str = "url"
+    text_col: str = "text"
+    html_col: str | None = "html"
+    level_col: str = "level"
+    counters: dict[str, RuleExpr | None] = field(default_factory=dict)
+    file_lists: dict[str, dict] = field(default_factory=dict)
+    common_conditions: dict[str, RuleExpr] = field(default_factory=dict)
+    common_actions: dict[str, RuleExpr] = field(default_factory=dict)
+    # level -> rules; -1 is the [any] default level
+    levels: dict[int, list[Rule]] = field(default_factory=dict)
+    inputdirectory: str | None = None
+    outputdirectory: str | None = None
+
+    @property
+    def rules(self) -> list[Rule]:
+        """Flat rule list (level -1) for non-hierarchical recipes."""
+        return self.levels.get(-1, [])
+
+
+_GLOBAL_KEYS = {
+    "act_on_success",
+    "hierarchical",
+    "parallel",
+    "traversal",
+    "regex",
+    "name_col",
+    "text_col",
+    "html_col",
+    "level_col",
+    "counters",
+    "file_lists",
+    "common_conditions",
+    "common_actions",
+    "inputdirectory",
+    "outputdirectory",
+}
+
+_LEVEL_KEYS = {"all", "conditions", "actions", "counter_actions"}
+
+
+def load_recipe(path: str) -> RecipeSpec:
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+    return parse_recipe(cfg)
+
+
+def parse_recipe(cfg: dict) -> RecipeSpec:
+    _validate_top(cfg)
+    g = cfg.get("global", {})
+    spec = RecipeSpec(
+        act_on_success=bool(g.get("act_on_success", False)),
+        hierarchical=bool(g.get("hierarchical", False)),
+        name_col=g.get("name_col", "url"),
+        text_col=g.get("text_col", "text"),
+        html_col=g.get("html_col", "html"),
+        level_col=g.get("level_col", "level"),
+        inputdirectory=g.get("inputdirectory"),
+        outputdirectory=g.get("outputdirectory"),
+        common_conditions=dict(g.get("common_conditions", {})),
+        common_actions=dict(g.get("common_actions", {})),
+    )
+    spec.counters = _decode_counters(g.get("counters", []))
+    spec.file_lists = _decode_file_lists(g.get("file_lists", []))
+
+    if spec.hierarchical:
+        for key, section in cfg.items():
+            if key == "global":
+                continue
+            if key == "any":
+                spec.levels[-1] = _decode_level(section, "any", spec)
+            elif key.startswith("level_"):
+                try:
+                    lvl = int(key.removeprefix("level_"))
+                except ValueError as e:
+                    raise RecipeError(f"bad hierarchical section name {key!r}") from e
+                spec.levels[lvl] = _decode_level(section, key, spec)
+            else:
+                raise RecipeError(f"unknown section {key!r} in hierarchical recipe")
+    else:
+        if "any" not in cfg:
+            raise RecipeError("flat recipe requires an [any] section")
+        extra = set(cfg) - {"global", "any"}
+        if extra:
+            raise RecipeError(
+                f"unexpected sections {sorted(extra)} (set hierarchical=true for level_N)"
+            )
+        spec.levels[-1] = _decode_level(cfg["any"], "any", spec)
+
+    # Eager name/arity validation against the registry (lookup-throws
+    # semantics). Imported here to avoid a module cycle.
+    from datacurator_jl_spark.registry import validate_expr
+
+    for lvl, rules in spec.levels.items():
+        for r in rules:
+            validate_expr(r.condition, kind="condition", spec=spec)
+            validate_expr(r.action, kind="action", spec=spec)
+            if r.counteraction is not None:
+                validate_expr(r.counteraction, kind="action", spec=spec)
+    for name, inc in spec.counters.items():
+        if inc is not None:
+            validate_expr(inc, kind="metric", spec=spec)
+    return spec
+
+
+def _validate_top(cfg: dict) -> None:
+    if not isinstance(cfg, dict) or not cfg:
+        raise RecipeError("empty recipe")
+    if "global" in cfg:
+        extra = set(cfg["global"]) - _GLOBAL_KEYS
+        if extra:
+            raise RecipeError(f"unknown [global] keys: {sorted(extra)}")
+    sections = [k for k in cfg if k != "global"]
+    if not sections:
+        raise RecipeError("recipe has no rule sections ([any] or [level_N])")
+
+
+def _decode_level(section: dict, name: str, spec: RecipeSpec) -> list[Rule]:
+    extra = set(section) - _LEVEL_KEYS
+    if extra:
+        raise RecipeError(f"unknown keys in [{name}]: {sorted(extra)}")
+    conds = section.get("conditions", [])
+    acts = section.get("actions", [])
+    cacts = section.get("counter_actions")
+    fuse_all = bool(section.get("all", False))
+    if not isinstance(conds, list) or not isinstance(acts, list):
+        raise RecipeError(f"[{name}] conditions/actions must be arrays")
+
+    if fuse_all:
+        # all=true: AND-fuse conditions into one rule; chain all actions
+        # (reference to_level, src/DataCurator.jl:3053-3072).
+        cond = ["all", *conds] if len(conds) != 1 else conds[0]
+        action = ["all_actions", *acts] if len(acts) != 1 else (acts[0] if acts else "keep_going")
+        counter = None
+        if cacts:
+            counter = ["all_actions", *cacts] if len(cacts) != 1 else cacts[0]
+        return [Rule(cond, action, counter, rule_id=f"{name}:0")]
+
+    if len(conds) != len(acts):
+        raise RecipeError(
+            f"[{name}]: {len(conds)} conditions vs {len(acts)} actions (must match)"
+        )
+    if cacts is not None and len(cacts) != len(conds):
+        raise RecipeError(f"[{name}]: counter_actions length mismatch")
+    rules = []
+    for i, (c, a) in enumerate(zip(conds, acts)):
+        ca = cacts[i] if cacts is not None else None
+        cond_name = c if isinstance(c, str) else (c[0] if c else "?")
+        rules.append(Rule(c, a, ca, rule_id=f"{name}:{i}:{cond_name}"))
+    return rules
+
+
+def _decode_counters(raw: list) -> dict[str, RuleExpr | None]:
+    """['name', ['name', increment_fn]] (reference decode_counter,
+    src/DataCurator.jl:1827-1850)."""
+    out: dict[str, RuleExpr | None] = {}
+    for c in raw:
+        if isinstance(c, str):
+            out[c] = None
+        elif isinstance(c, list) and c and isinstance(c[0], str):
+            out[c[0]] = c[1] if len(c) > 1 else None
+        else:
+            raise RecipeError(f"bad counter spec: {c!r}")
+    return out
+
+
+def _decode_file_lists(raw: list) -> dict[str, dict]:
+    """Sugar forms of the reference's decode_filelist
+    (src/DataCurator.jl:1616-1685): "name" | ["name", path] |
+    {name=..., transformer=..., aggregator=...}."""
+    out: dict[str, dict] = {}
+    for fl in raw:
+        if isinstance(fl, str):
+            out[fl] = {"path": None, "transformer": None, "aggregator": "to_file"}
+        elif isinstance(fl, list) and fl and isinstance(fl[0], str):
+            spec = {"path": None, "transformer": None, "aggregator": "to_file"}
+            if len(fl) > 1:
+                if fl[1] in ("concat_to_table", "to_table"):
+                    spec["aggregator"] = "concat_to_table"
+                else:
+                    spec["path"] = fl[1]
+            out[fl[0]] = spec
+        elif isinstance(fl, dict) and "name" in fl:
+            out[fl["name"]] = {
+                "path": fl.get("path"),
+                "transformer": fl.get("transformer"),
+                "aggregator": fl.get("aggregator", "to_file"),
+            }
+        else:
+            raise RecipeError(f"bad file_list spec: {fl!r}")
+    return out

@@ -1,0 +1,514 @@
+"""Rule-name registry: recipe symbol -> Column-expression factory.
+
+This is the Spark-side analogue of the reference's ``lookup`` /
+``decode_function`` dynamic symbol resolution
+(src/DataCurator.jl:3537-3564, 1852-1909, 2341-2402): every condition and
+action name a recipe may use resolves here, eagerly, at compile time.
+Unknown names raise ``RecipeError`` before any job runs.
+
+Conditions compile to boolean ``Column`` expressions; combinators
+``all``/``any``/``not`` fold with ``&``/``|``/``~`` (Catalyst
+short-circuits AND/OR, giving the reference's cheap-first early-exit for
+free — SURVEY.md §4). Actions compile to small ``ActionSpec`` effect
+descriptors the engine lowers into the decision/transform/counter plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.functions import predicates as P
+from datacurator_jl_spark.functions import scrub as S
+from datacurator_jl_spark.functions import text as X
+from datacurator_jl_spark.functions import transforms as TR
+from datacurator_jl_spark.recipe import RecipeError, RecipeSpec
+
+
+@dataclass
+class RuleContext:
+    """Column bindings for rule compilation."""
+
+    name_col: str = "url"
+    text_col: str = "text"
+    html_col: str | None = "html"
+    available_cols: list[str] | None = None
+    spec: RecipeSpec | None = None
+
+    @property
+    def name(self) -> Column:
+        return F.col(self.name_col)
+
+    @property
+    def text(self) -> Column:
+        return F.col(self.text_col)
+
+    @property
+    def size(self) -> Column:
+        html = (
+            F.col(self.html_col)
+            if self.html_col and (self.available_cols is None or self.html_col in self.available_cols)
+            else F.lit(None).cast("binary")
+        )
+        return P.size_col(html, self.text)
+
+
+# ---------------------------------------------------------------------------
+# Conditions
+# ---------------------------------------------------------------------------
+
+# name -> (min_args, max_args, factory(ctx, *args) -> Column)
+CONDITIONS: dict[str, tuple[int, int, Callable[..., Column]]] = {}
+
+
+def _cond(name: str, lo: int, hi: int):
+    def deco(fn):
+        CONDITIONS[name] = (lo, hi, fn)
+        return fn
+
+    return deco
+
+
+# -- trivial ---------------------------------------------------------------
+_cond("always", 0, 0)(lambda ctx: F.lit(True))
+_cond("always_triggers", 0, 0)(lambda ctx: F.lit(True))
+_cond("never", 0, 0)(lambda ctx: F.lit(False))
+_cond("always_fails", 0, 0)(lambda ctx: F.lit(False))
+# reference `sample` is unseeded p=0.5 (src/DataCurator.jl:3283-3285); we
+# seed it for determinism (SURVEY.md §4 point 4).
+_cond("sample", 0, 2)(
+    lambda ctx, p=0.5, seed=42: F.rand(int(seed)) < float(p)
+)
+
+# -- name predicates (on the node-name column) ------------------------------
+_cond("startswith", 1, 2)(lambda ctx, p, regex=False: P.startswith(ctx.name, p, regex))
+_cond("endswith", 1, 2)(lambda ctx, p, regex=False: P.endswith(ctx.name, p, regex))
+_cond("contains", 1, 2)(lambda ctx, p, regex=False: P.contains(ctx.name, p, regex))
+_cond("integer_name", 0, 0)(lambda ctx: P.integer_name(ctx.name))
+_cond("ends_with_integer", 0, 0)(lambda ctx: P.ends_with_integer(ctx.name))
+_cond("begins_with_integer", 0, 0)(lambda ctx: P.begins_with_integer(ctx.name))
+_cond("contains_integer", 0, 0)(lambda ctx: P.contains_integer(ctx.name))
+_cond("has_integer_in_name", 0, 0)(lambda ctx: P.contains_integer(ctx.name))
+_cond("has_float_in_name", 0, 0)(lambda ctx: P.has_float_in_name(ctx.name))
+_cond("filename_ends_with_integer", 0, 0)(
+    lambda ctx: P.filename_ends_with_integer(ctx.name)
+)
+_cond("is_lower", 0, 0)(lambda ctx: P.is_lower(ctx.name))
+_cond("is_upper", 0, 0)(lambda ctx: P.is_upper(ctx.name))
+_cond("has_lower", 0, 0)(lambda ctx: P.has_lower(ctx.name))
+_cond("has_upper", 0, 0)(lambda ctx: P.has_upper(ctx.name))
+_cond("has_whitespace", 0, 0)(lambda ctx: P.has_whitespace(ctx.name))
+_cond("is_hidden", 0, 0)(lambda ctx: P.is_hidden(ctx.name))
+_cond("not_hidden", 0, 0)(lambda ctx: P.not_hidden(ctx.name))
+_cond("file_extension_one_of", 1, 1)(
+    lambda ctx, exts: P.file_extension_one_of(ctx.name, list(exts))
+)
+_cond("is_type_file", 1, 1)(lambda ctx, ext: P.is_type_file(ctx.name, ext))
+_cond("is_csv_file", 0, 0)(lambda ctx: P.is_type_file(ctx.name, "csv"))
+_cond("is_html_file", 0, 0)(
+    lambda ctx: P.file_extension_one_of(ctx.name, ["html", "htm"])
+)
+
+# -- size predicates ---------------------------------------------------------
+_cond("file_smaller_than", 1, 1)(
+    lambda ctx, s: ctx.size < F.lit(P.descriptive_size(s))
+)
+_cond("file_greater_than", 1, 1)(
+    lambda ctx, s: ctx.size > F.lit(P.descriptive_size(s))
+)
+_cond("size_between", 1, 1)(
+    lambda ctx, lohi: (ctx.size > F.lit(P.descriptive_size(lohi[0])))
+    & (ctx.size < F.lit(P.descriptive_size(lohi[1])))
+)
+
+# -- text-quality predicates (the graft's quality-filter core) ---------------
+_cond("has_text", 0, 0)(
+    lambda ctx: ctx.text.isNotNull() & (F.length(F.trim(ctx.text)) > 0)
+)
+_cond("min_length", 1, 1)(lambda ctx, n: F.length(ctx.text) >= int(n))
+_cond("max_length", 1, 1)(lambda ctx, n: F.length(ctx.text) <= int(n))
+_cond("min_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text) >= int(n))
+_cond("max_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text) <= int(n))
+_cond("word_count_between", 1, 1)(
+    lambda ctx, lohi: (X.n_words(ctx.text) > int(lohi[0]))
+    & (X.n_words(ctx.text) < int(lohi[1]))
+)
+_cond("mean_word_length_between", 1, 1)(
+    lambda ctx, lohi: (X.mean_word_length(ctx.text) > float(lohi[0]))
+    & (X.mean_word_length(ctx.text) < float(lohi[1]))
+)
+_cond("max_word_length_below", 1, 1)(
+    lambda ctx, n: X.max_word_length(ctx.text) < int(n)
+)
+_cond("symbol_ratio_below", 1, 1)(lambda ctx, r: X.symbol_ratio(ctx.text) < float(r))
+_cond("alpha_ratio_above", 1, 1)(lambda ctx, r: X.alpha_ratio(ctx.text) > float(r))
+_cond("digit_ratio_below", 1, 1)(lambda ctx, r: X.digit_ratio(ctx.text) < float(r))
+_cond("uppercase_ratio_below", 1, 1)(
+    lambda ctx, r: X.uppercase_ratio(ctx.text) < float(r)
+)
+_cond("stopword_ratio_above", 1, 1)(
+    lambda ctx, r: X.stopword_ratio(ctx.text) > float(r)
+)
+_cond("min_stopword_hits", 1, 1)(lambda ctx, n: X.stopword_hits(ctx.text) >= int(n))
+_cond("word_repetition_below", 1, 1)(
+    lambda ctx, r: X.distinct_word_ratio(ctx.text) > F.lit(1.0) - float(r)
+)
+_cond("line_repetition_below", 1, 1)(
+    lambda ctx, r: X.distinct_line_ratio(ctx.text) > F.lit(1.0) - float(r)
+)
+_cond("ellipsis_line_ratio_below", 1, 1)(
+    lambda ctx, r: X.ellipsis_line_ratio(ctx.text) < float(r)
+)
+_cond("bullet_line_ratio_below", 1, 1)(
+    lambda ctx, r: X.bullet_line_ratio(ctx.text) < float(r)
+)
+_cond("terminal_punct_ratio_above", 1, 1)(
+    lambda ctx, r: X.terminal_punct_line_ratio(ctx.text) > float(r)
+)
+_cond("lang_is", 1, 1)(lambda ctx, code: X.lang_id(ctx.text) == code)
+_cond("lang_confident", 1, 1)(lambda ctx, k: X.lang_top_score(ctx.text) >= int(k))
+_cond("perplexity_below", 1, 1)(
+    lambda ctx, p: X.perplexity_proxy(ctx.text) < float(p)
+)
+_cond("quality_above", 1, 1)(lambda ctx, q: X.quality_score(ctx.text) > float(q))
+_cond("contains_pii", 0, 0)(lambda ctx: S.contains_pii(ctx.text))
+_cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
+
+# -- generic column comparisons (buildcomp surface on arbitrary columns) -----
+from datacurator_jl_spark.operators.buildcomp import buildcomp  # noqa: E402
+
+_cond("col", 2, 3)(
+    lambda ctx, colname, op, val=None: buildcomp(F.col(colname), op, val)
+)
+
+
+# ---------------------------------------------------------------------------
+# Actions
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ActionSpec:
+    """One effect. kind:
+    - 'keep'   explicit keep decision
+    - 'drop'   terminal drop decision (the quality filter's counteraction;
+               reference dostep 3-tuple, src/DataCurator.jl:1544-1568)
+    - 'transform'  col-expression rewrite of target_col
+    - 'count'  increment named counter
+    - 'list'   add node to named file list
+    - 'quit'   global early exit (reference :quit, src/DataCurator.jl:3205)
+    - 'noop'   keep_going/proceed
+    """
+
+    kind: str
+    name: str | None = None
+    transform: Callable[[Column], Column] | None = None
+    target_col: str | None = None
+    reason: str | None = None
+
+
+# text/name transform functions usable inside transform actions
+TEXT_TRANSFORMS: dict[str, tuple[int, int, Callable[..., Column]]] = {
+    "scrub_pii": (0, 0, lambda col: S.scrub_pii(col)),
+    "tolowercase": (0, 0, TR.tolowercase),
+    "touppercase": (0, 0, TR.touppercase),
+    "whitespace_to": (1, 1, TR.whitespace_to),
+    "replace_pattern": (2, 2, TR.replace_pattern),
+    "remove_pattern": (1, 1, TR.remove_pattern),
+    "remove_from_to_inclusive": (2, 2, TR.remove_from_to_inclusive),
+    "remove_from_to_exclusive": (2, 2, TR.remove_from_to_exclusive),
+    "remove_from_to_extension_inclusive": (1, 1, TR.remove_from_to_extension_inclusive),
+    "prefixfilename": (1, 1, TR.prefixfilename),
+    "postfixfilename": (1, 1, TR.postfixfilename),
+    "change_path": (2, 2, TR.change_path),
+    "flatten_to": (1, 1, TR.flatten_to),
+    "normalize_whitespace": (0, 0, TR.normalize_whitespace),
+    "normalize_unicode_punct": (0, 0, TR.normalize_unicode_punct),
+}
+
+_SIMPLE_ACTIONS = {
+    "keep": lambda: [ActionSpec("keep")],
+    "drop": lambda: [ActionSpec("drop")],
+    "remove": lambda: [ActionSpec("drop")],
+    "delete_file": lambda: [ActionSpec("drop")],
+    "quit": lambda: [ActionSpec("quit")],
+    "halt": lambda: [ActionSpec("quit")],
+    "quit_on_fail": lambda: [ActionSpec("quit")],
+    "keep_going": lambda: [ActionSpec("noop")],
+    "proceed": lambda: [ActionSpec("noop")],
+    "noop": lambda: [ActionSpec("noop")],
+    "show_warning": lambda: [ActionSpec("noop")],
+    "scrub_pii": lambda: [ActionSpec("transform", transform=S.scrub_pii, target_col="__text__")],
+}
+
+
+def compile_condition(expr: Any, ctx: RuleContext) -> Column:
+    """Recursively compile a condition expression to a boolean Column."""
+    spec = ctx.spec
+    if isinstance(expr, str):
+        if spec and expr in spec.common_conditions:
+            return compile_condition(spec.common_conditions[expr], ctx)
+        if expr not in CONDITIONS:
+            raise RecipeError(f"unknown condition {expr!r}")
+        lo, hi, fn = CONDITIONS[expr]
+        if lo > 0:
+            raise RecipeError(f"condition {expr!r} requires {lo} argument(s)")
+        return fn(ctx)
+    if isinstance(expr, list) and expr:
+        head = expr[0]
+        if head in ("all", "and", "∀"):
+            return reduce(
+                lambda a, b: a & b, (compile_condition(e, ctx) for e in expr[1:])
+            )
+        if head in ("any", "or"):
+            return reduce(
+                lambda a, b: a | b, (compile_condition(e, ctx) for e in expr[1:])
+            )
+        if head == "not":
+            inner = expr[1] if len(expr) == 2 else expr[1:]
+            return ~compile_condition(inner, ctx)
+        if isinstance(head, list):
+            # nested composition like [["a"],["b"]] -> implicit all
+            return reduce(lambda a, b: a & b, (compile_condition(e, ctx) for e in expr))
+        if ctx.spec and head in ctx.spec.common_conditions:
+            if len(expr) > 1:
+                raise RecipeError(f"common condition {head!r} takes no args")
+            return compile_condition(ctx.spec.common_conditions[head], ctx)
+        if head not in CONDITIONS:
+            raise RecipeError(f"unknown condition {head!r}")
+        lo, hi, fn = CONDITIONS[head]
+        args = expr[1:]
+        if not (lo <= len(args) <= hi):
+            raise RecipeError(
+                f"condition {head!r} takes {lo}..{hi} args, got {len(args)}"
+            )
+        return fn(ctx, *args)
+    raise RecipeError(f"cannot compile condition {expr!r}")
+
+
+def compile_action(expr: Any, ctx: RuleContext) -> list[ActionSpec]:
+    """Compile an action expression to a list of effects (chains flatten)."""
+    spec = ctx.spec
+    if expr is None:
+        return [ActionSpec("noop")]
+    if isinstance(expr, str):
+        if spec and expr in spec.common_actions:
+            return compile_action(spec.common_actions[expr], ctx)
+        if expr in _SIMPLE_ACTIONS:
+            acts = _SIMPLE_ACTIONS[expr]()
+            for a in acts:
+                if a.target_col == "__text__":
+                    a.target_col = ctx.text_col
+            return acts
+        if expr in TEXT_TRANSFORMS:
+            lo, hi, fn = TEXT_TRANSFORMS[expr]
+            if lo > 0:
+                raise RecipeError(f"transform {expr!r} requires arguments")
+            return [ActionSpec("transform", transform=fn, target_col=ctx.text_col)]
+        raise RecipeError(f"unknown action {expr!r}")
+    if isinstance(expr, list) and expr:
+        head = expr[0]
+        if head in ("all_actions", "chain"):
+            out: list[ActionSpec] = []
+            for e in expr[1:]:
+                out.extend(compile_action(e, ctx))
+            return out
+        if head in ("count", "increment_counter"):
+            if len(expr) != 2:
+                raise RecipeError(f"{head} takes exactly one arg (counter name)")
+            return [ActionSpec("count", name=expr[1])]
+        if head in ("add_to_file_list", "->", "aggregate_to"):
+            if len(expr) != 2:
+                raise RecipeError(f"{head} takes exactly one arg (list name)")
+            return [ActionSpec("list", name=expr[1])]
+        if head in ("drop_log", "log_to_file_with_message"):
+            reason = expr[1] if len(expr) > 1 else None
+            return [ActionSpec("drop", reason=reason)]
+        if head in ("transform_text", "transform_inplace", "transform_copy"):
+            # chained transforms fold left-to-right (collapse_functions,
+            # reference src/DataCurator.jl:1919-1924)
+            fns = [_compile_transform(e) for e in expr[1:]]
+            return [
+                ActionSpec(
+                    "transform",
+                    transform=lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col),
+                    target_col=ctx.text_col,
+                )
+            ]
+        if head == "transform_name":
+            fns = [_compile_transform(e) for e in expr[1:]]
+            return [
+                ActionSpec(
+                    "transform",
+                    transform=lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col),
+                    target_col=ctx.name_col,
+                )
+            ]
+        if head == "transform_col":
+            if len(expr) < 3:
+                raise RecipeError("transform_col needs [col, fn, ...]")
+            fns = [_compile_transform(e) for e in expr[2:]]
+            return [
+                ActionSpec(
+                    "transform",
+                    transform=lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col),
+                    target_col=expr[1],
+                )
+            ]
+        if spec and head in spec.common_actions and len(expr) == 1:
+            return compile_action(spec.common_actions[head], ctx)
+        if head in TEXT_TRANSFORMS:
+            fn = _compile_transform(expr)
+            return [ActionSpec("transform", transform=fn, target_col=ctx.text_col)]
+        if head in _SIMPLE_ACTIONS and len(expr) == 1:
+            return compile_action(head, ctx)
+        raise RecipeError(f"unknown action {expr!r}")
+    raise RecipeError(f"cannot compile action {expr!r}")
+
+
+def _compile_transform(e: Any) -> Callable[[Column], Column]:
+    if isinstance(e, str):
+        name, args = e, []
+    elif isinstance(e, list) and e and isinstance(e[0], str):
+        name, args = e[0], e[1:]
+    else:
+        raise RecipeError(f"bad transform spec {e!r}")
+    if name not in TEXT_TRANSFORMS:
+        raise RecipeError(f"unknown transform {name!r}")
+    lo, hi, fn = TEXT_TRANSFORMS[name]
+    if not (lo <= len(args) <= hi):
+        raise RecipeError(f"transform {name!r} takes {lo}..{hi} args, got {len(args)}")
+    return lambda col: fn(col, *args)
+
+
+# metric expressions usable as counter increments
+METRICS: dict[str, Callable[[RuleContext], Column]] = {
+    "size_of_file": lambda ctx: ctx.size,
+    "n_chars": lambda ctx: X.n_chars(ctx.text),
+    "n_words": lambda ctx: X.n_words(ctx.text),
+    "token_count": lambda ctx: X.token_count(ctx.text),
+}
+
+
+def compile_metric(expr: Any, ctx: RuleContext) -> Column:
+    if expr is None:
+        return F.lit(1).cast("long")
+    if isinstance(expr, str) and expr in METRICS:
+        return METRICS[expr](ctx).cast("long")
+    raise RecipeError(f"unknown counter increment fn {expr!r}")
+
+
+def validate_expr(expr: Any, kind: str, spec: RecipeSpec) -> None:
+    """Eager compile-time validation: structural walk checking names and
+    arity against the registry WITHOUT building Column objects (so recipes
+    validate before any SparkSession exists — fail-before-data, reference
+    src/DataCurator.jl:2911-2948)."""
+    if kind == "condition":
+        _validate_condition(expr, spec)
+    elif kind == "action":
+        _validate_action(expr, spec)
+    elif kind == "metric":
+        if expr is not None and not (isinstance(expr, str) and expr in METRICS):
+            raise RecipeError(f"unknown counter increment fn {expr!r}")
+    else:  # pragma: no cover
+        raise ValueError(kind)
+
+
+def _validate_condition(expr: Any, spec: RecipeSpec) -> None:
+    if isinstance(expr, str):
+        if expr in spec.common_conditions:
+            return _validate_condition(spec.common_conditions[expr], spec)
+        if expr not in CONDITIONS:
+            raise RecipeError(f"unknown condition {expr!r}")
+        lo, _hi, _ = CONDITIONS[expr]
+        if lo > 0:
+            raise RecipeError(f"condition {expr!r} takes {lo} argument(s), got 0")
+        return
+    if isinstance(expr, list) and expr:
+        head = expr[0]
+        if head in ("all", "and", "any", "or", "∀"):
+            if len(expr) < 2:
+                raise RecipeError(f"{head!r} needs at least one condition")
+            for e in expr[1:]:
+                _validate_condition(e, spec)
+            return
+        if head == "not":
+            inner = expr[1] if len(expr) == 2 else expr[1:]
+            return _validate_condition(inner, spec)
+        if isinstance(head, list):
+            for e in expr:
+                _validate_condition(e, spec)
+            return
+        if head in spec.common_conditions:
+            if len(expr) > 1:
+                raise RecipeError(f"common condition {head!r} takes no args")
+            return _validate_condition(spec.common_conditions[head], spec)
+        if head not in CONDITIONS:
+            raise RecipeError(f"unknown condition {head!r}")
+        lo, hi, _ = CONDITIONS[head]
+        nargs = len(expr) - 1
+        if not (lo <= nargs <= hi):
+            raise RecipeError(f"condition {head!r} takes {lo}..{hi} args, got {nargs}")
+        return
+    raise RecipeError(f"cannot parse condition {expr!r}")
+
+
+def _validate_transform_spec(e: Any) -> None:
+    if isinstance(e, str):
+        name, nargs = e, 0
+    elif isinstance(e, list) and e and isinstance(e[0], str):
+        name, nargs = e[0], len(e) - 1
+    else:
+        raise RecipeError(f"bad transform spec {e!r}")
+    if name not in TEXT_TRANSFORMS:
+        raise RecipeError(f"unknown transform {name!r}")
+    lo, hi, _ = TEXT_TRANSFORMS[name]
+    if not (lo <= nargs <= hi):
+        raise RecipeError(f"transform {name!r} takes {lo}..{hi} args, got {nargs}")
+
+
+def _validate_action(expr: Any, spec: RecipeSpec) -> None:
+    if expr is None:
+        return
+    if isinstance(expr, str):
+        if expr in spec.common_actions:
+            return _validate_action(spec.common_actions[expr], spec)
+        if expr in _SIMPLE_ACTIONS or expr in TEXT_TRANSFORMS:
+            if expr in TEXT_TRANSFORMS and TEXT_TRANSFORMS[expr][0] > 0:
+                raise RecipeError(f"transform {expr!r} requires arguments")
+            return
+        raise RecipeError(f"unknown action {expr!r}")
+    if isinstance(expr, list) and expr:
+        head = expr[0]
+        if head in ("all_actions", "chain"):
+            for e in expr[1:]:
+                _validate_action(e, spec)
+            return
+        if head in ("count", "increment_counter", "add_to_file_list", "->", "aggregate_to"):
+            if len(expr) != 2 or not isinstance(expr[1], str):
+                raise RecipeError(f"{head} takes exactly one name arg")
+            return
+        if head in ("drop_log", "log_to_file_with_message"):
+            return
+        if head in ("transform_text", "transform_inplace", "transform_copy", "transform_name"):
+            for e in expr[1:]:
+                _validate_transform_spec(e)
+            return
+        if head == "transform_col":
+            if len(expr) < 3:
+                raise RecipeError("transform_col needs [col, fn, ...]")
+            for e in expr[2:]:
+                _validate_transform_spec(e)
+            return
+        if head in spec.common_actions and len(expr) == 1:
+            return _validate_action(spec.common_actions[head], spec)
+        if head in TEXT_TRANSFORMS:
+            return _validate_transform_spec(expr)
+        if head in _SIMPLE_ACTIONS and len(expr) == 1:
+            return
+        raise RecipeError(f"unknown action {expr!r}")
+    raise RecipeError(f"cannot parse action {expr!r}")

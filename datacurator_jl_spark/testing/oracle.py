@@ -1,0 +1,229 @@
+"""Pure-Python per-row oracle of the recipe engine.
+
+An INDEPENDENT re-implementation of the rule semantics — a sequential
+per-document loop in plain Python/`re`, the way the reference's `dostep`
+visitor works (src/DataCurator.jl:1516-1568) — used by tests to check the
+vectorized Spark plan produces identical keep/drop labels (F1 >= 0.99
+target; we assert exact agreement) and byte-identical scrubbed text.
+
+All regexes use re.ASCII so \\s, \\b, \\w match Java-regex ASCII
+semantics (Spark's dialect on this corpus).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from datacurator_jl_spark.functions.scrub import SCRUB_RULES
+from datacurator_jl_spark.functions.text import EN_STOPWORDS, LANG_MARKERS
+from datacurator_jl_spark.recipe import RecipeSpec
+
+_A = re.ASCII
+
+
+def _words(t: str) -> list[str]:
+    t = t.strip()
+    return re.split(r"\s+", t, flags=_A) if t else []
+
+
+def _count(pat: str, t: str) -> int:
+    return len(re.findall(pat, t, flags=_A))
+
+
+def _stopword_hits(t: str) -> int:
+    pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    return _count(pat, t.lower())
+
+
+def _lang_id(t: str) -> str:
+    low = t.lower()
+    scores = {
+        k: _count(r"\b(" + "|".join(ws) + r")\b", low) for k, ws in LANG_MARKERS.items()
+    }
+    best = max(scores.values()) if scores else 0
+    if best <= 0:
+        return "und"
+    for k in LANG_MARKERS:  # first language in fixed order wins ties
+        if scores[k] == best:
+            return k
+    return "und"
+
+
+def _symbol_ratio(t: str) -> float:
+    if not t:
+        return 0.0
+    ok = _count(r"[A-Za-z0-9\s.,;:'\"!?()\-]", t)
+    return (len(t) - ok) / len(t)
+
+
+def _distinct_word_ratio(t: str) -> float:
+    w = _words(t.lower())
+    return len(set(w)) / len(w) if w else 1.0
+
+
+def _distinct_line_ratio(t: str) -> float:
+    lines = t.split("\n")
+    return len(set(lines)) / len(lines) if lines else 1.0
+
+
+def _mean_word_length(t: str):
+    w = _words(t)
+    return sum(len(x) for x in w) / len(w) if w else None
+
+
+def _max_word_length(t: str) -> int:
+    w = _words(t)
+    return max((len(x) for x in w), default=0)
+
+
+def _eval_condition(expr, row) -> bool | None:
+    """Returns the condition truth value; None models SQL null."""
+    t = row["text"]
+    if isinstance(expr, str):
+        name, args = expr, []
+    else:
+        name, args = expr[0], list(expr[1:])
+    if name in ("all", "and"):
+        out = True
+        for e in args:
+            v = _eval_condition(e, row)
+            if v is None:
+                return None
+            if not v:
+                return False
+        return out
+    if name in ("any", "or"):
+        for e in args:
+            if _eval_condition(e, row):
+                return True
+        return False
+    if name == "not":
+        v = _eval_condition(args[0] if len(args) == 1 else args, row)
+        return None if v is None else (not v)
+
+    if name in ("always", "always_triggers"):
+        return True
+    if name in ("never", "always_fails"):
+        return False
+    if name == "has_text":
+        return t is not None and len(t.strip()) > 0
+    if t is None:
+        return None  # null text -> null condition, like the Spark plan
+    if name == "min_length":
+        return len(t) >= int(args[0])
+    if name == "max_length":
+        return len(t) <= int(args[0])
+    if name == "min_words":
+        return len(_words(t)) >= int(args[0])
+    if name == "max_words":
+        return len(_words(t)) <= int(args[0])
+    if name == "word_count_between":
+        lo, hi = args[0]
+        return lo < len(_words(t)) < hi
+    if name == "mean_word_length_between":
+        m = _mean_word_length(t)
+        lo, hi = args[0]
+        return None if m is None else (float(lo) < m < float(hi))
+    if name == "max_word_length_below":
+        return _max_word_length(t) < int(args[0])
+    if name == "symbol_ratio_below":
+        return _symbol_ratio(t) < float(args[0])
+    if name == "stopword_ratio_above":
+        w = _words(t)
+        r = (_stopword_hits(t) / len(w)) if w else 0.0
+        return r > float(args[0])
+    if name == "min_stopword_hits":
+        return _stopword_hits(t) >= int(args[0])
+    if name == "word_repetition_below":
+        return _distinct_word_ratio(t) > 1.0 - float(args[0])
+    if name == "line_repetition_below":
+        return _distinct_line_ratio(t) > 1.0 - float(args[0])
+    if name == "lang_is":
+        return _lang_id(t) == args[0]
+    if name == "contains_pii":
+        pats = "|".join(f"({p})" for _n, p, _r in SCRUB_RULES)
+        return re.search(pats, t, flags=_A) is not None
+    if name == "alpha_ratio_above":
+        return (_count(r"[A-Za-z]", t) / len(t) if t else 0.0) > float(args[0])
+    if name == "digit_ratio_below":
+        return (_count(r"[0-9]", t) / len(t) if t else 0.0) < float(args[0])
+    if name == "uppercase_ratio_below":
+        return (_count(r"[A-Z]", t) / len(t) if t else 0.0) < float(args[0])
+    raise NotImplementedError(f"oracle does not implement condition {name!r}")
+
+
+def scrub_text(t: str | None) -> str | None:
+    if t is None:
+        return None
+    for _name, pat, repl in SCRUB_RULES:
+        t = re.sub(pat, repl.replace("\\", "\\\\"), t, flags=_A)
+    return t
+
+
+def _action_kinds(expr) -> list[tuple[str, object]]:
+    """Flatten an action expression to [(kind, payload)]."""
+    if expr is None:
+        return [("noop", None)]
+    if isinstance(expr, str):
+        if expr in ("keep",):
+            return [("keep", None)]
+        if expr in ("drop", "remove", "delete_file"):
+            return [("drop", None)]
+        if expr in ("quit", "halt", "quit_on_fail"):
+            return [("quit", None)]
+        if expr == "scrub_pii":
+            return [("scrub", None)]
+        return [("noop", None)]
+    head = expr[0]
+    if head in ("all_actions", "chain"):
+        out = []
+        for e in expr[1:]:
+            out.extend(_action_kinds(e))
+        return out
+    if head in ("count", "increment_counter"):
+        return [("count", expr[1])]
+    if head in ("add_to_file_list", "->", "aggregate_to"):
+        return [("list", expr[1])]
+    if head in ("drop_log", "log_to_file_with_message"):
+        return [("drop", None)]
+    if head == "scrub_pii":
+        return [("scrub", None)]
+    return [("noop", None)]
+
+
+def oracle_labels(pdf: pd.DataFrame, spec: RecipeSpec) -> pd.DataFrame:
+    """Sequential per-document evaluation -> (url, keep, rule_id,
+    scrubbed_text) per FIXTURES.md §2."""
+    urls, keeps, rule_ids, scrubbed = [], [], [], []
+    rules = spec.rules
+    for _, row in pdf.iterrows():
+        keep = True
+        rid = None
+        text = row["text"]
+        for r in rules:
+            v = _eval_condition(r.condition, row)
+            fired = (v is True) == spec.act_on_success if v is not None else (
+                spec.act_on_success is False
+            )
+            effects = _action_kinds(r.action if fired else r.counteraction)
+            decided_drop = any(k == "drop" for k, _ in effects)
+            decided_keep = any(k == "keep" for k, _ in effects)
+            if any(k == "scrub" for k, _ in effects):
+                text = scrub_text(text)
+            if decided_drop:
+                # a fired drop decides the document, overriding any earlier
+                # keep (engine: coalesce(drop_chain, keep_chain))
+                keep = False
+                rid = r.rule_id
+                break
+            if decided_keep and rid is None:
+                rid = r.rule_id
+        urls.append(row["url"])
+        keeps.append(keep)
+        rule_ids.append(rid if rid is not None else "default_keep")
+        scrubbed.append(text if keep else None)
+    return pd.DataFrame(
+        {"url": urls, "keep": keeps, "rule_id": rule_ids, "scrubbed_text": scrubbed}
+    )
