@@ -188,47 +188,51 @@ def terminal_punct_line_ratio(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def lang_scores(text: Column) -> Column:
-    """Map of language -> marker-word hit count."""
+CJK_PATTERN = "[一-鿿]"
+
+
+def _lang_score_cols(text: Column) -> dict[str, Column]:
+    """Language -> integer score. Marker-word hits for alphabetic
+    languages; for zh, CJK character count / 4 (≈ hits-per-marker-word
+    scale, keeps scores comparable)."""
     low = F.lower(text)
+    scores = {
+        k: _count_matches(low, _word_boundary_pattern(ws))
+        for k, ws in LANG_MARKERS.items()
+    }
+    scores["zh"] = (_count_matches(text, CJK_PATTERN) / F.lit(4)).cast("int")
+    return scores
+
+
+LANG_ORDER = [*LANG_MARKERS, "zh"]  # fixed tie-break order
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language -> score."""
+    scores = _lang_score_cols(text)
     return F.map_from_arrays(
-        F.array(*[F.lit(k) for k in LANG_MARKERS]),
-        F.array(
-            *[
-                _count_matches(low, _word_boundary_pattern(ws))
-                for ws in LANG_MARKERS.values()
-            ]
-        ),
+        F.array(*[F.lit(k) for k in LANG_ORDER]),
+        F.array(*[scores[k] for k in LANG_ORDER]),
     )
 
 
 def lang_id(text: Column) -> Column:
-    """argmax language by marker hits; 'und' (undetermined) when all zero.
+    """argmax language by score; 'und' (undetermined) when all zero.
 
-    Ties break by the fixed language order in LANG_MARKERS (deterministic —
-    SURVEY.md §7.4 requires documented tie-breaking).
+    Ties break by the fixed LANG_ORDER (deterministic — SURVEY.md §7.4
+    requires documented tie-breaking).
     """
-    low = F.lower(text)
-    counts = {
-        k: _count_matches(low, _word_boundary_pattern(ws))
-        for k, ws in LANG_MARKERS.items()
-    }
+    counts = _lang_score_cols(text)
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # build reversed when-chain so earlier languages win ties
-    for k in reversed(list(counts)):
+    for k in reversed(LANG_ORDER):
         expr = F.when((best > 0) & (counts[k] == best), F.lit(k)).otherwise(expr)
     return expr
 
 
 def lang_top_score(text: Column) -> Column:
-    low = F.lower(text)
-    return F.greatest(
-        *[
-            _count_matches(low, _word_boundary_pattern(ws))
-            for ws in LANG_MARKERS.values()
-        ]
-    )
+    return F.greatest(*_lang_score_cols(text).values())
 
 
 # ---------------------------------------------------------------------------

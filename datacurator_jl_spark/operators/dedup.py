@@ -1,0 +1,185 @@
+"""Deduplication suite for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — each
+designed Spark-first:
+
+- **Signatures are computed WITHOUT a shuffle**: minhash/simhash fold
+  over the per-row words array with native higher-order functions
+  (``transform``/``array_min``/``aggregate``), staying inside
+  whole-stage codegen. The only shuffles are the final groupBy (exact)
+  or the LSH band self-join — which is the point of LSH: candidate
+  generation via an equi-join on band keys instead of an O(n²) cross
+  join, so it scales to 10^12 docs (band key cardinality ~ n, join
+  fan-out bounded by bucket size).
+- Hashes derive from md5 hex so any engine can reproduce them
+  (cross-engine determinism for the DuckDB oracle); md5 is fine for
+  dedup (no adversary), and is fully portable.
+
+Skew note: a degenerate band bucket (e.g. empty-text docs) can blow up
+the pair join; callers should pre-filter empties (quality pipeline does)
+or cap bucket size with ``max_bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.functions.text import words
+
+
+def _h32(col: Column, salt: str = "") -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as bigint.
+
+    Identical in Spark (conv) and DuckDB ('0x'||...)::bigint — the
+    cross-engine contract the oracles rely on."""
+    base = F.concat(col, F.lit(salt)) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per
+    distinct text + multiplicity. Single hash aggregate (map-side
+    partial agg), no row explosion."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dupes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only the min-id representative of each distinct text.
+
+    Window over the content hash (one shuffle); deterministic winner."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, k: int = 8, prefix: str = "mh"
+) -> DataFrame:
+    """Append k minhash columns (``mh0..mh{k-1}``) over lowercase word
+    shingles. Pure narrow projection — per-row array fold, no shuffle,
+    no UDF. Empty docs get null minhashes."""
+    ws = F.array_distinct(words(F.lower(F.col(text_col))))
+
+    # NB: capture the salt via a closure factory, NOT a default arg —
+    # pyspark's transform() inspects the lambda arity and a 2-arg lambda
+    # would receive the array index as its second argument.
+    def hasher(i: int):
+        return lambda w: _h32(w, f"#{i}")
+
+    out = df
+    for i in range(k):
+        out = out.withColumn(f"{prefix}{i}", F.array_min(F.transform(ws, hasher(i))))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: (id_a, id_b) sharing >=1 band.
+
+    shingle -> minhash -> band -> bucket equi-join (the scale path: the
+    only shuffle is on band keys). ``max_bucket`` drops degenerate
+    buckets (skew guard). Pairs are distinct with id_a < id_b.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("key")).alias(f"b{b}")
+        )
+    buckets = (
+        sig.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    if max_bucket:
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """SimHash fingerprint over distinct lowercase words.
+
+    For each bit j: sign of sum over words of (2*bit_j(h(w)) - 1), packed
+    little-endian. Per-row array folds only — no shuffle, no UDF. Word
+    hash = first 15 md5 hex chars (60 bits), portable cross-engine."""
+    ws = F.array_distinct(words(F.lower(F.col(text_col))))
+    h = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"))
+    # closure factory (not default args): aggregate()'s merge lambda must
+    # be exactly binary — see hasher() note in minhash_signature.
+    def bit_folder(j: int):
+        return lambda s, x: s + F.when(
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(h, F.lit(0), bit_folder(j))
+        acc = acc + F.when(bit_sum > 0, F.lit(2**j)).otherwise(F.lit(0)).cast("bigint")
+    return df.withColumn(out_col, acc)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word-set Jaccard similarity for all pairs within a block.
+
+    Blocked self-join (equi-join on ``block_col``) keeps the pair count
+    O(sum block²) instead of O(n²); the Jaccard itself is a native
+    array_intersect fold. At web scale the block key is an LSH band or
+    domain; here it doubles as the reference's prefix-grouping idea
+    (stack_images_by_prefix, src/DataCurator.jl:2806-2851).
+    Output: (id_a, id_b, jaccard rounded to 6dp) where jaccard >= threshold.
+    """
+    prep = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(words(F.lower(F.col(text_col)))).alias("ws"),
+    )
+    a, b = prep.alias("a"), prep.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure DataFrame ops:
+
+- ``cosine_topk``: brute-force baseline. The (small) query side is
+  **broadcast** into a cross join — no shuffle of the big corpus side;
+  per-pair cosine is a native ``aggregate``/``zip_with`` fold (JVM,
+  codegen). Correct at any corpus size as long as the query set is
+  broadcastable; cost O(|corpus| * |queries|).
+- ``ivf_topk``: the scale path — an IVF (inverted-file) index with the
+  cluster id taken from a partition column (here: the pre-assigned
+  ``label``; in production: k-means ids computed offline). Queries probe
+  only their ``nprobe`` nearest centroids, cutting the scanned fraction
+  to nprobe/nlist. Centroids are computed with one explode+groupBy
+  (cheap: rows × dim), then broadcast.
+
+Determinism: cosine sums fold left-to-right over the array in both
+engines; results are rounded to 6dp and ties broken by neighbor id so
+top-k sets are stable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6dp,
+    rank 1..k by (sim desc, neighbor_id asc); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def centroids_by(
+    corpus: DataFrame, cluster_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster mean vector: explode to (cluster, pos, val), average,
+    re-assemble ordered by position. One shuffle of rows×dim scalars."""
+    pos = (
+        corpus.select(cluster_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    return (
+        pos.groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-bucketed ANN: probe the nprobe clusters whose centroids are
+    most cosine-similar to the query, then exact top-k within them.
+
+    Only the probed clusters are scanned — the 100 TB path (centroid
+    table is tiny and broadcast; the corpus join is an equi-join on the
+    cluster id, prunable by partition when the corpus is written
+    partitioned by cluster).
+    """
+    cents = centroids_by(corpus, cluster_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc(cluster_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            cluster_col,
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qv", cluster_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cluster_col), F.col(vec_col).alias("cv")
+    )
+    sims = (
+        c.join(F.broadcast(probes), cluster_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,699 @@
+"""Named queries over the driver testdata tables, each with a DuckDB
+oracle-SQL twin (see ``ORACLES``). The driver runs both at sf=0.01 and
+compares row count + schema + order-insensitive value hash — so every
+computed column is aliased identically on both sides, floats are rounded
+(4dp aggregates, 6dp similarities/ratios) and timestamps are formatted to
+strings, pinning cross-engine determinism.
+
+Each query is the oracle-checked face of one engine operator family
+(SURVEY.md §2 coverage): buildcomp predicates, extract/extract_any/
+delete, projection, groupbycolumn, distinct+sort aggregator chains,
+describe stats, mode band-pass, counters — plus the training-data ops:
+exact/minhash/simhash/jaccard dedup, text stats, langid, fingerprints,
+quality filter, scrub, cosine/IVF similarity, windowed event rollups.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.functions import scrub as S
+from datacurator_jl_spark.functions import text as X
+from datacurator_jl_spark.operators import dataframe_ops as DO
+from datacurator_jl_spark.operators import dedup as DD
+from datacurator_jl_spark.operators import similarity as SIM
+from datacurator_jl_spark.operators.mode_filter import mode_bandpass
+from datacurator_jl_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator suite (reference §2.5 table ops)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                          AS sum_qty,
+           round(sum(l_extendedprice), 4)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+           round(avg(l_quantity), 4)                          AS avg_qty,
+           round(avg(l_discount), 4)                          AS avg_disc,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """groupbycolumn-style hash aggregate (reference src/DataCurator.jl:941-965)
+    over a pushed-down timestamp filter. Partial agg map-side; 6 aggs, one
+    shuffle on a 2-col low-cardinality key."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_between_strict",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 10 AND l_quantity < 15 AND l_discount > 0.02 AND l_discount < 0.08
+    """,
+)
+def q02(spark, sf):
+    """buildcomp strict `between` (reference src/DataCurator.jl:2218-2229:
+    exclusive BOTH sides, unlike SQL BETWEEN) AND-combined (extract)."""
+    li = _t(spark, sf, "lineitem")
+    return DO.extract(
+        li,
+        [("l_quantity", "between", (10, 15)), ("l_discount", "between", (0.02, 0.08))],
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+@_q(
+    "q03_extract_any",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' OR o_totalprice > 400000
+    """,
+)
+def q03(spark, sf):
+    """extract_any = OR of predicates (reference src/DataCurator.jl:2047-2051)."""
+    o = _t(spark, sf, "orders")
+    return DO.extract_any(
+        o,
+        [("o_orderstatus", "is", "F"), ("o_totalprice", "more", 400000)],
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+@_q(
+    "q04_delete_rows",
+    """
+    SELECT c_custkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE NOT (c_acctbal < 0 AND c_mktsegment = 'BUILDING')
+    """,
+)
+def q04(spark, sf):
+    """delete = drop rows matching ALL predicates (reference `delete`
+    command, src/DataCurator.jl:2041-2046); null-mask rows are kept."""
+    c = _t(spark, sf, "customer")
+    return DO.delete_rows(
+        c, [("c_acctbal", "less", 0), ("c_mktsegment", "is", "BUILDING")]
+    ).select("c_custkey", "c_acctbal", "c_mktsegment")
+
+
+@_q(
+    "q05_extract_columns",
+    "SELECT p_partkey, p_brand, p_retailprice FROM part",
+)
+def q05(spark, sf):
+    """Projection (reference extract_columns, src/DataCurator.jl:1780-1788).
+    Column pruning reaches the scan: ReadSchema lists only 3 columns."""
+    return DO.extract_columns(
+        _t(spark, sf, "part"), ["p_partkey", "p_brand", "p_retailprice"]
+    )
+
+
+@_q(
+    "q06_groupbycolumn",
+    """
+    SELECT c_mktsegment,
+           round(sum(c_acctbal), 4) AS acctbal_sum,
+           round(avg(c_acctbal), 4) AS acctbal_mean,
+           round(max(c_acctbal), 4) AS acctbal_max,
+           count(c_custkey)         AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q06(spark, sf):
+    """groupbycolumn with named agg outputs (reference
+    src/DataCurator.jl:941-947 signature: columns, targets, functions, names)."""
+    c = _t(spark, sf, "customer")
+    out = DO.groupbycolumn(
+        c,
+        ["c_mktsegment"],
+        ["c_acctbal", "c_acctbal", "c_acctbal", "c_custkey"],
+        ["sum", "mean", "maximum", "count"],
+        ["acctbal_sum", "acctbal_mean", "acctbal_max", "n_customers"],
+    )
+    return out.select(
+        "c_mktsegment",
+        F.round("acctbal_sum", 4).alias("acctbal_sum"),
+        F.round("acctbal_mean", 4).alias("acctbal_mean"),
+        F.round("acctbal_max", 4).alias("acctbal_max"),
+        "n_customers",
+    )
+
+
+@_q(
+    "q07_distinct_sort",
+    """
+    SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+    """,
+)
+def q07(spark, sf):
+    """Aggregator chain `sort ∘ unique` (reference decode_aggregator chains
+    src/DataCurator.jl:1711-1740; example_recipes/aggregate_sort.toml)."""
+    return _t(spark, sf, "orders").select("o_orderpriority").distinct().orderBy(
+        "o_orderpriority"
+    )
+
+
+@_q(
+    "q08_describe_column",
+    """
+    WITH s AS (
+      SELECT avg(l_extendedprice) AS mu,
+             min(l_extendedprice) AS mn,
+             max(l_extendedprice) AS mx,
+             stddev_samp(l_extendedprice) AS sd,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.5)  AS md,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT round(mn, 4) AS minimum, round(q1, 4) AS q1, round(mu, 4) AS mean,
+           round(md, 4) AS median, round(q3, 4) AS q3, round(mx, 4) AS maximum,
+           round(sd, 4) AS std
+    FROM s
+    """,
+)
+def q08(spark, sf):
+    """describe_image-style moment stats (reference src/DataCurator.jl:902-916:
+    min, Q1, mean, median, Q3, max, std) on a numeric column. percentile()
+    is exact with linear interpolation in both engines."""
+    li = _t(spark, sf, "lineitem")
+    c = F.col("l_extendedprice")
+    q = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.agg(
+        F.round(F.min(c), 4).alias("minimum"),
+        F.round(q.getItem(0), 4).alias("q1"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.round(q.getItem(1), 4).alias("median"),
+        F.round(q.getItem(2), 4).alias("q3"),
+        F.round(F.max(c), 4).alias("maximum"),
+        F.round(F.stddev_samp(c), 4).alias("std"),
+    )
+
+
+@_q(
+    "q09_mode_bandpass",
+    """
+    WITH m AS (
+      SELECT l_quantity AS v FROM lineitem
+      GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1
+    ), s AS (SELECT stddev_samp(l_quantity) AS sd FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem, m, s
+    WHERE l_quantity > m.v + (-0.3) * s.sd AND l_quantity < m.v + 0.3 * s.sd
+    """,
+)
+def q09(spark, sf):
+    """Mode band-pass (reference handle_mode, src/DataCurator.jl:2231-2246):
+    keep rows with mode+k·σ < x < mode+j·σ. Two-phase: distributed agg →
+    broadcast scalars → filter."""
+    li = _t(spark, sf, "lineitem")
+    return mode_bandpass(li, "l_quantity", -0.3, 0.3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@_q(
+    "q10_counters_by_flag",
+    """
+    SELECT l_returnflag AS name, count(*) AS hits,
+           sum(l_orderkey)::BIGINT AS weighted
+    FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag
+    """,
+)
+def q10(spark, sf):
+    """Counter semantics: tagged rows -> (name, count, weighted-sum) —
+    the post-hoc aggregation form of the reference's thread-sharded
+    counters (src/DataCurator.jl:3856-3889)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .groupBy(F.col("l_returnflag").alias("name"))
+        .agg(F.count("*").alias("hits"), F.sum("l_orderkey").alias("weighted"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + quality filter + dedup
+# ---------------------------------------------------------------------------
+
+_WORD = r"[^ \\t\\n\\x0B\\f\\r]+"  # \S in both dialects, spelled out
+
+
+def _sql_stopword_pat() -> str:
+    return r"\b(" + "|".join(X.EN_STOPWORDS) + r")\b"
+
+
+@_q(
+    "d01_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d01(spark, sf):
+    """Exact dedup: hash-groupBy, min-id representative (single shuffle,
+    map-side partial agg)."""
+    return DD.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "d02_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS chars,
+           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens,
+           round(len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
+                 / len(regexp_extract_all(trim(text), '\\S+')), 6) AS distinct_word_ratio,
+           round(len(regexp_extract_all(lower(text), '{SW}'))::DOUBLE
+                 / len(regexp_extract_all(trim(text), '\\S+')), 6) AS stopword_ratio
+    FROM documents
+    """.replace("{SW}", _sql_stopword_pat()),
+)
+def d02(spark, sf):
+    """Per-document text stats — the graft analogue of describe_image
+    per-element stats (SURVEY.md §2.5): all native expressions."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.n_chars(t).alias("chars"),
+        X.n_words(t).alias("n_words"),
+        X.token_count(t).alias("tokens"),
+        F.round(X.distinct_word_ratio(t), 6).alias("distinct_word_ratio"),
+        F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for k, ws in X.LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(ws) + r")\b"
+        parts.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{k}")
+    parts.append("(len(regexp_extract_all(text, '[一-鿿]')) // 4)::INT AS s_zh")
+    return ", ".join(parts)
+
+
+@_q(
+    "d03_langid",
+    f"""
+    WITH s AS (SELECT doc_id, {_sql_lang_scores()} FROM documents),
+    b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_it, s_zh) AS best FROM s)
+    SELECT doc_id,
+      CASE WHEN best <= 0 THEN 'und'
+           WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+           WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es'
+           WHEN s_it = best THEN 'it' ELSE 'zh' END AS lang_pred
+    FROM b
+    """,
+)
+def d03(spark, sf):
+    """Heuristic language-ID (marker-word argmax + CJK ratio), fully
+    native — the vectorized stand-in for the fastText stage."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_D04_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS chars,
+         len(regexp_extract_all(trim(text), '\\S+')) AS nw,
+         (length(text) - len(regexp_extract_all(text,
+             '[A-Za-z0-9\\s.,;:''"!?()\\-]')))::DOUBLE / length(text) AS sym,
+         len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
+             / len(regexp_extract_all(trim(text), '\\S+')) AS distinct_ratio,
+         len(regexp_extract_all(lower(text), '{SW}')) AS sw_hits
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT doc_id,
+  CASE WHEN NOT (chars >= 100)                  THEN false
+       WHEN NOT (nw > 10 AND nw < 10000)        THEN false
+       WHEN NOT (sym < 0.1)                     THEN false
+       WHEN NOT (distinct_ratio > 0.3)          THEN false
+       WHEN NOT (sw_hits >= 1)                  THEN false
+       ELSE true END AS keep,
+  CASE WHEN NOT (chars >= 100)                  THEN 'any:0:min_length'
+       WHEN NOT (nw > 10 AND nw < 10000)        THEN 'any:1:word_count_between'
+       WHEN NOT (sym < 0.1)                     THEN 'any:2:symbol_ratio_below'
+       WHEN NOT (distinct_ratio > 0.3)          THEN 'any:3:word_repetition_below'
+       WHEN NOT (sw_hits >= 1)                  THEN 'any:4:min_stopword_hits'
+       ELSE 'any:5:always' END AS rule_id
+FROM f
+""".replace("{SW}", _sql_stopword_pat())
+
+
+@_q("d04_quality_filter", _D04_SQL)
+def d04(spark, sf):
+    """The flagship: recipe-driven quality filter via the engine itself
+    (rule chain -> single CASE WHEN plan). The oracle SQL re-states the
+    same ordered early-exit semantics as a CASE chain — this is the
+    keep/drop parity check."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "name_col": "doc_id", "text_col": "text"},
+            "any": {
+                "conditions": [
+                    ["min_length", 100],
+                    ["word_count_between", [10, 10000]],
+                    ["symbol_ratio_below", 0.1],
+                    ["word_repetition_below", 0.7],
+                    ["min_stopword_hits", 1],
+                    "always",
+                ],
+                "actions": ["keep_going"] * 5 + ["keep"],
+                "counter_actions": ["drop"] * 5 + ["keep_going"],
+            },
+        }
+    )
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    res = Pipeline(spec).apply(d)
+    return res.df.select(
+        "doc_id", F.col("dc_kept").alias("keep"), F.col("dc_rule_id").alias("rule_id")
+    )
+
+
+@_q(
+    "d05_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def d05(spark, sf):
+    """Normalized md5 document fingerprint (portable rolling-hash stand-in)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _sql_minhash(i: int) -> str:
+    return (
+        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        f" w -> ('0x' || substr(md5(w || '#{i}'), 1, 8))::BIGINT)) AS mh{i}"
+    )
+
+
+@_q(
+    "d06_minhash_signature",
+    f"SELECT doc_id, {', '.join(_sql_minhash(i) for i in range(4))} FROM documents",
+)
+def d06(spark, sf):
+    """MinHash signatures: per-row array fold, no shuffle, no UDF; hash =
+    md5-derived 32-bit so the oracle reproduces it bit-exactly."""
+    d = DD.minhash_signature(_t(spark, sf, "documents"), "text", k=4)
+    return d.select("doc_id", "mh0", "mh1", "mh2", "mh3")
+
+
+@_q(
+    "d07_simhash",
+    None,  # oracle added below (long SQL built programmatically)
+)
+def d07(spark, sf):
+    """16-bit SimHash fingerprint, pure array folds (no shuffle)."""
+    return DD.simhash(_t(spark, sf, "documents"), "text", bits=16).select(
+        "doc_id", "simhash"
+    )
+
+
+def _sql_simhash() -> str:
+    bit_terms = []
+    for j in range(16):
+        bit_terms.append(
+            f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END"
+        )
+    return (
+        "WITH w AS (SELECT doc_id, list_transform("
+        "list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM documents) "
+        "SELECT doc_id, (" + " + ".join(bit_terms) + ")::BIGINT AS simhash FROM w"
+    )
+
+
+ORACLES["d07_simhash"] = _sql_simhash()
+
+
+@_q(
+    "d08_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')) AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.6
+    """,
+)
+def d08(spark, sf):
+    """n-gram (word-set) Jaccard near-dup pairs, blocked by `source`
+    (blocked self-join: pair count O(sum block²) not O(n²))."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", "source", threshold=0.6
+    )
+
+
+@_q(
+    "d09_scrub",
+    """
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+        '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\\b', '[PHONE]', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def d09(spark, sf):
+    """PII scrub chain applied as ordered regexp_replace (byte-identical
+    contract; order pinned email->ssn->phone->ip)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", S.scrub_pii(F.col("text")).alias("scrubbed")
+    )
+
+
+@_q(
+    "d10_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(lower(text), '{SW}'))::DOUBLE /
+          len(regexp_extract_all(trim(text), '\\S+')) ELSE 0.0 END AS sw,
+        len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
+            / len(regexp_extract_all(trim(text), '\\S+')) AS rep,
+        CASE WHEN length(text) > 0 THEN
+          (length(text) - len(regexp_extract_all(text,
+              '[A-Za-z0-9\\s.,;:''"!?()\\-]')))::DOUBLE / length(text)
+        ELSE 0.0 END AS sym,
+        CASE WHEN length(text) > 0 THEN
+          len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+        ELSE 0.0 END AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(sw * 2.5, 1.0) * 0.35 + rep * 0.25 +
+                 (1.0 - least(sym * 5.0, 1.0)) * 0.2 + alpha * 0.2, 6) AS quality
+    FROM f
+    """.replace("{SW}", _sql_stopword_pat()),
+)
+def d10(spark, sf):
+    """Composite quality score in [0,1] (native stand-in for a learned
+    quality model)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+@_q("e01_cosine_topk", _COS_SQL)
+def e01(spark, sf):
+    """Brute-force cosine top-5 for query vectors vec_id<10: broadcast
+    cross join + native array fold + windowed top-k."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_IVF_SQL = """
+WITH cent AS (
+  SELECT label, list_transform(
+           list_sort(list(struct_pack(pos := u.pos, m := u.m))), s -> s.m) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS m
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) t
+    GROUP BY label, pos
+  ) u GROUP BY label
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, cent.label,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.qv, cent.centroid) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.centroid, cent.centroid))), 6) DESC,
+             cent.label ASC) AS prank
+    FROM q, cent
+  ) WHERE prank <= 1
+),
+s AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv, p.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM probe p JOIN embeddings e ON e.label = p.label
+  WHERE e.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+
+@_q("e02_ivf_topk", _IVF_SQL)
+def e02(spark, sf):
+    """IVF-bucketed ANN (scale path): probe the nearest label-cluster
+    centroid only, exact search within it."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), cluster_col="label", k=5, nprobe=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed rollups
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "v01_hourly_rollup",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def v01(spark, sf):
+    """Tumbling-window rollup (batch form of the streaming aggregation;
+    streaming/ wraps the same expression over readStream)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "v02_user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def v02(spark, sf):
+    """Sessionization via gap detection (30-min inactivity): windowed lag
+    + conditional sum — the batch analogue of session windows."""
+    ev = _t(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; go through timestamp to
+    # get epoch seconds (session TZ pinned to UTC so this is stable)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(prev.isNull() | (epoch - prev > 30 * 60), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )

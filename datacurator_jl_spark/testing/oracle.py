@@ -42,10 +42,11 @@ def _lang_id(t: str) -> str:
     scores = {
         k: _count(r"\b(" + "|".join(ws) + r")\b", low) for k, ws in LANG_MARKERS.items()
     }
+    scores["zh"] = len(re.findall("[一-鿿]", t)) // 4
     best = max(scores.values()) if scores else 0
     if best <= 0:
         return "und"
-    for k in LANG_MARKERS:  # first language in fixed order wins ties
+    for k in [*LANG_MARKERS, "zh"]:  # first language in fixed order wins ties
         if scores[k] == best:
             return k
     return "und"
