@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": seconds, "unit": "sec",
+"queries": {name: sec}, "sf": ...} plus flagship docs/sec extras.
+
+Every query is materialized through the noop datasource writer so column
+pruning cannot skip the computed columns (a .count() would let Catalyst
+drop e.g. the scrub expression entirely).
+
+The flagship entry times the full recipe pipeline (quality filter +
+scrub + decision columns) over a generated synthetic Common-Crawl-style
+corpus (cached parquet in /tmp, seeded) — the docs/sec number the north
+rule asks for. ``--only flagship`` + $SPARK_GRAFT_CPUS is used by
+scripts/bench_scaling.py to evidence N->4N scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_between_strict",
+    "q06_groupbycolumn",
+    "q09_mode_bandpass",
+    "d01_exact_dedup",
+    "d02_text_stats",
+    "d03_langid",
+    "d04_quality_filter",
+    "d06_minhash_signature",
+    "d07_simhash",
+    "d08_ngram_jaccard",
+    "d09_scrub",
+    "d10_quality_score",
+    "e01_cosine_topk",
+    "e02_ivf_topk",
+    "v01_hourly_rollup",
+    "v02_user_sessions",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_bench_docs(spark, n_rows: int, seed: int = 42) -> str:
+    """Generate (once, cached) the synthetic documents corpus parquet."""
+    path = os.path.join(CACHE_DIR, f"docs_n{n_rows}_s{seed}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from datacurator_jl_spark.testing.synth import synth_documents
+
+        df = synth_documents(spark, n_rows, seed=seed, partitions=max(CPUS * 2, 16))
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_pipeline(spark, docs_path: str):
+    """The north-rule job: full quality filter + scrub over the corpus."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import load_recipe
+
+    spec = load_recipe(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "recipes", "webtext_quality.toml")
+    )
+    df = spark.read.parquet(docs_path)
+    return Pipeline(spec).apply(df).df
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["flagship", "suite", "all"], default="all")
+    args = ap.parse_args()
+
+    from datacurator_jl_spark.queries import QUERIES
+    from datacurator_jl_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = 0.1
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    if args.only in ("suite", "all"):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _noop_write(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    if args.only in ("flagship", "all"):
+        docs_path = ensure_bench_docs(spark, BENCH_DOCS)
+        # warm the page cache / JIT once with a tiny slice
+        _noop_write(spark.read.parquet(docs_path).limit(1000))
+        t0 = time.perf_counter()
+        _noop_write(flagship_pipeline(spark, docs_path))
+        dt = time.perf_counter() - t0
+        timings["flagship_quality_pipeline"] = round(dt, 3)
+        extras["flagship_docs"] = BENCH_DOCS
+        extras["flagship_docs_per_sec"] = round(BENCH_DOCS / dt, 1)
+        extras["cpus"] = CPUS
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
