@@ -56,20 +56,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.verbose:
             result.df.explain("formatted")
 
-        os.makedirs(output_dir, exist_ok=True)
-        result.kept().write.mode("overwrite").parquet(os.path.join(output_dir, "kept"))
-        result.dropped().write.mode("overwrite").parquet(os.path.join(output_dir, "drop_log"))
-        result.lineage().write.mode("overwrite").parquet(os.path.join(output_dir, "lineage"))
+        from datacurator_jl_spark.sinks import write_outputs
 
-        counters = result.counters().toPandas()
-        counters.to_csv(os.path.join(output_dir, "counters.csv"), index=False)
-        for name in spec.file_lists:
-            result.file_list(name).select(spec.name_col).write.mode("overwrite").text(
-                os.path.join(output_dir, f"list_{name}")
-            )
-
+        write_outputs(result, output_dir)
         if args.verbose:
-            print(counters.to_string(index=False))
+            print(result.counters().toPandas().to_string(index=False))
         quit_requested = result.quit_requested()
         print(f"done: output at {output_dir} ({'quit' if quit_requested else 'proceed'})")
         return 2 if quit_requested else 0

@@ -299,8 +299,11 @@ class CurationResult:
 class Pipeline:
     """Compiled recipe. ``apply(df)`` adds decision/transform columns."""
 
-    def __init__(self, spec: RecipeSpec):
+    def __init__(self, spec: RecipeSpec, arrow_stats: bool = True):
         self.spec = spec
+        # Arrow-vectorized token stats (default) vs the pure-JVM fold;
+        # identical values (tested), different physical strategy.
+        self.arrow_stats = arrow_stats
 
     def _ctx(self, df: DataFrame) -> RuleContext:
         return RuleContext(
@@ -331,7 +334,18 @@ class Pipeline:
             # LOWERCASED words (split commutes with lower): lets the
             # word-based conditions stay lambda-free (codegen-eligible)
             df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
-            df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
+            if self.arrow_stats:
+                # Arrow path: the native HOF fold is interpreted
+                # (CodegenFallback) and anti-scales on a shared heap;
+                # the pandas/Arrow twin runs in per-core worker
+                # processes (see functions/arrow_stats.py)
+                from datacurator_jl_spark.functions.arrow_stats import (
+                    token_stats_arrow,
+                )
+
+                df = df.withColumn(STATS_COL, token_stats_arrow(tcol))
+            else:
+                df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
         ctx = self._ctx(df)
         compiled_levels: dict[int, list[_CompiledRule]] = {
             lvl: [_compile_rule(r, ctx, spec.act_on_success) for r in rules]
@@ -370,8 +384,13 @@ class Pipeline:
                 extra = None if k == -1 else (lvl_col == k)
                 if k == -1:
                     # default level applies where no keyed level matches
+                    # (null-safe: a null level row takes the default)
                     keyed_vals = [kk for kk in compiled_levels if kk != -1]
-                    extra = ~lvl_col.isin(keyed_vals) if keyed_vals else None
+                    extra = (
+                        ~F.coalesce(lvl_col.isin(keyed_vals), F.lit(False))
+                        if keyed_vals
+                        else None
+                    )
                 plan = _fold_effects(comp, d, ctx, spec, extra_gate=extra, plan=plan)
 
         cols: list[Column] = [F.col(c) for c in input_cols]

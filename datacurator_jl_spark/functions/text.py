@@ -82,7 +82,7 @@ def mean_word_length(text: Column, w: Column | None = None) -> Column:
     are CodegenFallback and knock the whole projection out of whole-stage
     codegen."""
     nw = n_words(text, w)
-    total = F.length(F.regexp_replace(text, r"\s", ""))
+    total = F.length(F.translate(text, _WS, ""))
     return F.when(nw > 0, total.cast("double") / nw)
 
 
@@ -114,35 +114,42 @@ def _count_matches(text: Column, pattern: str) -> Column:
     return F.regexp_count(text, F.lit(pattern))
 
 
-def _count_class(text: Column, char_class: str) -> Column:
-    """Count characters matching a single-char class.
+# Explicit ASCII character sets for translate()-based counting.
+# translate() is a single char-map pass with NO regex machinery — both
+# regexp_count (per-match find loop) and regexp_replace (per-match
+# StringBuilder appends) allocate per matched character and were measured
+# to ANTI-scale across cores on allocation pressure. Counts identical.
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGITS = "0123456789"
+_WS = " \t\n\x0b\x0c\r"  # Java regex \s, spelled out
+_BASIC_PUNCT = ".,;:'\"!?()-"
+_ALLOWED = _LOWER + _UPPER + _DIGITS + _WS + _BASIC_PUNCT
 
-    Implemented as length(regexp_replace(text, [^class], '')) — one
-    string-build pass, ~2.5x faster than regexp_count's per-match
-    find() loop (measured on the bench corpus). Counts are identical.
-    """
-    neg = f"[^{char_class[1:-1]}]"
-    return F.length(F.regexp_replace(text, neg, ""))
+
+def _count_chars_in(text: Column, charset: str) -> Column:
+    """#chars of ``text`` belonging to ``charset`` (ASCII, enumerable)."""
+    return F.length(text) - F.length(F.translate(text, charset, ""))
 
 
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are ASCII letters; 0.0 for empty."""
     n = F.length(text)
-    return F.when(n > 0, _count_class(text, "[A-Za-z]").cast("double") / n).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(
+        n > 0, _count_chars_in(text, _LOWER + _UPPER).cast("double") / n
+    ).otherwise(F.lit(0.0))
 
 
 def digit_ratio(text: Column) -> Column:
     n = F.length(text)
-    return F.when(n > 0, _count_class(text, "[0-9]").cast("double") / n).otherwise(
+    return F.when(n > 0, _count_chars_in(text, _DIGITS).cast("double") / n).otherwise(
         F.lit(0.0)
     )
 
 
 def uppercase_ratio(text: Column) -> Column:
     n = F.length(text)
-    return F.when(n > 0, _count_class(text, "[A-Z]").cast("double") / n).otherwise(
+    return F.when(n > 0, _count_chars_in(text, _UPPER).cast("double") / n).otherwise(
         F.lit(0.0)
     )
 
@@ -151,7 +158,7 @@ def symbol_ratio(text: Column) -> Column:
     """Fraction of characters outside letters/digits/whitespace/basic
     punctuation — the C4 'symbol ratio' junk detector."""
     n = F.length(text)
-    bad = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s.,;:'\"!?()\\-]", ""))
+    bad = F.length(F.translate(text, _ALLOWED, ""))
     return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -179,8 +186,11 @@ def norm_tokens(text: Column, w: Column | None = None) -> Column:
 
 def token_stats(text: Column, w: Column | None = None) -> Column:
     """struct(sw, en, de, fr, es, it): membership counts over normalized
-    tokens, one fold. Engine pre-projects this as a shared column."""
-    nt = norm_tokens(text, w)
+    tokens, one fold. Engine pre-projects this as a shared column.
+
+    Null text yields the ZERO struct (not null) — pinned to match the
+    Arrow twin (functions/arrow_stats.py)."""
+    nt = F.coalesce(norm_tokens(text, w), F.array().cast("array<string>"))
     zero = F.struct(*[F.lit(0).alias(c) for c in STAT_SETS])
 
     def step(acc: Column, x: Column) -> Column:
@@ -255,8 +265,10 @@ CJK_PATTERN = "[一-鿿]"
 
 def cjk_score(text: Column) -> Column:
     """CJK character count / 4 (≈ hits-per-marker-word scale, keeps the
-    zh score comparable to the marker-token counts)."""
-    cjk = F.length(F.regexp_replace(text, "[^一-鿿]", ""))
+    zh score comparable to the marker-token counts). regexp_count is fine
+    here: CJK chars are rare in the target corpora, so the per-match loop
+    almost never fires."""
+    cjk = F.regexp_count(text, F.lit("[一-鿿]"))
     return (cjk / F.lit(4)).cast("int")
 
 

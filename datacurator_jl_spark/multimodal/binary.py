@@ -1,0 +1,126 @@
+"""Multimodal (binary-column) plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata — the reference's content-type probes (``is_img``/``is_rgb``/
+... src/DataCurator.jl:3230-3242) map to cheap magic-byte sniffing, and
+its content ops (gaussian/threshold/describe_image,
+src/DataCurator.jl:1111-1199, 902-916) map to Arrow-batched decode /
+feature-extract stages over ``mapInPandas``.
+
+The decode libraries (Pillow, ffmpeg, ...) are NOT in this container, so
+the decoders are STUBBED: ``decode_images(..., fake=True)`` produces a
+deterministic fake feature row (so the Spark-side plumbing — schema,
+batch shape, partitioning — is real and tested), and ``fake=False``
+raises ``NotImplementedError`` at the exact point a real decoder plugs
+in. Everything around the stub is production code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (type, magic-prefix) — cheap native sniffing on the first bytes
+_MAGIC = (
+    ("png", b"\x89PNG"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("pdf", b"%PDF"),
+    ("riff", b"RIFF"),  # wav/avi container
+    ("html", b"<htm"),
+    ("html", b"<!DO"),
+)
+
+
+def sniff_content_type(payload: Column) -> Column:
+    """Magic-byte content sniffing, fully native: substring on binary +
+    when-chain. The cheap probe that ORDERS ahead of any decode stage
+    (the reference's is_img-before-describe pattern)."""
+    expr = F.lit("unknown")
+    for name, magic in reversed(_MAGIC):
+        prefix = F.substring(payload, 1, len(magic))
+        expr = F.when(prefix == F.lit(magic), F.lit(name)).otherwise(expr)
+    return F.when(payload.isNull() | (F.length(payload) == 0), F.lit("empty")).otherwise(
+        expr
+    )
+
+
+def extract_html_text(html: Column) -> Column:
+    """Native HTML -> text extraction: decode UTF-8 (invalid bytes
+    replaced), strip script/style blocks, strip tags, unescape the
+    common entities, collapse whitespace. Deterministic; the graft's
+    analogue of the reference's content loaders."""
+    txt = html.cast("string")  # UTF-8 decode, lossy on bad bytes
+    txt = F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    txt = F.regexp_replace(txt, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "width int, height int, n_channels int, mean_intensity double, decode_ok boolean"
+)
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "html",
+    fake: bool = True,
+    batch_note: str | None = None,
+) -> DataFrame:
+    """Arrow-batched image decode / feature extraction over mapInPandas.
+
+    Appends IMAGE_FEATURES_SCHEMA columns. ``fake=True`` (this
+    container) emits deterministic pseudo-features derived from payload
+    length/bytes; ``fake=False`` is where Pillow plugs in.
+    """
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + IMAGE_FEATURES_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            if fake:
+                # deterministic stand-in: features from byte stats
+                lens = payloads.map(lambda b: len(b) if b is not None else 0)
+                pdf = pdf.copy()
+                pdf["width"] = (lens % 640).astype("int32")
+                pdf["height"] = (lens % 480).astype("int32")
+                pdf["n_channels"] = 3
+                pdf["mean_intensity"] = (
+                    payloads.map(lambda b: (sum(b[:64]) / max(len(b[:64]), 1)) if b else 0.0)
+                ).astype("float64")
+                pdf["decode_ok"] = lens > 0
+                yield pdf
+            else:  # pragma: no cover - real decoder not in this container
+                raise NotImplementedError(
+                    "real image decode requires Pillow; install and decode "
+                    "payloads here (PIL.Image.open(io.BytesIO(b)))"
+                )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, payload_col: str, every_n: int, id_col: str
+) -> DataFrame:
+    """Video frame-sampling PLAN: emit (id, frame_idx) rows for a
+    decoder stage to fill — the Spark-side shape of frame sampling
+    (explode before decode so frames parallelize across tasks). The
+    frame count is stubbed as a deterministic function of payload size
+    (real path: container metadata probe)."""
+    n_frames = (F.length(F.col(payload_col)) / 100 + 1).cast("int")
+    return (
+        df.select(F.col(id_col), n_frames.alias("_nf"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nf") - 1, F.lit(every_n))).alias(
+                "frame_idx"
+            ),
+        )
+    )

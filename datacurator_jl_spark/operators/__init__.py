@@ -1,17 +1,23 @@
-from datacurator_jl_spark.operators.buildcomp import buildcomp
-from datacurator_jl_spark.operators.dataframe_ops import (
-    delete_rows,
-    extract,
-    extract_any,
-    extract_columns,
-    groupbycolumn,
+"""Operator modules. Import submodules directly (e.g.
+``from datacurator_jl_spark.operators.buildcomp import buildcomp``) —
+the package deliberately does not re-export functions, because a
+re-exported name would shadow its submodule of the same name.
+"""
+
+from datacurator_jl_spark.operators import (  # noqa: F401
+    buildcomp,
+    dataframe_ops,
+    dedup,
+    mode_filter,
+    similarity,
+    skew,
 )
 
 __all__ = [
     "buildcomp",
-    "extract",
-    "extract_any",
-    "delete_rows",
-    "extract_columns",
-    "groupbycolumn",
+    "dataframe_ops",
+    "dedup",
+    "mode_filter",
+    "similarity",
+    "skew",
 ]

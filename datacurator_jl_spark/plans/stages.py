@@ -1,0 +1,187 @@
+"""Model-stage planner: Arrow-batched vectorized UDF stages for rules a
+Column expression can't express (real fastText language-ID, KenLM
+perplexity), sandwiched between native predicate stages in
+cheap-to-expensive order.
+
+This is SURVEY.md §4's "physical strategies that are NOT plain
+built-ins": Catalyst cannot cost-order opaque UDFs, so the planner does
+— native (free) stages first, then UDF stages sorted by declared cost,
+each stage only seeing rows that survived the previous ones
+(``docs/src/recipe.md:497-499``'s cheap-first doctrine across the
+UDF boundary).
+
+Worker-state pattern: the model loads LAZILY ONCE PER PYTHON WORKER
+(module-level cache keyed by loader), not per batch — the standard
+mapInPandas model-serving idiom. Arrow batch size is controlled by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in session.py).
+
+The model libs (fasttext, kenlm) are not available in this environment,
+so ``FakeLangModel`` / ``FakePerplexityModel`` provide DETERMINISTIC
+stand-ins (hash/heuristic based) that exercise the exact same plumbing —
+schema contract, lazy init, Arrow batching. Swap ``loader`` for the real
+thing in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-python-worker model cache: loader id -> loaded model
+_WORKER_MODELS: dict[str, object] = {}
+
+
+def _get_model(key: str, loader: Callable[[], object]) -> object:
+    model = _WORKER_MODELS.get(key)
+    if model is None:
+        model = loader()
+        _WORKER_MODELS[key] = model
+    return model
+
+
+class FakeLangModel:
+    """Deterministic fastText stand-in: marker-token voting implemented
+    with vectorized pandas str ops (mirrors functions.text.LANG_MARKERS
+    semantics loosely; the REAL contract tested is the stage plumbing)."""
+
+    def __init__(self):
+        from datacurator_jl_spark.functions.text import LANG_MARKERS
+
+        self.markers = {k: set(ws) for k, ws in LANG_MARKERS.items()}
+
+    def predict_batch(self, texts: pd.Series) -> pd.DataFrame:
+        toks = texts.fillna("").str.lower().str.split()
+        counts = {
+            k: toks.map(lambda ws, s=s: sum(1 for w in ws if w in s))
+            for k, s in self.markers.items()
+        }
+        df = pd.DataFrame(counts)
+        best = df.max(axis=1)
+        lang = df.idxmax(axis=1).where(best > 0, "und")
+        total = df.sum(axis=1)
+        conf = (best / total.clip(lower=1)).astype("float64")
+        return pd.DataFrame({"lang": lang, "conf": conf})
+
+
+class FakePerplexityModel:
+    """Deterministic KenLM stand-in: pseudo-logprob from a hash-derived
+    per-word score (stable across workers/runs)."""
+
+    def score_batch(self, texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def ppl(t: str) -> float:
+            ws = t.split()
+            if not ws:
+                return 1e6
+            s = sum(
+                int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 1000
+                for w in ws
+            )
+            return s / len(ws)
+
+        return texts.fillna("").map(ppl).astype("float64")
+
+
+def _load_fake_lang() -> FakeLangModel:
+    return FakeLangModel()
+
+
+def _load_fake_ppl() -> FakePerplexityModel:
+    return FakePerplexityModel()
+
+
+def load_fasttext_or_fake(model_path: str | None = None) -> object:
+    """Real fastText if importable (production), else the fake."""
+    try:  # pragma: no cover - lib not in this environment
+        import fasttext  # type: ignore
+
+        return fasttext.load_model(model_path or "lid.176.bin")
+    except ImportError:
+        return FakeLangModel()
+
+
+@dataclass
+class ModelStage:
+    """One vectorized model stage appended via mapInPandas.
+
+    ``apply_batch(model, pdf) -> pdf`` must return the input batch plus
+    this stage's output columns (declared in ``out_schema``).
+    """
+
+    name: str
+    out_schema: str  # e.g. "lang_pred string, lang_conf double"
+    loader: Callable[[], object]
+    apply_batch: Callable[[object, pd.DataFrame], pd.DataFrame]
+    cost: float = 1.0  # relative; planner orders ascending
+    prefilter: object | None = None  # Column: rows the model must see
+
+
+def langid_stage(text_col: str = "text", cost: float = 1.0) -> ModelStage:
+    def apply_batch(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = model.predict_batch(pdf[text_col])
+        pdf = pdf.copy()
+        pdf["lang_pred"] = out["lang"].values
+        pdf["lang_conf"] = out["conf"].values
+        return pdf
+
+    return ModelStage(
+        name="langid",
+        out_schema="lang_pred string, lang_conf double",
+        loader=_load_fake_lang,
+        apply_batch=apply_batch,
+        cost=cost,
+    )
+
+
+def perplexity_stage(text_col: str = "text", cost: float = 5.0) -> ModelStage:
+    def apply_batch(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["ppl"] = model.score_batch(pdf[text_col]).values
+        return pdf
+
+    return ModelStage(
+        name="perplexity",
+        out_schema="ppl double",
+        loader=_load_fake_ppl,
+        apply_batch=apply_batch,
+        cost=cost,
+    )
+
+
+@dataclass
+class StagePlanner:
+    """Orders model stages cheap-to-expensive and applies each as one
+    mapInPandas pass; an optional per-stage ``prefilter`` Column drops
+    rows BEFORE the expensive model sees them (native filter, pushed
+    ahead of the Python boundary)."""
+
+    stages: list[ModelStage] = field(default_factory=list)
+
+    def add(self, stage: ModelStage) -> "StagePlanner":
+        self.stages.append(stage)
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for stage in sorted(self.stages, key=lambda s: s.cost):
+            if stage.prefilter is not None:
+                df = df.filter(stage.prefilter)
+            schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            schema = schema + ", " + stage.out_schema
+            loader, apply_batch, key = stage.loader, stage.apply_batch, stage.name
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                model = None
+                for pdf in batches:
+                    if model is None:  # lazy: once per worker+task
+                        model = _get_model(key, loader)
+                    yield apply_batch(model, pdf)
+
+            df = df.mapInPandas(run, schema=schema)
+        return df

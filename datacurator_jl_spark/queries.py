@@ -566,6 +566,145 @@ def d10(spark, sf):
     )
 
 
+@_q(
+    "q11_grouped_collect",
+    """
+    SELECT l_orderkey,
+           array_to_string(list(l_linenumber
+               ORDER BY l_linenumber, round(l_quantity, 4)), ',') AS lines,
+           array_to_string(list(round(l_quantity, 4)
+               ORDER BY l_linenumber, round(l_quantity, 4)), ',') AS quantities
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q11(spark, sf):
+    """Grouped ordered collect — the reference's prefix-stack pattern
+    (sort_stack / stack_images_by_prefix, src/DataCurator.jl:2806-2851:
+    group by prefix, order by trailing integer, stack per group).
+    sort_array(collect_list(struct(order_key, payload))) keeps the
+    aggregation a single shuffle with deterministic element order.
+    Arrays serialized to csv strings for engine-neutral value comparison.
+    """
+    li = _t(spark, sf, "lineitem")
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.round("l_quantity", 4).alias("q"),
+            )
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(pairs.alias("_p"))
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.transform(F.col("_p"), lambda s: s.getField("ln").cast("string")), ","
+            ).alias("lines"),
+            F.array_join(
+                F.transform(F.col("_p"), lambda s: s.getField("q").cast("string")), ","
+            ).alias("quantities"),
+        )
+    )
+
+
+@_q(
+    "q12_group_counts",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, c.n_docs,
+           c.n_docs >= 20 AS source_has_20_docs
+    FROM documents d JOIN c USING (source)
+    """,
+)
+def q12(spark, sf):
+    """Group-level predicates (reference has_n_files / n_files_or_more,
+    src/DataCurator.jl:3251-3269): per-group count joined back via a
+    window — no second scan, one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source")
+    return d.select(
+        "doc_id",
+        "source",
+        F.count("*").over(w).alias("n_docs"),
+        (F.count("*").over(w) >= 20).alias("source_has_20_docs"),
+    )
+
+
+@_q(
+    "d11_drop_exact_dupes",
+    """
+    WITH r AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id FROM r WHERE rn = 1
+    """,
+)
+def d11(spark, sf):
+    """Exact-dedup survivors: min-id representative per distinct text."""
+    return DD.drop_exact_dupes(_t(spark, sf, "documents"), "doc_id", "text").select(
+        "doc_id"
+    )
+
+
+def _sql_minhash_nt(i: int) -> str:
+    return (
+        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        f" w -> ('0x' || substr(md5(w || '#{i}'), 1, 8))::BIGINT))"
+    )
+
+
+@_q(
+    "d12_lsh_candidate_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+         (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+         (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+         (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    """,
+)
+def d12(spark, sf):
+    """MinHash-LSH candidate pairs (k=8, 4 bands x 2 rows). The Spark
+    side buckets on hashed band keys (equi-join, the scale path); the
+    oracle states the same pair set declaratively as band equality."""
+    return DD.lsh_candidate_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", k=8, bands=4
+    )
+
+
+@_q(
+    "v03_event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def v03(spark, sf):
+    """Pivoted per-user event counts (explicit pivot values keep the plan
+    a single hash aggregate — no second pass to discover columns)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------

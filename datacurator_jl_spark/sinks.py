@@ -1,0 +1,114 @@
+"""Sinks: file-list flush with transformer/aggregator chains.
+
+Reference parity (SURVEY.md §2.3, §2.7): a file list is a named
+collection of matched nodes; at the end of the run each list is flushed
+through a ``transformer`` (per-element map) and an ``aggregator``
+(reduction to a sink) — ``decode_filelist`` / ``decode_aggregator``
+chains like ``[["filepath", "sort", "unique", "shared_list_to_file"]]``
+(reference src/DataCurator.jl:1616-1740, 4144-4168; aggregate_sort
+example example_recipes/aggregate_sort.toml).
+
+Here a list is a tagged subset of the result DataFrame, a transformer is
+a Column expression, and an aggregator chain is a sequence of DataFrame
+stages ending in a writer — each sink is its own small logical plan that
+Catalyst optimizes independently (column pruning means a url-only sink
+never materializes text).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.functions.predicates import basename as _basename
+
+# transformer name -> Column factory over the node-name column
+TRANSFORMERS: dict[str, Callable[[Column], Column]] = {
+    "identity": lambda c: c,
+    "filepath": lambda c: F.regexp_replace(c, r"/[^/]*$", ""),  # dirname
+    "basename": _basename,
+    "tolowercase": F.lower,
+    "toupper": F.upper,
+}
+
+# chain step name -> DataFrame stage (applied to a 1-column frame `value`)
+CHAIN_STEPS: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "sort": lambda df: df.orderBy("value"),
+    "unique": lambda df: df.distinct(),
+    "list_to_file": lambda df: df,  # terminal marker; writer handles it
+    "shared_list_to_file": lambda df: df,
+}
+
+
+def flush_file_list(
+    df: DataFrame,
+    name_col: str,
+    out_path: str,
+    transformer: str | list[str] | None = None,
+    chain: list[str] | None = None,
+    fmt: str = "text",
+) -> None:
+    """Flush one list: transformer (per element) -> chain stages ->
+    write. ``fmt``: 'text' (one value per line, the reference's
+    shared_list_to_file, src/DataCurator.jl:3681-3699) or 'parquet'.
+    """
+    col: Column = F.col(name_col)
+    for t in [transformer] if isinstance(transformer, str) else (transformer or []):
+        if t not in TRANSFORMERS:
+            raise ValueError(f"unknown transformer {t!r}")
+        col = TRANSFORMERS[t](col)
+    out = df.select(col.cast("string").alias("value"))
+    for step in chain or []:
+        if step not in CHAIN_STEPS:
+            raise ValueError(f"unknown aggregator step {step!r}")
+        out = CHAIN_STEPS[step](out)
+    writer = out.write.mode("overwrite")
+    if fmt == "text":
+        writer.text(out_path)
+    else:
+        writer.parquet(out_path)
+
+
+def concat_to_table(frames: list[DataFrame], out_path: str) -> None:
+    """The reference's concat_to_table (src/DataCurator.jl:2662-2780):
+    union-by-name of per-source frames into one table. Missing columns
+    null-filled (allowMissingColumns), like vcat(cols=:union)."""
+    from functools import reduce
+
+    if not frames:
+        raise ValueError("no frames to concatenate")
+    merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+    merged.write.mode("overwrite").parquet(out_path)
+
+
+def write_outputs(result, output_dir: str) -> dict[str, str]:
+    """Write the standard output set for a CurationResult: kept docs,
+    drop log, lineage, counters.csv, one sink per file list (honoring the
+    recipe's file_list spec). Returns {name: path}."""
+    os.makedirs(output_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+
+    def p(name: str) -> str:
+        paths[name] = os.path.join(output_dir, name)
+        return paths[name]
+
+    result.kept().write.mode("overwrite").parquet(p("kept"))
+    result.dropped().write.mode("overwrite").parquet(p("drop_log"))
+    result.lineage().write.mode("overwrite").parquet(p("lineage"))
+    result.counters().toPandas().to_csv(
+        os.path.join(output_dir, "counters.csv"), index=False
+    )
+    paths["counters"] = os.path.join(output_dir, "counters.csv")
+    for name, spec in result.spec.file_lists.items():
+        flush_file_list(
+            result.file_list(name),
+            result.spec.name_col,
+            p(f"list_{name}"),
+            transformer=spec.get("transformer"),
+            chain=["unique", "sort"] if spec.get("aggregator") == "sorted_unique" else None,
+            fmt="parquet" if spec.get("aggregator") == "concat_to_table" else "text",
+        )
+    return paths

@@ -1,0 +1,53 @@
+"""Multimodal binary-column plumbing tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.multimodal.binary import (
+    decode_images,
+    extract_html_text,
+    frame_sample_plan,
+    sniff_content_type,
+)
+
+
+def test_sniff_content_type(spark):
+    rows = [
+        (1, b"\x89PNG\r\n"),
+        (2, b"\xff\xd8\xff\xe0jfif"),
+        (3, b"<html><body>x</body></html>"),
+        (4, b""),
+        (5, None),
+        (6, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r.id: r.t for r in df.select("id", sniff_content_type(F.col("payload")).alias("t")).collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "html", 4: "empty", 5: "empty", 6: "unknown"}
+
+
+def test_extract_html_text(spark):
+    html = (
+        b"<html><head><style>body{color:red}</style>"
+        b"<script>var x=1;</script></head>"
+        b"<body><h1>Title</h1><p>Hello &amp; world</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    got = df.select(extract_html_text(F.col("html")).alias("t")).collect()[0].t
+    assert got == "Title Hello & world"
+    assert "color" not in got and "var x" not in got
+
+
+def test_decode_images_fake_plumbing(spark, docs_df):
+    out = decode_images(docs_df.select("url", "html").limit(30), payload_col="html")
+    rows = out.collect()
+    assert len(rows) == 30
+    assert {"width", "height", "n_channels", "mean_intensity", "decode_ok"} <= set(out.columns)
+    empties = [r for r in rows if r.html == b"" or r.html is None]
+    assert all(not r.decode_ok for r in empties)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"x" * 250)], "vid int, payload binary")
+    frames = frame_sample_plan(df, "payload", every_n=1, id_col="vid").collect()
+    assert [r.frame_idx for r in frames] == [0, 1, 2]  # 250 bytes -> 3 fake frames

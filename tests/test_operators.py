@@ -1,0 +1,219 @@
+"""Operator tests: buildcomp semantics, dataframe ops, dedup suite,
+similarity search, mode band-pass, skew helpers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import datacurator_jl_spark.operators.buildcomp as BC
+import datacurator_jl_spark.operators.dataframe_ops as DO
+import datacurator_jl_spark.operators.dedup as DD
+import datacurator_jl_spark.operators.similarity as SIM
+from datacurator_jl_spark.operators.mode_filter import column_mode, mode_bandpass
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    rows = [
+        (1, 5.0, "a"),
+        (2, 10.0, "b"),
+        (3, 15.0, "a"),
+        (4, float("nan"), "b"),
+        (5, None, "a"),
+        (6, 0.0, "c"),
+        (7, 10.0, "a"),
+        (8, 10.0, "c"),
+    ]
+    return spark.createDataFrame(rows, "id int, x double, g string")
+
+
+def test_between_is_strict_both_sides(spark, num_df):
+    got = {r.id for r in num_df.filter(BC.buildcomp(F.col("x"), "between", (5.0, 15.0))).collect()}
+    assert got == {2, 7, 8}  # 5.0 and 15.0 excluded, NaN/null excluded
+
+
+def test_nan_vs_null_distinct(spark, num_df):
+    assert {r.id for r in num_df.filter(BC.buildcomp(F.col("x"), "isnan")).collect()} == {4}
+    assert {r.id for r in num_df.filter(BC.buildcomp(F.col("x"), "ismissing")).collect()} == {5}
+    assert {r.id for r in num_df.filter(BC.buildcomp(F.col("x"), "iszero")).collect()} == {6}
+
+
+def test_not_wrapper(spark, num_df):
+    got = {r.id for r in num_df.filter(BC.buildcomp(F.col("x"), ["not", "less"], 10.0)).collect()}
+    # NOT(x<10): 10.0,15.0,10.0,10.0 pass; NaN: NaN<10 is false -> not false = true (Spark NaN semantics)
+    assert got == {2, 3, 4, 7, 8}
+
+
+def test_delete_keeps_null_mask_rows(spark, num_df):
+    out = DO.delete_rows(num_df, [("x", "less", 6.0)])
+    got = {r.id for r in out.collect()}
+    assert got == {2, 3, 4, 5, 7, 8}  # id 5 (null) kept, ids 1 and 6 deleted
+
+
+def test_unknown_columns_warn_and_noop(spark, num_df):
+    with pytest.warns(UserWarning, match="unknown columns"):
+        out = DO.extract_columns(num_df, ["id", "bogus"])
+    assert out.columns == ["id"]
+
+
+def test_groupbycolumn_named_aggs(spark, num_df):
+    out = DO.groupbycolumn(num_df, ["g"], ["x", "x"], ["sum", "count"], ["x_sum", "n"])
+    got = {r.g: (r.x_sum, r.n) for r in out.collect()}
+    assert got["c"] == (10.0, 2)
+    assert got["b"][1] == 2
+
+
+def test_column_mode_tie_breaks_smallest(spark, num_df):
+    assert column_mode(num_df, "x") == 10.0
+    tie = spark.createDataFrame([(1.0,), (1.0,), (2.0,), (2.0,)], "v double")
+    assert column_mode(tie, "v") == 1.0  # tie -> smallest value
+
+
+def test_mode_bandpass_strict_bounds(spark):
+    df = spark.createDataFrame([(float(v),) for v in [5, 5, 5, 1, 9, 6, 4]], "v double")
+    out = mode_bandpass(df, "v", -0.5, 0.5)
+    vals = sorted(r.v for r in out.collect())
+    sd = df.agg(F.stddev_samp("v")).collect()[0][0]
+    assert all(5 - 0.5 * sd < v < 5 + 0.5 * sd for v in vals)
+    assert vals  # non-empty
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    rows = [
+        (1, "the quick brown fox", "a"),
+        (2, "the quick brown fox", "a"),       # exact dup of 1
+        (3, "the quick brown fox jumps", "a"),  # near dup
+        (4, "completely different text here", "b"),
+        (5, "the quick brown fox", "b"),       # exact dup of 1, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_exact_dedup_and_drop(spark, dup_df):
+    groups = {r.keep_id: r.n_copies for r in DD.exact_dedup(dup_df, "doc_id", "text").collect()}
+    assert groups[1] == 3
+    kept = {r.doc_id for r in DD.drop_exact_dupes(dup_df, "doc_id", "text").collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_minhash_identical_docs_same_signature(spark, dup_df):
+    sig = DD.minhash_signature(dup_df, "text", k=4).collect()
+    by_id = {r.doc_id: tuple(r[f"mh{i}"] for i in range(4)) for r in sig}
+    assert by_id[1] == by_id[2] == by_id[5]
+    assert by_id[1] != by_id[4]
+
+
+def test_lsh_pairs_find_dups(spark, dup_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(dup_df, "doc_id", "text", k=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dup_low_hamming(spark, dup_df):
+    rows = {r.doc_id: r.simhash for r in DD.simhash(dup_df, "text", bits=16).collect()}
+    assert rows[1] == rows[2]  # identical text -> identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[1], rows[3]) <= hamming(rows[1], rows[4])
+
+
+def test_ngram_jaccard_blocked(spark, dup_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(dup_df, "doc_id", "text", "src", 0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) not in pairs  # different block (src) -> never compared
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.1, 0.9, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_ranks_correctly(spark, emb_df):
+    out = SIM.cosine_topk(emb_df, emb_df.filter("vec_id = 0"), k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 3]  # closest first; ties broken by id
+
+
+def test_ivf_probes_own_cluster(spark, emb_df):
+    out = SIM.ivf_topk(emb_df, emb_df.filter("vec_id = 0"), cluster_col="label", k=3, nprobe=1).collect()
+    ids = {r.neighbor_id for r in out}
+    assert ids == {1, 4}  # only label-0 cluster scanned
+
+
+def test_cosine_topk_broadcasts_queries(spark, emb_df):
+    plan = SIM.cosine_topk(emb_df, emb_df.limit(2))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- skew -------------------------------------------------------------------
+
+
+def test_two_phase_agg_matches_plain_groupby(spark, docs_df):
+    from datacurator_jl_spark.operators.skew import domain_of, two_phase_agg
+
+    with_dom = docs_df.withColumn("domain", domain_of(F.col("url")))
+    skewed = two_phase_agg(
+        with_dom, "domain", {"n": ("count", "url"), "max_len": ("max", "text")}, salt=8
+    )
+    plain = with_dom.groupBy("domain").agg(
+        F.count("url").alias("n"), F.max("text").alias("max_len")
+    )
+    a = {r.domain: (r.n, r.max_len) for r in skewed.collect()}
+    b = {r.domain: (r.n, r.max_len) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_repartition_spreads_hot_key(spark, docs_df):
+    from datacurator_jl_spark.operators.skew import salted_repartition
+
+    out = salted_repartition(docs_df, F.col("url"), salt=8, num_partitions=8)
+    sizes = [r.n for r in out.groupBy(F.spark_partition_id().alias("p")).agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) > 1  # spread over multiple partitions
+
+
+# --- arrow/native token-stats parity -----------------------------------------
+
+
+def test_arrow_token_stats_equals_native(spark):
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+    from datacurator_jl_spark.functions import text as X
+
+    rows = [
+        (1, "The quick, brown fox! AND the (lazy) dog."),
+        (2, "der Der DER und 'und' nicht?"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+        (6, "le la  les\tet\nest que"),
+        (7, "the-fox and_dog the. the"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    native = {r.id: r.s.asDict() for r in df.select("id", X.token_stats(F.col("text")).alias("s")).collect()}
+    arrow = {r.id: r.s.asDict() for r in df.select("id", token_stats_arrow(F.col("text")).alias("s")).collect()}
+    assert native == arrow

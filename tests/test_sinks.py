@@ -1,0 +1,53 @@
+"""Sink tests: file-list flush chains, concat_to_table, write_outputs."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.engine import Pipeline
+from datacurator_jl_spark.sinks import concat_to_table, flush_file_list, write_outputs
+
+
+def _read_text(path):
+    lines = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+        with open(f) as fh:
+            lines += [l.rstrip("\n") for l in fh]
+    return lines
+
+
+def test_flush_sort_unique_chain(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("b/x.txt",), ("a/y.txt",), ("b/z.txt",)], "url string"
+    )
+    out = str(tmp_path / "lst")
+    # filepath (dirname) -> unique -> sort: the aggregate_sort.toml chain
+    flush_file_list(df.coalesce(1), "url", out, transformer="filepath", chain=["unique", "sort"])
+    assert _read_text(out) == ["a", "b"]
+
+
+def test_concat_to_table_union_by_name(spark, tmp_path):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 9.5)], "id int, b double")
+    out = str(tmp_path / "tbl")
+    concat_to_table([a, b], out)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "a", "b"}
+    assert got.count() == 2
+
+
+def test_write_outputs_full_set(spark, docs_df, flagship_spec, tmp_path):
+    res = Pipeline(flagship_spec).apply(docs_df)
+    outdir = str(tmp_path / "out")
+    paths = write_outputs(res, outdir)
+    kept = spark.read.parquet(paths["kept"])
+    dropped = spark.read.parquet(paths["drop_log"])
+    assert kept.count() + dropped.count() == docs_df.count()
+    assert os.path.exists(paths["counters"])
+    assert os.path.isdir(paths["list_kept_urls"])
+    lineage = spark.read.parquet(paths["lineage"])
+    assert lineage.agg(F.sum("kept")).collect()[0][0] == kept.count()

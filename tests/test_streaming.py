@@ -1,0 +1,74 @@
+"""Structured Streaming parity tests: the same compiled pipeline over
+readStream must produce identical labels as the batch path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.engine import Pipeline
+from datacurator_jl_spark.streaming.stream import (
+    hourly_rollup_stream,
+    quality_filter_stream,
+    read_events_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, docs_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "docs")
+    docs_df.drop("category").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream_to_memory(sdf, name, mode="append"):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_quality_filter_stream_matches_batch(spark, docs_dir, flagship_spec):
+    sdf = quality_filter_stream(spark, docs_dir, flagship_spec)
+    _run_stream_to_memory(
+        sdf.select("url", "dc_kept", "dc_rule_id", "scrubbed_text"), "qstream"
+    )
+    got = {
+        r.url: (r.dc_kept, r.dc_rule_id, r.scrubbed_text)
+        for r in spark.sql("select * from qstream").collect()
+    }
+    batch = Pipeline(flagship_spec).apply(spark.read.parquet(docs_dir))
+    exp = {
+        r.url: (r.dc_kept, r.dc_rule_id, r.scrubbed_text)
+        for r in batch.df.select("url", "dc_kept", "dc_rule_id", "scrubbed_text").collect()
+    }
+    assert got == exp
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ev") / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = hourly_rollup_stream(read_events_stream(spark, path))
+    _run_stream_to_memory(sdf, "evstream", mode="complete")
+    got = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("select * from evstream").collect()
+    }
+    ev = spark.read.parquet(path)
+    exp_df = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    exp = {(r.hour, r.event_type): (r.n, r.total_value) for r in exp_df.collect()}
+    assert got == exp
