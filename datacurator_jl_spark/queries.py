@@ -684,6 +684,52 @@ def d12(spark, sf):
 
 
 @_q(
+    "q13_star_join",
+    """
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q13(spark, sf):
+    """Star join with explicit broadcast of the small dims (the reference
+    itself has NO joins — SURVEY.md §2.8 — but a complete engine needs
+    them; the dims are broadcast so the fact table never shuffles)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@_q(
+    "v04_json_props",
+    """
+    SELECT json_extract(props, '$.k')::BIGINT AS k_val, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def v04(spark, sf):
+    """JSON column extraction (semi-structured props field)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("bigint").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
     "v03_event_type_pivot",
     """
     SELECT user_id,
