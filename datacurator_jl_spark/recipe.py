@@ -206,8 +206,11 @@ def _decode_level(section: dict, name: str, spec: RecipeSpec) -> list[Rule]:
         raise RecipeError(f"[{name}]: counter_actions length mismatch")
     rules = []
     for i, (c, a) in enumerate(zip(conds, acts)):
+        if not isinstance(c, (str, list)):
+            raise RecipeError(f"[{name}] condition #{i} must be a string or array, got {c!r}")
         ca = cacts[i] if cacts is not None else None
-        cond_name = c if isinstance(c, str) else (c[0] if c else "?")
+        head = c if isinstance(c, str) else (c[0] if c else "?")
+        cond_name = head if isinstance(head, str) else "composite"
         rules.append(Rule(c, a, ca, rule_id=f"{name}:{i}:{cond_name}"))
     return rules
 

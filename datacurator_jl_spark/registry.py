@@ -207,6 +207,46 @@ _cond("col", 2, 3)(
 )
 
 
+# -- foreign-function bridge ---------------------------------------------------
+# The reference resolves `python.mod.fn` recipe symbols into callables
+# (lookup/decode_python, src/DataCurator.jl:3537-3564, 3509-3524). Here a
+# user predicate is imported eagerly at compile time (fail-before-data)
+# and wrapped as an Arrow-batched pandas UDF over the text column:
+# the function receives a pandas.Series of texts and returns a boolean
+# Series — vectorized by contract, never per-row.
+
+
+def _import_user_fn(path: str):
+    import importlib
+
+    mod_name, _, fn_name = path.rpartition(".")
+    if not mod_name:
+        raise RecipeError(f"python condition needs 'module.fn', got {path!r}")
+    try:
+        mod = importlib.import_module(mod_name)
+        return getattr(mod, fn_name)
+    except (ImportError, AttributeError) as e:
+        raise RecipeError(f"cannot resolve python condition {path!r}: {e}") from e
+
+
+def _python_cond(ctx: "RuleContext", path: str, *args) -> Column:
+    fn = _import_user_fn(path)
+
+    def batch(texts):
+        import pandas as pd
+
+        out = fn(texts, *args)
+        return out.astype("boolean") if hasattr(out, "astype") else pd.Series(out)
+
+    from pyspark.sql import types as T
+
+    udf = F.pandas_udf(batch, returnType=T.BooleanType())
+    return udf(ctx.text)
+
+
+_cond("python", 1, 6)(_python_cond)
+
+
 # ---------------------------------------------------------------------------
 # Actions
 # ---------------------------------------------------------------------------
@@ -468,6 +508,12 @@ def _validate_condition(expr: Any, spec: RecipeSpec) -> None:
             if len(expr) > 1:
                 raise RecipeError(f"common condition {head!r} takes no args")
             return _validate_condition(spec.common_conditions[head], spec)
+        if head == "python":
+            # eager import: a bad module/function fails at compile time
+            if len(expr) < 2 or not isinstance(expr[1], str):
+                raise RecipeError("python condition needs ['python', 'module.fn', ...]")
+            _import_user_fn(expr[1])
+            return
         if head not in CONDITIONS:
             raise RecipeError(f"unknown condition {head!r}")
         lo, hi, _ = CONDITIONS[head]

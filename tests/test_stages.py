@@ -44,3 +44,41 @@ def test_fake_models_deterministic(spark, docs_df):
     a = {r.url: r.ppl for r in planner.apply(df).collect()}
     b = {r.url: r.ppl for r in planner.apply(df).collect()}
     assert a == b
+
+
+def test_python_bridge_condition(spark, docs_df, tmp_path):
+    """Reference lookup/decode_python parity: ['python', 'mod.fn', args]
+    resolves eagerly and runs as an Arrow-batched predicate."""
+    import sys
+
+    mod = tmp_path / "user_preds.py"
+    mod.write_text(
+        "def has_marker(texts, marker='XYZ'):\n"
+        "    return texts.fillna('').str.contains(marker, regex=False)\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    # ship the user module to python workers (prod: spark-submit --py-files)
+    spark.sparkContext.addPyFile(str(mod))
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+    import pytest as _pytest
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [["python", "user_preds.has_marker", "fox"]],
+                "actions": ["keep"],
+                "counter_actions": ["drop"],
+            },
+        }
+    )
+    res = Pipeline(spec).apply(docs_df.select("url", "text").limit(100))
+    kept = res.df.filter("dc_kept").count()
+    exp = docs_df.limit(100).filter(F.col("text").contains("fox")).count()
+    assert kept == exp
+
+    with _pytest.raises(RecipeError, match="cannot resolve python condition"):
+        parse_recipe(
+            {"any": {"conditions": [["python", "no.such_fn"]], "actions": ["keep"]}}
+        )
