@@ -751,6 +751,35 @@ def v03(spark, sf):
     )
 
 
+@_q(
+    "d13_perplexity_proxy",
+    """
+    WITH f AS (
+      SELECT doc_id,
+        {SW}::DOUBLE / len(regexp_extract_all(trim(text), '\\S+')) AS sw,
+        length(translate(text, E' \\t\\n\\x0b\\x0c\\r', ''))::DOUBLE
+          / len(regexp_extract_all(trim(text), '\\S+')) AS mwl,
+        len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
+          / len(regexp_extract_all(trim(text), '\\S+')) AS rep,
+        length(translate(text,
+          'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789'
+          || E' \\t\\n\\x0b\\x0c\\r' || '.,;:''"!?()-', ''))::DOUBLE
+          / length(text) AS sym
+      FROM documents
+    )
+    SELECT doc_id,
+      round(abs(mwl - 4.5) / 4.5 + (1.0 - rep) + 4.0 * sym
+            + greatest(0.0, 0.25 - sw) * 8.0, 6) AS ppl
+    FROM f
+    """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS)),
+)
+def d13(spark, sf):
+    """Deterministic perplexity proxy (KenLM stand-in), fully native."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(X.perplexity_proxy(F.col("text")), 6).alias("ppl")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------

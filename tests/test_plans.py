@@ -1,0 +1,51 @@
+"""Plan-shape regression tests: the physical plans the engine is DESIGNED
+to produce (SURVEY.md §4). These fail if a future change silently
+introduces a shuffle into the rule pass, un-prunes a scan, or drops a
+broadcast."""
+
+from __future__ import annotations
+
+from datacurator_jl_spark.engine import Pipeline
+from datacurator_jl_spark.queries import QUERIES
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pipeline_is_shuffle_free(docs_df, flagship_spec):
+    plan = _phys(Pipeline(flagship_spec).apply(docs_df).df)
+    assert "Exchange" not in plan  # pure narrow projection
+    assert "ArrowEvalPython" in plan  # the vectorized stats stage
+
+
+def test_flagship_projections_are_codegen(docs_df, flagship_spec):
+    plan = _phys(Pipeline(flagship_spec).apply(docs_df).df)
+    # '*(n)' prefixes mark whole-stage-codegen'd operators; the decision
+    # projection (the hot path) must be compiled, not interpreted
+    assert "*(1) Project" in plan
+
+
+def test_projection_prunes_scan(spark):
+    plan = _phys(QUERIES["q05_extract_columns"](spark, "/root/testdata/sf0.001"))
+    read = plan[plan.index("ReadSchema"):][:200]
+    assert "p_partkey" in read and "p_name" not in read
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _phys(QUERIES["q02_between_strict"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,10.0)" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _phys(QUERIES["q13_star_join"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_lineage_is_single_aggregate(docs_df, flagship_spec):
+    plan = _phys(Pipeline(flagship_spec).apply(docs_df).lineage())
+    # one partial + one final hash aggregate around a single exchange
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
