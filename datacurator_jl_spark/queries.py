@@ -784,6 +784,38 @@ def d13(spark, sf):
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
 
+_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+"""
+
+
+@_q("e03_embedding_near_dup", _NEARDUP_SQL)
+def e03(spark, sf):
+    """Embedding-cosine near-duplicate pairs, blocked by the cluster
+    label (the IVF idea applied to dedup: only intra-cluster pairs are
+    candidates, so pair count is O(sum cluster²) not O(n²))."""
+    from datacurator_jl_spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
 _COS_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

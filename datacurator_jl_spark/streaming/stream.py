@@ -14,7 +14,7 @@ the file source against the batch result).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datacurator_jl_spark.engine import Pipeline
@@ -51,6 +51,78 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             "n",
             "total_value",
         )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with native session windows (dynamic-gap
+    state managed by Spark; the batch twin is queries.v02)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    docs: DataFrame, key_col: str = "url", watermark_col: str = "warc_ts"
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each key —
+    Structured Streaming's stateful dropDuplicates (state bounded by the
+    watermark horizon). The custom-stateful-operator tier
+    (applyInPandasWithState) is only needed when the built-in state
+    shapes don't fit; first-wins dedup fits exactly."""
+    return docs.withWatermark(watermark_col, "1 hour").dropDuplicates([key_col])
+
+
+def domain_quota_stream(
+    docs: DataFrame,
+    quota: int,
+    key_col: str = "url",
+    domain_expr: Column | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: keep at most
+    ``quota`` documents per domain ACROSS the whole stream (per-domain
+    caps are a standard training-data diversity control that no built-in
+    streaming state shape expresses — the applyInPandasWithState tier).
+
+    State per domain = running count taken; Arrow-batched, one state row
+    per group. Output: (domain, url) of admitted documents.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from datacurator_jl_spark.operators.skew import domain_of
+
+    dom = domain_expr if domain_expr is not None else domain_of(F.col(key_col))
+    tagged = docs.withColumn("_domain", dom).select("_domain", F.col(key_col).alias("_key"))
+
+    def take_quota(key, pdfs, state):
+        import pandas as pd
+
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            room = quota - taken
+            if room <= 0:
+                continue
+            out = pdf.iloc[:room]
+            taken += len(out)
+            if len(out):
+                yield pd.DataFrame(
+                    {"domain": out["_domain"].values, "url": out["_key"].values}
+                )
+        state.update((taken,))
+
+    return tagged.groupBy("_domain").applyInPandasWithState(
+        take_quota,
+        outputStructType="domain string, url string",
+        stateStructType="taken int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -72,3 +72,49 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path_factory):
     )
     exp = {(r.hour, r.event_type): (r.n, r.total_value) for r in exp_df.collect()}
     assert got == exp
+
+
+def test_session_window_stream_runs(spark, tmp_path_factory):
+    from datacurator_jl_spark.streaming.stream import session_window_stream
+
+    path = str(tmp_path_factory.mktemp("ev2") / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = session_window_stream(read_events_stream(spark, path))
+    _run_stream_to_memory(sdf, "sessstream", mode="append")
+    rows = spark.sql("select * from sessstream").collect()
+    assert rows and all(r.n_events >= 1 for r in rows)
+
+
+def test_streaming_dedup_first_wins(spark, tmp_path_factory):
+    from datacurator_jl_spark.streaming.stream import streaming_dedup
+
+    path = str(tmp_path_factory.mktemp("dup") / "docs")
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "a"), ("u1", "2024-01-01 00:05:00", "b"),
+         ("u2", "2024-01-01 00:01:00", "c")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("url string, warc_ts timestamp, text string").parquet(path)
+    _run_stream_to_memory(streaming_dedup(stream), "dedupstream")
+    urls = [r.url for r in spark.sql("select url from dedupstream").collect()]
+    assert sorted(urls) == ["u1", "u2"]
+
+
+def test_domain_quota_stateful_operator(spark, docs_dir):
+    from datacurator_jl_spark.streaming.stream import domain_quota_stream
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(docs_dir)
+    _run_stream_to_memory(domain_quota_stream(stream, quota=5), "quotastream")
+    import collections
+
+    counts = collections.Counter(
+        r.domain for r in spark.sql("select domain from quotastream").collect()
+    )
+    assert counts and all(v <= 5 for v in counts.values())
+    # the Zipf-head mega-domains must be capped exactly at the quota
+    assert counts["bigsite.com"] == 5
