@@ -312,8 +312,8 @@ class Pipeline:
             html_col=self.spec.html_col if (self.spec.html_col in df.columns) else None,
             available_cols=df.columns,
             spec=self.spec,
-            words_col=WORDS_COL if self.spec.text_col in df.columns else None,
-            stats_col=STATS_COL if self.spec.text_col in df.columns else None,
+            words_col=WORDS_COL if WORDS_COL in df.columns else None,
+            stats_col=STATS_COL if STATS_COL in df.columns else None,
         )
 
     def apply(self, df: DataFrame) -> CurationResult:
@@ -331,20 +331,22 @@ class Pipeline:
         input_cols = list(df.columns)
         if spec.text_col in df.columns:
             tcol = F.col(spec.text_col)
-            # LOWERCASED words (split commutes with lower): lets the
-            # word-based conditions stay lambda-free (codegen-eligible)
-            df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
             if self.arrow_stats:
                 # Arrow path: the native HOF fold is interpreted
                 # (CodegenFallback) and anti-scales on a shared heap;
-                # the pandas/Arrow twin runs in per-core worker
-                # processes (see functions/arrow_stats.py)
+                # the pandas/Arrow twin runs in per-core worker processes
+                # (functions/arrow_stats.py) and carries ALL word-derived
+                # stats (nw/nd/set counts), so the JVM never splits the
+                # text at all — no words array is materialized.
                 from datacurator_jl_spark.functions.arrow_stats import (
                     token_stats_arrow,
                 )
 
                 df = df.withColumn(STATS_COL, token_stats_arrow(tcol))
             else:
+                # JVM path: LOWERCASED words (split commutes with lower)
+                # shared by the stats fold and any array-needing rule
+                df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
                 df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
         ctx = self._ctx(df)
         compiled_levels: dict[int, list[_CompiledRule]] = {

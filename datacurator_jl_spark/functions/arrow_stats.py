@@ -23,10 +23,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datacurator_jl_spark.functions.text import LANG_MARKERS, PUNCT_STRIP, STAT_SETS
+from datacurator_jl_spark.functions.text import (
+    LANG_MARKERS,
+    PUNCT_STRIP,
+    STAT_SETS,
+    STATS_FIELDS,
+)
 
 _STATS_TYPE = T.StructType(
-    [T.StructField(name, T.IntegerType()) for name in STAT_SETS]
+    [T.StructField(name, T.IntegerType()) for name in STATS_FIELDS]
 )
 
 _SETS = {name: frozenset(ws) for name, ws in STAT_SETS.items()}
@@ -37,10 +42,14 @@ _TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 def _token_stats_batch(texts: pd.Series) -> pd.DataFrame:
     toks = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
-    ex = toks.explode().dropna().str.translate(_TBL)
-    out = pd.DataFrame(index=texts.index, columns=list(_SETS), data=0)
+    ex = toks.explode().dropna()
+    out = pd.DataFrame(index=texts.index, columns=list(STATS_FIELDS), data=0)
+    out["nw"] = toks.map(len)
+    nd = ex.groupby(level=0).nunique()
+    out["nd"] = nd.reindex(texts.index, fill_value=0)
+    norm = ex.str.translate(_TBL)
     for name, s in _SETS.items():
-        hits = ex[ex.isin(s)].groupby(level=0).size()
+        hits = norm[norm.isin(s)].groupby(level=0).size()
         out[name] = hits.reindex(texts.index, fill_value=0)
     return out.astype("int32")
 

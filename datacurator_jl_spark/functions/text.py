@@ -65,7 +65,11 @@ def words(text: Column) -> Column:
     )
 
 
-def n_words(text: Column, w: Column | None = None) -> Column:
+def n_words(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
+    if stats is not None:
+        return stats.getField("nw")
     return F.size(words(text) if w is None else w)
 
 
@@ -73,7 +77,9 @@ def n_lines(text: Column) -> Column:
     return F.size(F.split(text, r"\n"))
 
 
-def mean_word_length(text: Column, w: Column | None = None) -> Column:
+def mean_word_length(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """Average token length; null for empty docs.
 
     Computed as (non-whitespace chars) / (word count) — mathematically
@@ -81,12 +87,14 @@ def mean_word_length(text: Column, w: Column | None = None) -> Column:
     the whitespace), but avoids a higher-order aggregate: HOF expressions
     are CodegenFallback and knock the whole projection out of whole-stage
     codegen."""
-    nw = n_words(text, w)
+    nw = n_words(text, w, stats)
     total = F.length(F.translate(text, _WS, ""))
     return F.when(nw > 0, total.cast("double") / nw)
 
 
-def distinct_word_ratio(text: Column, w: Column | None = None) -> Column:
+def distinct_word_ratio(
+    text: Column, w: Column | None = None, stats: Column | None = None
+) -> Column:
     """|distinct lowercase words| / |words|; 1.0 for empty docs.
 
     Low values = repeated-word spam (Gopher repetition rule).
@@ -94,6 +102,11 @@ def distinct_word_ratio(text: Column, w: Column | None = None) -> Column:
     ``w``, when given, must be the LOWERCASED words array (the engine
     pre-projects words over lower(text)); this keeps the expression free
     of per-element lambdas so the projection stays codegen-eligible."""
+    if stats is not None:
+        nw = stats.getField("nw")
+        return F.when(
+            nw > 0, stats.getField("nd").cast("double") / nw
+        ).otherwise(F.lit(1.0))
     w = words(F.lower(text)) if w is None else w
     nw = F.size(w)
     return F.when(nw > 0, F.size(F.array_distinct(w)).cast("double") / nw).otherwise(
@@ -184,13 +197,21 @@ def norm_tokens(text: Column, w: Column | None = None) -> Column:
     return F.transform(w, lambda x: F.translate(F.lower(x), PUNCT_STRIP, ""))
 
 
-def token_stats(text: Column, w: Column | None = None) -> Column:
-    """struct(sw, en, de, fr, es, it): membership counts over normalized
-    tokens, one fold. Engine pre-projects this as a shared column.
+STATS_FIELDS = ("nw", "nd", *STAT_SETS)  # word count, distinct words, set counts
 
+
+def token_stats(text: Column, w: Column | None = None) -> Column:
+    """struct(nw, nd, sw, en, de, fr, es, it): word count, distinct
+    lowercase word count, and set-membership counts over normalized
+    tokens. Engine pre-projects this (or its Arrow twin) as ONE shared
+    column so every word-derived rule reads struct fields.
+
+    ``w``, when given, must be the LOWERCASED words array.
     Null text yields the ZERO struct (not null) — pinned to match the
     Arrow twin (functions/arrow_stats.py)."""
-    nt = F.coalesce(norm_tokens(text, w), F.array().cast("array<string>"))
+    w = words(F.lower(text)) if w is None else w
+    w = F.coalesce(w, F.array().cast("array<string>"))
+    nt = F.transform(w, lambda x: F.translate(x, PUNCT_STRIP, ""))
     zero = F.struct(*[F.lit(0).alias(c) for c in STAT_SETS])
 
     def step(acc: Column, x: Column) -> Column:
@@ -201,7 +222,12 @@ def token_stats(text: Column, w: Column | None = None) -> Column:
             ]
         )
 
-    return F.aggregate(nt, zero, step)
+    sets = F.aggregate(nt, zero, step)
+    return F.struct(
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        *[sets.getField(c).alias(c) for c in STAT_SETS],
+    )
 
 
 def stopword_hits(text: Column, stats: Column | None = None) -> Column:
@@ -214,7 +240,7 @@ def stopword_ratio(
 ) -> Column:
     """English stop-word tokens / word count; 0.0 for empty docs."""
     hits = stopword_hits(text, stats)
-    nw = n_words(text, w)
+    nw = n_words(text, w, stats)
     return F.when(nw > 0, hits.cast("double") / nw).otherwise(F.lit(0.0))
 
 
@@ -334,8 +360,8 @@ def perplexity_proxy(
     shape and repetition into one score in [0, ~10]. Deterministic.
     """
     sw = stopword_ratio(text, w, stats)
-    mwl = F.coalesce(mean_word_length(text, w), F.lit(0.0))
-    rep = distinct_word_ratio(text, w)
+    mwl = F.coalesce(mean_word_length(text, w, stats), F.lit(0.0))
+    rep = distinct_word_ratio(text, w, stats)
     sym = symbol_ratio(text)
     # natural English: sw ~0.3-0.6, mwl ~4-6, rep high, sym ~0
     return (
@@ -368,7 +394,7 @@ def quality_score(
     blend of the heuristics — a native stand-in for a learned quality model.
     """
     sw = F.least(stopword_ratio(text, w, stats) * F.lit(2.5), F.lit(1.0))
-    rep = distinct_word_ratio(text, w)
+    rep = distinct_word_ratio(text, w, stats)
     sym = F.lit(1.0) - F.least(symbol_ratio(text) * F.lit(5.0), F.lit(1.0))
     alpha = alpha_ratio(text)
     return (sw * F.lit(0.35) + rep * F.lit(0.25) + sym * F.lit(0.2) + alpha * F.lit(0.2))

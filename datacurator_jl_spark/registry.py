@@ -144,15 +144,19 @@ _cond("has_text", 0, 0)(
 )
 _cond("min_length", 1, 1)(lambda ctx, n: F.length(ctx.text) >= int(n))
 _cond("max_length", 1, 1)(lambda ctx, n: F.length(ctx.text) <= int(n))
-_cond("min_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text, ctx.warr) >= int(n))
-_cond("max_words", 1, 1)(lambda ctx, n: X.n_words(ctx.text, ctx.warr) <= int(n))
+_cond("min_words", 1, 1)(
+    lambda ctx, n: X.n_words(ctx.text, ctx.warr, ctx.stats) >= int(n)
+)
+_cond("max_words", 1, 1)(
+    lambda ctx, n: X.n_words(ctx.text, ctx.warr, ctx.stats) <= int(n)
+)
 _cond("word_count_between", 1, 1)(
-    lambda ctx, lohi: (X.n_words(ctx.text, ctx.warr) > int(lohi[0]))
-    & (X.n_words(ctx.text, ctx.warr) < int(lohi[1]))
+    lambda ctx, lohi: (X.n_words(ctx.text, ctx.warr, ctx.stats) > int(lohi[0]))
+    & (X.n_words(ctx.text, ctx.warr, ctx.stats) < int(lohi[1]))
 )
 _cond("mean_word_length_between", 1, 1)(
-    lambda ctx, lohi: (X.mean_word_length(ctx.text, ctx.warr) > float(lohi[0]))
-    & (X.mean_word_length(ctx.text, ctx.warr) < float(lohi[1]))
+    lambda ctx, lohi: (X.mean_word_length(ctx.text, ctx.warr, ctx.stats) > float(lohi[0]))
+    & (X.mean_word_length(ctx.text, ctx.warr, ctx.stats) < float(lohi[1]))
 )
 _cond("max_word_length_below", 1, 1)(
     lambda ctx, n: X.max_word_length(ctx.text, ctx.warr) < int(n)
@@ -170,7 +174,8 @@ _cond("min_stopword_hits", 1, 1)(
     lambda ctx, n: X.stopword_hits(ctx.text, ctx.stats) >= int(n)
 )
 _cond("word_repetition_below", 1, 1)(
-    lambda ctx, r: X.distinct_word_ratio(ctx.text, ctx.warr) > F.lit(1.0) - float(r)
+    lambda ctx, r: X.distinct_word_ratio(ctx.text, ctx.warr, ctx.stats)
+    > F.lit(1.0) - float(r)
 )
 _cond("line_repetition_below", 1, 1)(
     lambda ctx, r: X.distinct_line_ratio(ctx.text) > F.lit(1.0) - float(r)
