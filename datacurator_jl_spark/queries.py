@@ -209,22 +209,36 @@ def q07(spark, sf):
              stddev_samp(l_extendedprice) AS sd,
              quantile_cont(l_extendedprice, 0.25) AS q1,
              quantile_cont(l_extendedprice, 0.5)  AS md,
-             quantile_cont(l_extendedprice, 0.75) AS q3
+             quantile_cont(l_extendedprice, 0.75) AS q3,
+             avg(pow(l_extendedprice, 2)) AS m2r,
+             avg(pow(l_extendedprice, 3)) AS m3r,
+             avg(pow(l_extendedprice, 4)) AS m4r
       FROM lineitem
     )
     SELECT round(mn, 4) AS minimum, round(q1, 4) AS q1, round(mu, 4) AS mean,
            round(md, 4) AS median, round(q3, 4) AS q3, round(mx, 4) AS maximum,
-           round(sd, 4) AS std
+           round(sd, 4) AS std,
+           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*pow(mu,4))
+                 / pow(m2r - mu*mu, 2) - 3.0, 4) AS kurtosis
     FROM s
     """,
 )
 def q08(spark, sf):
-    """describe_image-style moment stats (reference src/DataCurator.jl:902-916:
-    min, Q1, mean, median, Q3, max, std) on a numeric column. percentile()
-    is exact with linear interpolation in both engines."""
+    """describe_image-style 8-moment stats (reference
+    src/DataCurator.jl:902-916: min, Q1, mean, median, Q3, max, std,
+    kurtosis). percentile() is exact with linear interpolation in both
+    engines; kurtosis (population excess) is computed from raw moments
+    with the SAME expansion on both sides so the values agree to 4dp
+    (library kurtosis functions use different bias corrections across
+    engines)."""
     li = _t(spark, sf, "lineitem")
     c = F.col("l_extendedprice")
     q = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    mu = F.avg(c)
+    m2r, m3r, m4r = (F.avg(F.pow(c, k)) for k in (2, 3, 4))
+    kurt = (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * F.pow(mu, 4)) / F.pow(
+        m2r - mu * mu, 2
+    ) - 3.0
     return li.agg(
         F.round(F.min(c), 4).alias("minimum"),
         F.round(q.getItem(0), 4).alias("q1"),
@@ -233,6 +247,7 @@ def q08(spark, sf):
         F.round(q.getItem(2), 4).alias("q3"),
         F.round(F.max(c), 4).alias("maximum"),
         F.round(F.stddev_samp(c), 4).alias("std"),
+        F.round(kurt, 4).alias("kurtosis"),
     )
 
 

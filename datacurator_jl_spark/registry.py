@@ -204,6 +204,27 @@ _cond("quality_above", 1, 1)(
 _cond("contains_pii", 0, 0)(lambda ctx: S.contains_pii(ctx.text))
 _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
 
+
+# -- binary-payload probes (reference is_img/is_png content sniffing,
+#    src/DataCurator.jl:3230-3242 — cheap magic-byte checks, ordered
+#    ahead of any decode stage) -------------------------------------------------
+def _payload(ctx: "RuleContext") -> Column:
+    if not ctx.html_col:
+        raise RecipeError("payload conditions need an html/binary column")
+    return F.col(ctx.html_col)
+
+
+def _payload_type_is(ctx: "RuleContext", kind: str) -> Column:
+    from datacurator_jl_spark.multimodal.binary import sniff_content_type
+
+    return sniff_content_type(_payload(ctx)) == kind
+
+
+_cond("payload_type_is", 1, 1)(_payload_type_is)
+_cond("payload_nonempty", 0, 0)(
+    lambda ctx: _payload(ctx).isNotNull() & (F.length(_payload(ctx)) > 0)
+)
+
 # -- generic column comparisons (buildcomp surface on arbitrary columns) -----
 from datacurator_jl_spark.operators.buildcomp import buildcomp  # noqa: E402
 

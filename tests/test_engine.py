@@ -197,3 +197,24 @@ def test_name_transform_writes_out_col(spark):
     )
     row = Pipeline(spec).apply(df).df.collect()[0]
     assert row["url_out"] == "dir/file_name.txt"
+
+
+def test_payload_sniffing_conditions(spark, docs_df):
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [["payload_type_is", "html"]],
+                "actions": ["keep"],
+                "counter_actions": ["drop"],
+            },
+        }
+    )
+    res = Pipeline(spec).apply(docs_df)
+    kept = res.df.filter("dc_kept")
+    # generator writes <html>… payloads except empty/truncated/non-UTF8 slots
+    assert 0 < kept.count() < docs_df.count()
+    not_html = kept.filter(F.substring("html", 1, 4) != F.lit(b"<htm")).count()
+    assert not_html == 0
