@@ -106,6 +106,41 @@ def decode_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "html",
+    target: tuple[int, int] = (224, 224),
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize stage. Appends ``resized`` (binary) +
+    ``resized_w``/``resized_h``. ``fake=True`` emits a deterministic
+    truncated-bytes stand-in exercising the real batch plumbing;
+    ``fake=False`` is the Pillow plug-point."""
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", resized binary, resized_w int, resized_h int"
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                pdf = pdf.copy()
+                # deterministic: resized payload = first w*h/64 bytes
+                budget = max(tw * th // 64, 1)
+                pdf["resized"] = pdf[payload_col].map(
+                    lambda b: (b or b"")[:budget]
+                )
+                pdf["resized_w"] = tw
+                pdf["resized_h"] = th
+                yield pdf
+            else:  # pragma: no cover - real decoder not in this container
+                raise NotImplementedError(
+                    "real resize requires Pillow: Image.open(...).resize(target)"
+                )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, payload_col: str, every_n: int, id_col: str
 ) -> DataFrame:

@@ -51,3 +51,12 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"x" * 250)], "vid int, payload binary")
     frames = frame_sample_plan(df, "payload", every_n=1, id_col="vid").collect()
     assert [r.frame_idx for r in frames] == [0, 1, 2]  # 250 bytes -> 3 fake frames
+
+
+def test_resize_images_fake_plumbing(spark, docs_df):
+    from datacurator_jl_spark.multimodal.binary import resize_images
+
+    out = resize_images(docs_df.select("url", "html").limit(10), target=(224, 224))
+    rows = out.collect()
+    assert all(r.resized_w == 224 and r.resized_h == 224 for r in rows)
+    assert all(len(r.resized or b"") <= 224 * 224 // 64 for r in rows)
