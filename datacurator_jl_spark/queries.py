@@ -699,6 +699,26 @@ def d12(spark, sf):
 
 
 @_q(
+    "q14_skew_safe_counts",
+    """
+    SELECT source, count(*)::BIGINT AS n, max(n_chars)::BIGINT AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q14(spark, sf):
+    """Skew-safe two-phase aggregation (salted partials then merge) —
+    value-identical to a plain groupBy, but no single task ever owns a
+    mega-key (operators/skew.py; the north rule's explicit skew
+    handling)."""
+    from datacurator_jl_spark.operators.skew import two_phase_agg
+
+    d = _t(spark, sf, "documents")
+    return two_phase_agg(
+        d, "source", {"n": ("count", "doc_id"), "max_chars": ("max", "n_chars")}, salt=8
+    )
+
+
+@_q(
     "q13_star_join",
     """
     SELECT r.r_name AS region, count(*) AS n_customers,

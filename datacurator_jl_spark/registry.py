@@ -385,6 +385,24 @@ def compile_action(expr: Any, ctx: RuleContext) -> list[ActionSpec]:
     if isinstance(expr, str):
         if spec and expr in spec.common_actions:
             return compile_action(spec.common_actions[expr], ctx)
+        if expr == "extract_text_from_html":
+            # Backfill the text column from the raw html payload when
+            # text is missing/empty (native extraction,
+            # multimodal.extract_html_text) — the content-loading step
+            # of the reference made columnar.
+            if not ctx.html_col:
+                raise RecipeError("extract_text_from_html needs an html column")
+            from datacurator_jl_spark.multimodal.binary import extract_html_text
+
+            html = F.col(ctx.html_col)
+
+            def backfill(col: Column) -> Column:
+                return F.when(
+                    col.isNull() | (F.length(F.trim(col)) == 0),
+                    extract_html_text(html),
+                ).otherwise(col)
+
+            return [ActionSpec("transform", transform=backfill, target_col=ctx.text_col)]
         if expr in _SIMPLE_ACTIONS:
             acts = _SIMPLE_ACTIONS[expr]()
             for a in acts:
@@ -570,6 +588,8 @@ def _validate_action(expr: Any, spec: RecipeSpec) -> None:
     if isinstance(expr, str):
         if expr in spec.common_actions:
             return _validate_action(spec.common_actions[expr], spec)
+        if expr == "extract_text_from_html":
+            return
         if expr in _SIMPLE_ACTIONS or expr in TEXT_TRANSFORMS:
             if expr in TEXT_TRANSFORMS and TEXT_TRANSFORMS[expr][0] > 0:
                 raise RecipeError(f"transform {expr!r} requires arguments")

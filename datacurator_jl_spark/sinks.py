@@ -84,6 +84,31 @@ def concat_to_table(frames: list[DataFrame], out_path: str) -> None:
     merged.write.mode("overwrite").parquet(out_path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    out_path: str,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+    host_buckets: int = 16,
+) -> None:
+    """Write with the production partition spec: day(warc_ts) ×
+    hash-bucket(url host) — the Iceberg `days(warc_ts), bucket(N, host)`
+    spec expressed as parquet partition columns. Readers filtering on a
+    day or a host bucket get partition PRUNING (no data read outside the
+    matching directories), and the host bucketing bounds per-partition
+    skew from mega-domains.
+    """
+    from datacurator_jl_spark.operators.skew import domain_of
+
+    out = (
+        df.withColumn("dc_day", F.to_date(F.col(ts_col)))
+        .withColumn(
+            "dc_host_bucket", F.pmod(F.hash(domain_of(F.col(url_col))), F.lit(host_buckets))
+        )
+    )
+    out.write.mode("overwrite").partitionBy("dc_day", "dc_host_bucket").parquet(out_path)
+
+
 def write_outputs(result, output_dir: str) -> dict[str, str]:
     """Write the standard output set for a CurationResult: kept docs,
     drop log, lineage, counters.csv, one sink per file list (honoring the

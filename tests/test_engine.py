@@ -218,3 +218,25 @@ def test_payload_sniffing_conditions(spark, docs_df):
     assert 0 < kept.count() < docs_df.count()
     not_html = kept.filter(F.substring("html", 1, 4) != F.lit(b"<htm")).count()
     assert not_html == 0
+
+
+def test_extract_text_from_html_backfill(spark):
+    rows = [
+        ("u1", b"<html><body><p>Hello &amp; world</p></body></html>", None),
+        ("u2", b"<html><body>ignored</body></html>", "already have text"),
+        ("u3", None, ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": ["always"],
+                "actions": [["all_actions", "extract_text_from_html", "keep"]],
+            },
+        }
+    )
+    got = {r.url: r.scrubbed_text for r in Pipeline(spec).apply(df).df.collect()}
+    assert got["u1"] == "Hello & world"
+    assert got["u2"] == "already have text"
+    assert got["u3"] is None  # nothing to extract from

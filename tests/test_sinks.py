@@ -51,3 +51,19 @@ def test_write_outputs_full_set(spark, docs_df, flagship_spec, tmp_path):
     assert os.path.isdir(paths["list_kept_urls"])
     lineage = spark.read.parquet(paths["lineage"])
     assert lineage.agg(F.sum("kept")).collect()[0][0] == kept.count()
+
+
+def test_write_partitioned_prunes(spark, docs_df, tmp_path):
+    from datacurator_jl_spark.sinks import write_partitioned
+
+    out = str(tmp_path / "part")
+    write_partitioned(docs_df.select("url", "warc_ts", "text"), out, host_buckets=4)
+    back = spark.read.parquet(out)
+    assert {"dc_day", "dc_host_bucket"} <= set(back.columns)
+    one_day = back.select("dc_day").distinct().limit(1).collect()[0][0]
+    q = back.filter(F.col("dc_day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition PRUNING: the day filter lands in PartitionFilters, and the
+    # scan reads only that day's directories
+    assert "PartitionFilters: [" in plan and "dc_day" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == back.filter(F.col("dc_day") == one_day).count()
