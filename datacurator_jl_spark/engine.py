@@ -209,7 +209,12 @@ def _fold_effects(
                     if e.name not in cnt:
                         cnt[e.name] = F.lit(0).cast("long")
                     inc = compile_metric(spec.counters.get(e.name), ctx)
-                    cnt[e.name] = cnt[e.name] + F.when(g, inc).otherwise(F.lit(0))
+                    # coalesce: a null increment (e.g. n_chars on null text
+                    # when the gate fires) must count 0, not null the whole
+                    # per-row counter sum
+                    cnt[e.name] = cnt[e.name] + F.when(
+                        g, F.coalesce(inc, F.lit(0).cast("long"))
+                    ).otherwise(F.lit(0))
                 else:
                     if e.name not in lst:
                         lst[e.name] = F.lit(False)

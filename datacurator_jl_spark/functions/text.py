@@ -58,11 +58,22 @@ def n_chars(text: Column) -> Column:
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization; empty text -> empty array (not [''])."""
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    r"""Whitespace tokenization: EXACTLY the ``\S+`` match list.
+
+    Pinned across all four implementations (this JVM expr, the Arrow twin's
+    ``re.findall(r"\S+")``, the Python oracle, DuckDB
+    ``regexp_extract_all(text, '\S+')``). NB ``F.trim`` strips only the
+    space character — it is NOT whitespace-trim and must never be used for
+    token/has-text semantics (round-1 fuzz divergence on "\n").
+
+    Implementation: Java ``split('\s+')`` never yields interior or
+    trailing empty tokens (runs are consumed; trailing empties stripped),
+    only a single leading ``""`` when the text starts with whitespace —
+    so ``array_remove(.., '')`` yields the exact ``\S+`` list in one
+    codegen'd pass, with no CASE branch (CASE would defeat subexpression
+    elimination) and no higher-order function.
+    """
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def n_words(
@@ -253,10 +264,11 @@ def max_word_length(text: Column, w: Column | None = None) -> Column:
 
 
 def ellipsis_line_ratio(text: Column) -> Column:
-    """Fraction of lines ending in '...' (C4 rule)."""
+    """Fraction of lines ending in '...' (C4 rule; whitespace-robust:
+    trailing tabs/spaces after the ellipsis are ignored)."""
     lines = F.split(text, r"\n")
     nl = F.size(lines)
-    cnt = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    cnt = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.[ \t\x0b\f\r]*$")))
     return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
 
 
@@ -265,17 +277,17 @@ def bullet_line_ratio(text: Column) -> Column:
     lines = F.split(text, r"\n")
     nl = F.size(lines)
     cnt = F.size(
-        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([-*•●▪])"))
+        F.filter(lines, lambda l: l.rlike(r"^[ \t\x0b\f\r]*[-*•●▪]"))
     )
     return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
 
 
 def terminal_punct_line_ratio(text: Column) -> Column:
-    """Fraction of non-empty lines ending in terminal punctuation."""
-    lines = F.filter(F.split(text, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    """Fraction of non-blank lines ending in terminal punctuation
+    (ignoring trailing intra-line whitespace). Blank = no non-space char."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: l.rlike(r"\S"))
     nl = F.size(lines)
-    pat = r"[.!?\"']$"
-    cnt = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(pat)))
+    cnt = F.size(F.filter(lines, lambda l: l.rlike(r"[.!?\"'][ \t\x0b\f\r]*$")))
     return F.when(nl > 0, cnt.cast("double") / nl).otherwise(F.lit(0.0))
 
 
@@ -382,8 +394,11 @@ def token_count(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Normalized document fingerprint: md5 over whitespace-collapsed,
-    lowercased text. Stable across engines (md5 is md5 everywhere)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    whitespace-trimmed, lowercased text. Stable across engines (md5 is md5
+    everywhere). Collapse-THEN-trim: after ``\\s+ -> ' '`` any edge
+    whitespace is a plain space, so the space-only ``trim`` is then a true
+    whitespace trim."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
 
 

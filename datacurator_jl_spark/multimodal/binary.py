@@ -56,7 +56,9 @@ def extract_html_text(html: Column) -> Column:
     txt = html.cast("string")  # UTF-8 decode, lossy on bad bytes
     txt = F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     txt = F.regexp_replace(txt, r"(?s)<[^>]*>", " ")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+    # &amp; LAST: unescaping it first would double-unescape nested
+    # entities ('&amp;lt;' must yield '&lt;', not '<')
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(txt, r"\s+", " "))
 

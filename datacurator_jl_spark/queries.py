@@ -389,7 +389,7 @@ WITH f AS (
          len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
              / len(regexp_extract_all(trim(text), '\\S+')) AS distinct_ratio,
          {SW} AS sw_hits
-  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  FROM documents WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
 )
 SELECT doc_id,
   CASE WHEN NOT (chars >= 100)                  THEN false
@@ -435,7 +435,7 @@ def d04(spark, sf):
         }
     )
     d = _t(spark, sf, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        F.col("text").isNotNull() & F.col("text").rlike(r"\S")
     )
     res = Pipeline(spec).apply(d)
     return res.df.select(
@@ -446,7 +446,7 @@ def d04(spark, sf):
 @_q(
     "d05_fingerprint",
     """
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
 )

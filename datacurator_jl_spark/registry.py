@@ -139,8 +139,12 @@ _cond("size_between", 1, 1)(
 )
 
 # -- text-quality predicates (the graft's quality-filter core) ---------------
+# has_text = "contains any non-whitespace char". rlike('\S'), NOT
+# length(trim(..))>0: F.trim strips only spaces, so "\n" would count as
+# text (round-1 fuzz bug). Matches oracle re.search(r'\S') / DuckDB
+# regexp_matches(text, '\S').
 _cond("has_text", 0, 0)(
-    lambda ctx: ctx.text.isNotNull() & (F.length(F.trim(ctx.text)) > 0)
+    lambda ctx: ctx.text.isNotNull() & ctx.text.rlike(r"\S")
 )
 _cond("min_length", 1, 1)(lambda ctx, n: F.length(ctx.text) >= int(n))
 _cond("max_length", 1, 1)(lambda ctx, n: F.length(ctx.text) <= int(n))
@@ -397,8 +401,9 @@ def compile_action(expr: Any, ctx: RuleContext) -> list[ActionSpec]:
             html = F.col(ctx.html_col)
 
             def backfill(col: Column) -> Column:
+                # blank = no non-whitespace char (space-only trim misses \n)
                 return F.when(
-                    col.isNull() | (F.length(F.trim(col)) == 0),
+                    col.isNull() | ~col.rlike(r"\S"),
                     extract_html_text(html),
                 ).otherwise(col)
 

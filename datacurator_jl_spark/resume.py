@@ -124,4 +124,18 @@ class CheckpointedRun:
         return not self.pending_batches()
 
     def kept(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.output_dir, "kept"))
+        """Snapshot of the COMMITTED output only.
+
+        Reads the manifest and lists the committed batch subdirectories
+        explicitly (with basePath so the ``batch`` partition column
+        survives) — a batch that was mid-write when the run died is NOT
+        in the manifest and must not leak into results, exactly like an
+        uncommitted Iceberg snapshot."""
+        committed = _load_manifest(self.output_dir)["committed"]
+        if not committed:
+            raise RuntimeError(
+                "no committed batches yet — nothing to read (run() first)"
+            )
+        base = os.path.join(self.output_dir, "kept")
+        paths = [os.path.join(base, f"batch={b}") for b in sorted(committed)]
+        return self.spark.read.option("basePath", base).parquet(*paths)

@@ -24,8 +24,11 @@ _A = re.ASCII
 
 
 def _words(t: str) -> list[str]:
-    t = t.strip()
-    return re.split(r"\s+", t, flags=_A) if t else []
+    # exactly the ASCII \S+ match list — pinned identical to the Spark
+    # words() expr, the Arrow twin, and the DuckDB regexp_extract_all twin.
+    # (str.strip() is unicode-aware and would diverge from Java \s on
+    # e.g. \xa0; re.ASCII keeps all four engines on the same alphabet.)
+    return re.findall(r"\S+", t, flags=_A)
 
 
 def _count(pat: str, t: str) -> int:
@@ -116,7 +119,7 @@ def _eval_condition(expr, row) -> bool | None:
     if name in ("never", "always_fails"):
         return False
     if name == "has_text":
-        return t is not None and len(t.strip()) > 0
+        return t is not None and re.search(r"\S", t, flags=_A) is not None
     if t is None:
         return None  # null text -> null condition, like the Spark plan
     if name == "min_length":

@@ -30,7 +30,7 @@ _TEXTS = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=50,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

@@ -38,6 +38,14 @@ def test_extract_html_text(spark):
     assert "color" not in got and "var x" not in got
 
 
+def test_extract_html_text_no_double_unescape(spark):
+    # '&amp;lt;' is the ESCAPED text '&lt;' — must not collapse to '<'
+    html = b"<p>a &amp;lt; b &amp;amp; c &lt; d</p>"
+    df = spark.createDataFrame([(html,)], "html binary")
+    got = df.select(extract_html_text(F.col("html")).alias("t")).collect()[0].t
+    assert got == "a &lt; b &amp; c < d"
+
+
 def test_decode_images_fake_plumbing(spark, docs_df):
     out = decode_images(docs_df.select("url", "html").limit(30), payload_col="html")
     rows = out.collect()

@@ -212,6 +212,15 @@ def test_arrow_token_stats_equals_native(spark):
         (5, None),
         (6, "le la  les\tet\nest que"),
         (7, "the-fox and_dog the. the"),
+        # round-1 fuzz regressions: leading/trailing NON-SPACE whitespace
+        # (F.trim strips only spaces — these flushed out the divergence)
+        (8, "\n"),
+        (9, "\nfoo"),
+        (10, "\tbar "),
+        (11, " . "),
+        (12, "\t"),
+        (13, "\tthe fox"),
+        (14, "x\n\n\ny"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     native = {r.id: r.s.asDict() for r in df.select("id", X.token_stats(F.col("text")).alias("s")).collect()}

@@ -1,0 +1,90 @@
+"""Pinned whitespace/tokenization semantics across ALL FOUR engines.
+
+Round-1 fuzz regression (VERDICT "What's wrong #1"): Spark ``F.trim``
+strips ONLY the space character, so ``has_text("\\n")`` and
+``words("\\nfoo")`` diverged from the Python oracle / Arrow twin / DuckDB
+(all `\\S`-based). The spec is now pinned: token list = the ASCII
+``\\S+`` match list; has_text = "contains any ``\\S`` char".
+
+Every implementation (JVM Column expr, Arrow pandas batch, per-row
+Python oracle, DuckDB SQL) is asserted identical here on the falsifying
+examples — change one, change all four (CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+
+from datacurator_jl_spark.functions import text as X
+from datacurator_jl_spark.functions.arrow_stats import _token_stats_batch
+from datacurator_jl_spark.testing import oracle as O
+
+# the falsifying inputs from the round-1 fuzzer plus ordinary ones
+CASES = ["\n", "\nfoo", "\tbar ", " . ", "\t", "", "  ", "a b", "x\n\ny",
+         "\tthe fox", "the and of", None]
+
+
+def _spark_tok(spark, texts):
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(texts)), "text": texts}),
+        "i int, text string",
+    )
+    rows = (
+        df.select(
+            "i",
+            X.words(F.col("text")).alias("w"),
+            (F.col("text").isNotNull() & F.col("text").rlike(r"\S")).alias("ht"),
+            X.fingerprint(F.col("text")).alias("fp"),
+        )
+        .collect()
+    )
+    return {r.i: (r.w, r.ht, r.fp) for r in rows}
+
+
+def test_tokenization_pinned_four_way(spark):
+    got = _spark_tok(spark, CASES)
+    con = duckdb.connect()
+    for i, t in enumerate(CASES):
+        w_spark, ht_spark, fp_spark = got[i]
+        # Python oracle
+        w_py = O._words(t) if t is not None else None
+        ht_py = O._eval_condition("has_text", {"text": t})
+        # Arrow twin (nw only — it never materializes the token list)
+        nw_arrow = int(_token_stats_batch(pd.Series([t]))["nw"].iloc[0])
+        # DuckDB
+        w_duck, ht_duck, fp_duck = con.execute(
+            "SELECT regexp_extract_all(?, '\\S+'),"
+            " ? IS NOT NULL AND regexp_matches(?, '\\S'),"
+            " md5(trim(regexp_replace(lower(?), '\\s+', ' ', 'g')))",
+            [t, t, t, t],
+        ).fetchone()
+        if t is None:
+            assert w_spark is None and w_py is None
+            assert ht_spark is False and ht_py is False
+        else:
+            assert w_spark == w_py == w_duck, (t, w_spark, w_py, w_duck)
+            assert len(w_spark) == nw_arrow, (t, w_spark, nw_arrow)
+            assert ht_spark == ht_py == ht_duck, (t, ht_spark, ht_py, ht_duck)
+            assert fp_spark == fp_duck, (t, fp_spark, fp_duck)
+
+
+def test_fuzz_falsifying_example_labels(spark, flagship_spec):
+    """The exact round-1 failing fuzz input, pinned forever."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.testing.oracle import oracle_labels
+
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in range(len(CASES))], "text": CASES})
+    df = spark.createDataFrame(pdf, "url string, text string")
+    got = (
+        Pipeline(flagship_spec)
+        .apply(df)
+        .df.select("url", "dc_kept", "dc_rule_id")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = oracle_labels(pdf, flagship_spec).sort_values("url").reset_index(drop=True)
+    assert list(got["dc_kept"]) == list(exp["keep"])
+    assert list(got["dc_rule_id"]) == list(exp["rule_id"])
