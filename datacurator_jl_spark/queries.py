@@ -509,7 +509,8 @@ ORACLES["d07_simhash"] = _sql_simhash()
     """
     WITH w AS (
       SELECT doc_id, source,
-             list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')) AS ws
+             list_distinct(list_transform(regexp_extract_all(lower(text), '\\S+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -226,3 +226,32 @@ def test_arrow_token_stats_equals_native(spark):
     native = {r.id: r.s.asDict() for r in df.select("id", X.token_stats(F.col("text")).alias("s")).collect()}
     arrow = {r.id: r.s.asDict() for r in df.select("id", token_stats_arrow(F.col("text")).alias("s")).collect()}
     assert native == arrow
+
+
+def test_arrow_signatures_equal_native(spark):
+    """minhash/simhash Arrow twins pinned value-identical to the JVM
+    fold exprs (incl. null/empty/whitespace-only edge docs)."""
+    from datacurator_jl_spark.operators.dedup import minhash_signature, simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the the"),
+        (3, ""),
+        (4, "   \n\t "),
+        (5, None),
+        (6, "çüé 漢字 mixed UNICODE words"),
+        (7, "\tleading and trailing\n"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for impl_pair in ["minhash", "simhash"]:
+        if impl_pair == "minhash":
+            a = minhash_signature(df, "text", k=4, impl="arrow")
+            n = minhash_signature(df, "text", k=4, impl="native")
+            cols = ["mh0", "mh1", "mh2", "mh3"]
+        else:
+            a = simhash(df, "text", impl="arrow")
+            n = simhash(df, "text", impl="native")
+            cols = ["simhash"]
+        ra = {r.id: tuple(r[c] for c in cols) for r in a.collect()}
+        rn = {r.id: tuple(r[c] for c in cols) for r in n.collect()}
+        assert ra == rn, (impl_pair, ra, rn)
