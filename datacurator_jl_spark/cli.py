@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from datacurator_jl_spark.sinks import write_outputs
 
-        write_outputs(result, output_dir)
+        write_outputs(result, output_dir, input_path=input_path)
         if args.verbose:
             print(result.counters().toPandas().to_string(index=False))
         quit_requested = result.quit_requested()

@@ -198,13 +198,18 @@ def _fold_effects(
         for effects, is_action in ((cr.a_effects, True), (cr.c_effects, False)):
             g: Column | None = None
             for e in effects:
-                if e.kind not in ("transform", "count", "list"):
+                if e.kind not in ("transform", "derive", "count", "list"):
                     continue
                 if g is None:
                     g = gate(i, is_action)
                 if e.kind == "transform":
                     base = cur.get(e.target_col, F.col(e.target_col))
                     cur[e.target_col] = F.when(g, e.transform(base)).otherwise(base)
+                elif e.kind == "derive":
+                    # NEW column derived from the node (extract action):
+                    # null where the gate did not fire / no earlier derive
+                    base = cur.get(e.target_col, F.lit(None))
+                    cur[e.target_col] = F.when(g, e.transform(None)).otherwise(base)
                 elif e.kind == "count":
                     if e.name not in cnt:
                         cnt[e.name] = F.lit(0).cast("long")
@@ -231,10 +236,23 @@ class CurationResult:
     for counters/file lists.
     """
 
-    def __init__(self, df: DataFrame, spec: RecipeSpec, ctx: RuleContext):
+    def __init__(
+        self,
+        df: DataFrame,
+        spec: RecipeSpec,
+        ctx: RuleContext,
+        input_cols: list[str] | None = None,
+    ):
         self.df = df
         self.spec = spec
         self.ctx = ctx
+        self.input_cols = input_cols or [
+            c
+            for c in df.columns
+            if c not in (KEPT_COL, RULE_COL, QUIT_COL, SCRUBBED_COL)
+            and not c.startswith((_CNT, _LST))
+            and not c.endswith("_out")
+        ]
 
     def _clean(self, df: DataFrame) -> DataFrame:
         drop = [c for c in df.columns if c.startswith(_CNT) or c.startswith(_LST)]
@@ -294,6 +312,28 @@ class CurationResult:
             )
         )
 
+    def remaining_source(self) -> DataFrame:
+        """``mode=move`` disposition (reference mode_move,
+        src/DataCurator.jl:1334-1338: write the transformed copy, DELETE
+        the source): the source table rewritten WITHOUT the moved (kept)
+        rows — an anti-filter on the decision column, original schema."""
+        return self.df.filter(~F.col(KEPT_COL)).select(*self.input_cols)
+
+    def curated_source(self) -> DataFrame:
+        """``mode=inplace`` disposition (reference mode_inplace,
+        src/DataCurator.jl:1340-1348): the source replaced by its curated
+        rows — kept docs only, original schema, with the transformed
+        text/name substituted for the originals."""
+        cols = []
+        for c in self.input_cols:
+            if c == self.ctx.text_col:
+                cols.append(F.col(SCRUBBED_COL).alias(c))
+            elif f"{c}_out" in self.df.columns:
+                cols.append(F.col(f"{c}_out").alias(c))
+            else:
+                cols.append(F.col(c))
+        return self.df.filter(F.col(KEPT_COL)).select(*cols)
+
     def quit_requested(self) -> bool:
         """Global early-exit gate (reference :quit / halt,
         src/DataCurator.jl:3205-3206): cheap LIMIT-1 pre-pass instead of
@@ -310,7 +350,7 @@ class Pipeline:
         # identical values (tested), different physical strategy.
         self.arrow_stats = arrow_stats
 
-    def _ctx(self, df: DataFrame) -> RuleContext:
+    def _ctx(self, df: DataFrame, row_count: int | None = None) -> RuleContext:
         return RuleContext(
             name_col=self.spec.name_col,
             text_col=self.spec.text_col,
@@ -319,6 +359,23 @@ class Pipeline:
             spec=self.spec,
             words_col=WORDS_COL if WORDS_COL in df.columns else None,
             stats_col=STATS_COL if STATS_COL in df.columns else None,
+            row_count=row_count,
+        )
+
+    def _uses_rowcount_condition(self) -> bool:
+        from datacurator_jl_spark.registry import ROWCOUNT_CONDITIONS
+
+        def names(e):
+            if isinstance(e, str):
+                yield e
+            elif isinstance(e, list):
+                for x in e:
+                    yield from names(x)
+
+        exprs = [r.condition for rules in self.spec.levels.values() for r in rules]
+        exprs.extend(self.spec.common_conditions.values())
+        return any(
+            n in ROWCOUNT_CONDITIONS for e in exprs for n in names(e)
         )
 
     def apply(self, df: DataFrame) -> CurationResult:
@@ -334,6 +391,10 @@ class Pipeline:
         from datacurator_jl_spark.functions import text as X
 
         input_cols = list(df.columns)
+        # row-count gate (has_n_rows family): ONE count, computed only when
+        # a rule actually asks — on parquet sources this is a metadata-only
+        # scan (no column read), so the gate stays cheap at any scale.
+        row_count = df.count() if self._uses_rowcount_condition() else None
         if spec.text_col in df.columns:
             tcol = F.col(spec.text_col)
             if self.arrow_stats:
@@ -353,7 +414,7 @@ class Pipeline:
                 # shared by the stats fold and any array-needing rule
                 df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
                 df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
-        ctx = self._ctx(df)
+        ctx = self._ctx(df, row_count=row_count)
         compiled_levels: dict[int, list[_CompiledRule]] = {
             lvl: [_compile_rule(r, ctx, spec.act_on_success) for r in rules]
             for lvl, rules in spec.levels.items()
@@ -409,13 +470,18 @@ class Pipeline:
             F.when(plan.kept, text_expr).otherwise(F.lit(None)).alias(SCRUBBED_COL)
         )
         for tcol, expr in plan.out_cols.items():
-            if tcol != spec.text_col:
-                cols.append(expr.alias(f"{tcol}_out"))
+            if tcol == spec.text_col:
+                continue
+            # transformed EXISTING columns keep the original too (suffix
+            # _out); DERIVED columns (extract action) appear under their
+            # own name
+            alias = f"{tcol}_out" if tcol in input_cols else tcol
+            cols.append(expr.alias(alias))
         for name, expr in plan.cnt.items():
             cols.append(expr.alias(_CNT + name))
         for name, expr in plan.lst.items():
             cols.append(expr.alias(_LST + name))
-        return CurationResult(df.select(*cols), spec, ctx)
+        return CurationResult(df.select(*cols), spec, ctx, input_cols=input_cols)
 
 
 def compile_recipe(spec: RecipeSpec) -> Pipeline:

@@ -50,6 +50,21 @@ def remove_from_to_extension_inclusive(col: Column, frm: str) -> Column:
     return F.regexp_replace(col, f"{frm}[^.]*(\\.[^.]*)$", "$1")
 
 
+def remove_from_to_extension_exclusive(col: Column, frm: str) -> Column:
+    """Cut AFTER the pattern up to (not including) the final .extension,
+    keeping the pattern itself (reference ``inclusive_first=false``:
+    ``PRE = FN[1:B.stop]``, src/DataCurator.jl:1977-2000)."""
+    return F.regexp_replace(col, f"({frm})[^.]*(\\.[^.]*)$", "$1$2")
+
+
+def apply_to(col: Column, inner) -> Column:
+    """Apply ``inner`` (Column->Column) to the LAST path component only,
+    keeping the directory part (reference apply_to base=true,
+    src/DataCurator.jl:3311-3319)."""
+    dirpart = F.regexp_replace(col, r"[^/]*$", "")
+    return F.concat(dirpart, inner(basename(col)))
+
+
 def prefixfilename(col: Column, prefix: str) -> Column:
     """Prepend prefix to the last path component only."""
     return F.regexp_replace(col, r"([^/]+)$", prefix + "$1")

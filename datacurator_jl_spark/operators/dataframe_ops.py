@@ -111,6 +111,35 @@ def groupbycolumn(
     return df.groupBy(*groupcols).agg(*aggs)
 
 
+def describe_column_exact(df: DataFrame, col: str, dp: int = 4) -> DataFrame:
+    """8-moment describe with EXACT percentiles and raw-moment kurtosis,
+    rounded to ``dp`` — the cross-engine-deterministic variant used by
+    oracle-checked queries and aggregator chains. percentile() is exact
+    with linear interpolation in both Spark and DuckDB (quantile_cont);
+    kurtosis (population excess) comes from raw moments with the same
+    expansion on both sides (library kurtosis fns differ in bias
+    correction across engines)."""
+    # double throughout: DuckDB round() yields DOUBLE even for ints, so
+    # integer min/max would hash-mismatch ("553" vs "553.0")
+    c = F.col(col).cast("double")
+    q = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    mu = F.avg(c)
+    m2r, m3r, m4r = (F.avg(F.pow(c, k)) for k in (2, 3, 4))
+    kurt = (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * F.pow(mu, 4)) / F.pow(
+        m2r - mu * mu, 2
+    ) - 3.0
+    return df.agg(
+        F.round(F.min(c), dp).alias("minimum"),
+        F.round(q.getItem(0), dp).alias("q1"),
+        F.round(mu, dp).alias("mean"),
+        F.round(q.getItem(1), dp).alias("median"),
+        F.round(q.getItem(2), dp).alias("q3"),
+        F.round(F.max(c), dp).alias("maximum"),
+        F.round(F.stddev_samp(c), dp).alias("std"),
+        F.round(kurt, dp).alias("kurtosis"),
+    )
+
+
 def describe_column(df: DataFrame, col: str) -> DataFrame:
     """8-moment describe of one numeric column — the graft analogue of the
     reference's ``describe_image`` intensity stats

@@ -983,3 +983,102 @@ def v02(spark, sf):
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric name-extraction recipe surface (reference `extract` special form +
+# read_int family, src/DataCurator.jl:2341-2402, 3290-3302)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q15_extract_ints",
+    """
+    SELECT doc_id,
+      CASE WHEN regexp_extract(source, '([0-9]+)$', 1) <> ''
+            AND regexp_extract(source, '([0-9]+)$', 1)::BIGINT >= 10
+           THEN regexp_extract(source, '([0-9]+)$', 1)::BIGINT END AS src_num,
+      true AS keep
+    FROM documents
+    """,
+)
+def q15(spark, sf):
+    """Recipe-driven numeric extraction: condition-with-comparator
+    (``["read_postfix_int", ">=", 10]``) gates an ``extract`` action that
+    derives a new column from the node name — the reference's `extract`
+    special form (src/DataCurator.jl:2341-2402) as a recipe surface."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "name_col": "source", "text_col": "text"},
+            "any": {
+                "conditions": [["read_postfix_int", ">=", 10], "always"],
+                "actions": [["extract", "read_postfix_int", "src_num"], "keep"],
+            },
+        }
+    )
+    res = Pipeline(spec).apply(_t(spark, sf, "documents"))
+    return res.df.select("doc_id", "src_num", F.col("dc_kept").alias("keep"))
+
+
+@_q(
+    "q16_aggregator_describe",
+    """
+    WITH s AS (
+      SELECT avg(n_chars) AS mu, min(n_chars) AS mn, max(n_chars) AS mx,
+             stddev_samp(n_chars) AS sd,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.5)  AS md,
+             quantile_cont(n_chars, 0.75) AS q3,
+             avg(pow(n_chars, 2)) AS m2r, avg(pow(n_chars, 3)) AS m3r,
+             avg(pow(n_chars, 4)) AS m4r
+      FROM documents WHERE n_chars >= 200
+    )
+    SELECT round(mn, 4) AS minimum, round(q1, 4) AS q1, round(mu, 4) AS mean,
+           round(md, 4) AS median, round(q3, 4) AS q3, round(mx, 4) AS maximum,
+           round(sd, 4) AS std,
+           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*pow(mu,4))
+                 / pow(m2r - mu*mu, 2) - 3.0, 4) AS kurtosis
+    FROM s
+    """,
+)
+def q16(spark, sf):
+    """General aggregator chain (reference decode_aggregator,
+    src/DataCurator.jl:1687-1740; demo.toml's describe-and-concat): a
+    recipe tags rows into a file list, whose aggregator is an arbitrary
+    chain of registered DataFrame stages — here
+    ``extract_columns -> describe_column -> concat_to_table``."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+    from datacurator_jl_spark.sinks import run_aggregator_chain
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "name_col": "doc_id",
+                "text_col": "text",
+                "file_lists": [
+                    {
+                        "name": "stats",
+                        "aggregator": [
+                            ["extract_columns", "n_chars"],
+                            ["describe_column", "n_chars"],
+                            "concat_to_table",
+                        ],
+                    }
+                ],
+            },
+            "any": {
+                "conditions": [["col", "n_chars", ">=", 200]],
+                "actions": [["add_to_file_list", "stats"]],
+            },
+        }
+    )
+    res = Pipeline(spec).apply(_t(spark, sf, "documents"))
+    out, _sink = run_aggregator_chain(
+        res.file_list("stats"), res.spec.file_lists["stats"]["aggregator"]
+    )
+    return out

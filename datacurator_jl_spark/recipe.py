@@ -73,6 +73,12 @@ class RecipeSpec:
     levels: dict[int, list[Rule]] = field(default_factory=dict)
     inputdirectory: str | None = None
     outputdirectory: str | None = None
+    # write disposition of the reference's transform_wrapper
+    # (src/DataCurator.jl:1328-1348): 'copy' writes transformed output and
+    # leaves the source; 'move' also rewrites the source without the moved
+    # rows; 'inplace' atomically replaces the source with the curated
+    # output. Set by dict-form transform actions' ``mode`` key.
+    write_mode: str = "copy"
 
     @property
     def rules(self) -> list[Rule]:
@@ -153,12 +159,22 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     # semantics). Imported here to avoid a module cycle.
     from datacurator_jl_spark.registry import validate_expr
 
+    modes: set[str] = set()
     for lvl, rules in spec.levels.items():
         for r in rules:
             validate_expr(r.condition, kind="condition", spec=spec)
             validate_expr(r.action, kind="action", spec=spec)
             if r.counteraction is not None:
                 validate_expr(r.counteraction, kind="action", spec=spec)
+            for a in (r.action, r.counteraction):
+                if isinstance(a, dict) and "mode" in a:
+                    modes.add(a["mode"])
+    if len(modes) > 1:
+        raise RecipeError(
+            f"conflicting write modes {sorted(modes)} — one disposition per recipe"
+        )
+    if modes:
+        spec.write_mode = modes.pop()
     for name, inc in spec.counters.items():
         if inc is not None:
             validate_expr(inc, kind="metric", spec=spec)
@@ -246,10 +262,20 @@ def _decode_file_lists(raw: list) -> dict[str, dict]:
                     spec["path"] = fl[1]
             out[fl[0]] = spec
         elif isinstance(fl, dict) and "name" in fl:
+            agg = fl.get("aggregator", "to_file")
+            if isinstance(agg, list):
+                # general aggregator chain — eager name validation
+                # (fail-before-data, like every other registry lookup)
+                from datacurator_jl_spark.sinks import validate_aggregator_chain
+
+                try:
+                    validate_aggregator_chain(agg)
+                except ValueError as e:
+                    raise RecipeError(str(e)) from e
             out[fl["name"]] = {
                 "path": fl.get("path"),
                 "transformer": fl.get("transformer"),
-                "aggregator": fl.get("aggregator", "to_file"),
+                "aggregator": agg,
             }
         else:
             raise RecipeError(f"bad file_list spec: {fl!r}")

@@ -43,6 +43,9 @@ class RuleContext:
     # per row instead of re-deriving them inside each rule
     words_col: str | None = None
     stats_col: str | None = None
+    # input cardinality, computed ONCE by the engine (parquet metadata
+    # count) iff the recipe uses a row-count condition
+    row_count: int | None = None
 
     @property
     def name(self) -> Column:
@@ -209,6 +212,47 @@ _cond("contains_pii", 0, 0)(lambda ctx: S.contains_pii(ctx.text))
 _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
 
 
+# -- table-shape assertions (reference has_n_columns/has_columns_named/
+#    column_names, src/DataCurator.jl:619-631, and has_n_rows family,
+#    :162-196 — the sqlite_queries testset conditions). Schema asserts
+#    fold to literal booleans at COMPILE time (Catalyst constant-folds
+#    them away); row-count asserts compare the engine-computed input
+#    cardinality (one parquet-metadata count, only when used). ------------
+
+
+def _user_cols(ctx: "RuleContext") -> list[str]:
+    if ctx.available_cols is None:
+        raise RecipeError("schema conditions need a compiled DataFrame context")
+    return [c for c in ctx.available_cols if not c.startswith("_dc_")]
+
+
+_cond("has_n_columns", 1, 1)(
+    lambda ctx, n: F.lit(len(_user_cols(ctx)) == int(n))
+)
+_cond("has_columns_named", 1, 1)(
+    lambda ctx, names: F.lit(set(names) <= set(_user_cols(ctx)))
+)
+_cond("column_names", 1, 1)(
+    lambda ctx, names: F.lit(set(names) == set(_user_cols(ctx)))
+)
+
+ROWCOUNT_CONDITIONS = {"has_n_rows", "less_than_n_rows", "more_than_n_rows"}
+
+
+def _rowcount(ctx: "RuleContext") -> int:
+    if ctx.row_count is None:
+        raise RecipeError(
+            "row-count conditions need the engine-computed row_count "
+            "(run via Pipeline.apply, or set RuleContext.row_count)"
+        )
+    return ctx.row_count
+
+
+_cond("has_n_rows", 1, 1)(lambda ctx, n: F.lit(_rowcount(ctx) == int(n)))
+_cond("less_than_n_rows", 1, 1)(lambda ctx, n: F.lit(_rowcount(ctx) < int(n)))
+_cond("more_than_n_rows", 1, 1)(lambda ctx, n: F.lit(_rowcount(ctx) > int(n)))
+
+
 # -- binary-payload probes (reference is_img/is_png content sniffing,
 #    src/DataCurator.jl:3230-3242 — cheap magic-byte checks, ordered
 #    ahead of any decode stage) -------------------------------------------------
@@ -235,6 +279,40 @@ from datacurator_jl_spark.operators.buildcomp import buildcomp  # noqa: E402
 _cond("col", 2, 3)(
     lambda ctx, colname, op, val=None: buildcomp(F.col(colname), op, val)
 )
+
+
+# -- numeric name-extraction (reference `extract` special form + read_int
+#    family, src/DataCurator.jl:2341-2402, 3290-3302) -----------------------
+# Each extractor is a Column over the node name, null when absent. As a
+# CONDITION: bare name = "extractable" (non-null); with [op, val] args it
+# compares the extracted value (["read_postfix_int", ">", 5]). As an
+# ACTION: ["extract", "<extractor>", "<out_col>"] derives a new column.
+
+EXTRACTORS: dict[str, Callable[["RuleContext"], Column]] = {
+    "read_int": lambda ctx: P.read_int(ctx.name),
+    "read_float": lambda ctx: P.read_float(ctx.name),
+    "read_prefix_int": lambda ctx: P.read_prefix_int(ctx.name),
+    "read_postfix_int": lambda ctx: P.read_postfix_int(ctx.name),
+    "basename": lambda ctx: P.basename(ctx.name),
+    "stem": lambda ctx: P.stem(ctx.name),
+    "extension": lambda ctx: P.extension(ctx.name),
+}
+
+
+def _extractor_cond(name: str):
+    def fn(ctx: "RuleContext", op=None, val=None):
+        col = EXTRACTORS[name](ctx)
+        if op is None:
+            return col.isNotNull()
+        if val is None:
+            raise RecipeError(f"condition {name!r} needs [op, value] or no args")
+        return buildcomp(col, op, val)
+
+    return fn
+
+
+for _name in EXTRACTORS:
+    _cond(_name, 0, 2)(_extractor_cond(_name))
 
 
 # -- foreign-function bridge ---------------------------------------------------
@@ -289,6 +367,7 @@ class ActionSpec:
     - 'drop'   terminal drop decision (the quality filter's counteraction;
                reference dostep 3-tuple, src/DataCurator.jl:1544-1568)
     - 'transform'  col-expression rewrite of target_col
+    - 'derive' NEW column from the node name (extract special form)
     - 'count'  increment named counter
     - 'list'   add node to named file list
     - 'quit'   global early exit (reference :quit, src/DataCurator.jl:3205)
@@ -313,6 +392,7 @@ TEXT_TRANSFORMS: dict[str, tuple[int, int, Callable[..., Column]]] = {
     "remove_from_to_inclusive": (2, 2, TR.remove_from_to_inclusive),
     "remove_from_to_exclusive": (2, 2, TR.remove_from_to_exclusive),
     "remove_from_to_extension_inclusive": (1, 1, TR.remove_from_to_extension_inclusive),
+    "remove_from_to_extension_exclusive": (1, 1, TR.remove_from_to_extension_exclusive),
     "prefixfilename": (1, 1, TR.prefixfilename),
     "postfixfilename": (1, 1, TR.postfixfilename),
     "change_path": (2, 2, TR.change_path),
@@ -381,11 +461,57 @@ def compile_condition(expr: Any, ctx: RuleContext) -> Column:
     raise RecipeError(f"cannot compile condition {expr!r}")
 
 
+WRITE_MODES = ("copy", "move", "inplace")
+
+
+def _dict_action_parts(expr: dict) -> tuple[list, list, str]:
+    """Validate + split the reference's Dict transform form
+    ``{name_transform=[...], content_transform=[...], mode=...}``
+    (decode_function(::AbstractDict), src/DataCurator.jl:1893-1909)."""
+    unknown = set(expr) - {"name_transform", "content_transform", "mode"}
+    if unknown:
+        raise RecipeError(f"unknown keys in transform dict: {sorted(unknown)}")
+    nt = expr.get("name_transform", [])
+    ct = expr.get("content_transform", [])
+    if not isinstance(nt, list) or isinstance(nt, str):
+        nt = [nt]
+    if not isinstance(ct, list) or isinstance(ct, str):
+        ct = [ct]
+    mode = expr.get("mode", "copy")
+    if mode not in WRITE_MODES:
+        raise RecipeError(f"mode must be one of {WRITE_MODES}, got {mode!r}")
+    if not nt and not ct:
+        raise RecipeError("transform dict needs name_transform and/or content_transform")
+    return nt, ct, mode
+
+
 def compile_action(expr: Any, ctx: RuleContext) -> list[ActionSpec]:
     """Compile an action expression to a list of effects (chains flatten)."""
     spec = ctx.spec
     if expr is None:
         return [ActionSpec("noop")]
+    if isinstance(expr, dict):
+        nt, ct, _mode = _dict_action_parts(expr)  # mode recorded on spec at parse
+        out: list[ActionSpec] = []
+        if nt:
+            fns = [_compile_transform(e) for e in nt]
+            out.append(
+                ActionSpec(
+                    "transform",
+                    transform=lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col),
+                    target_col=ctx.name_col,
+                )
+            )
+        if ct:
+            fns = [_compile_transform(e) for e in ct]
+            out.append(
+                ActionSpec(
+                    "transform",
+                    transform=lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col),
+                    target_col=ctx.text_col,
+                )
+            )
+        return out
     if isinstance(expr, str):
         if spec and expr in spec.common_actions:
             return compile_action(spec.common_actions[expr], ctx)
@@ -427,6 +553,26 @@ def compile_action(expr: Any, ctx: RuleContext) -> list[ActionSpec]:
             for e in expr[1:]:
                 out.extend(compile_action(e, ctx))
             return out
+        if head == "extract":
+            # ["extract", "<extractor>", "<out_col>"?] -> derive a new
+            # column from the node name (reference `extract` special form,
+            # src/DataCurator.jl:2341-2402: pull the numeric/name part out
+            # of the node and carry it alongside).
+            if len(expr) not in (2, 3) or expr[1] not in EXTRACTORS:
+                raise RecipeError(
+                    f"extract needs ['extract', one of {sorted(EXTRACTORS)}, out_col?]"
+                )
+            exname = expr[1]
+            out_col = expr[2] if len(expr) == 3 else exname
+            make = EXTRACTORS[exname]
+            return [
+                ActionSpec(
+                    "derive",
+                    name=out_col,
+                    transform=lambda _col, make=make, ctx=ctx: make(ctx),
+                    target_col=out_col,
+                )
+            ]
         if head in ("count", "increment_counter"):
             if len(expr) != 2:
                 raise RecipeError(f"{head} takes exactly one arg (counter name)")
@@ -487,6 +633,14 @@ def _compile_transform(e: Any) -> Callable[[Column], Column]:
         name, args = e[0], e[1:]
     else:
         raise RecipeError(f"bad transform spec {e!r}")
+    if name == "apply_to":
+        # combinator: apply an inner transform chain to the last path
+        # component only (reference src/DataCurator.jl:3311-3319)
+        if not args:
+            raise RecipeError("apply_to needs at least one inner transform")
+        fns = [_compile_transform(a) for a in args]
+        inner = lambda col, fns=fns: reduce(lambda c, f: f(c), fns, col)  # noqa: E731
+        return lambda col: TR.apply_to(col, inner)
     if name not in TEXT_TRANSFORMS:
         raise RecipeError(f"unknown transform {name!r}")
     lo, hi, fn = TEXT_TRANSFORMS[name]
@@ -580,6 +734,12 @@ def _validate_transform_spec(e: Any) -> None:
         name, nargs = e[0], len(e) - 1
     else:
         raise RecipeError(f"bad transform spec {e!r}")
+    if name == "apply_to":
+        if nargs < 1:
+            raise RecipeError("apply_to needs at least one inner transform")
+        for a in e[1:]:
+            _validate_transform_spec(a)
+        return
     if name not in TEXT_TRANSFORMS:
         raise RecipeError(f"unknown transform {name!r}")
     lo, hi, _ = TEXT_TRANSFORMS[name]
@@ -589,6 +749,11 @@ def _validate_transform_spec(e: Any) -> None:
 
 def _validate_action(expr: Any, spec: RecipeSpec) -> None:
     if expr is None:
+        return
+    if isinstance(expr, dict):
+        nt, ct, _mode = _dict_action_parts(expr)
+        for e in [*nt, *ct]:
+            _validate_transform_spec(e)
         return
     if isinstance(expr, str):
         if expr in spec.common_actions:
@@ -609,6 +774,12 @@ def _validate_action(expr: Any, spec: RecipeSpec) -> None:
         if head in ("count", "increment_counter", "add_to_file_list", "->", "aggregate_to"):
             if len(expr) != 2 or not isinstance(expr[1], str):
                 raise RecipeError(f"{head} takes exactly one name arg")
+            return
+        if head == "extract":
+            if len(expr) not in (2, 3) or expr[1] not in EXTRACTORS:
+                raise RecipeError(
+                    f"extract needs ['extract', one of {sorted(EXTRACTORS)}, out_col?]"
+                )
             return
         if head in ("drop_log", "log_to_file_with_message"):
             return

@@ -43,6 +43,59 @@ CHAIN_STEPS: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 
+# --- general aggregator chains (reference decode_aggregator,
+#     src/DataCurator.jl:1687-1740: `[[transformer..., sink]]` with
+#     arbitrary registered transformers, e.g. demo.toml's
+#     describe-then-concat). Each stage is a registered DataFrame ->
+#     DataFrame function over the tagged subset (full columns), so
+#     groupbycolumn / describe work as per-list transformers. -------------
+
+from datacurator_jl_spark.operators import dataframe_ops as _DO  # noqa: E402
+
+DF_STAGES: dict[str, Callable[..., DataFrame]] = {
+    "unique": lambda df: df.distinct(),
+    "sort": lambda df, *cols: df.orderBy(*(cols if cols else df.columns)),
+    "extract_columns": lambda df, *cols: df.select(*cols),
+    "groupbycolumn": lambda df, groupcols, targets, fns, names=None: _DO.groupbycolumn(
+        df, list(groupcols), list(targets), list(fns), list(names) if names else None
+    ),
+    "describe_column": lambda df, col: _DO.describe_column_exact(df, col),
+}
+
+SINK_STEPS = ("to_file", "list_to_file", "shared_list_to_file", "concat_to_table", "to_table")
+
+
+def run_aggregator_chain(df: DataFrame, chain: list) -> tuple[DataFrame, str]:
+    """Fold a chain of registered DataFrame stages; an optional final
+    sink name selects the writer ('to_file' text vs 'concat_to_table'
+    parquet). Returns (transformed frame, sink name)."""
+    steps = list(chain)
+    sink = "to_file"
+    if steps and isinstance(steps[-1], str) and steps[-1] in SINK_STEPS:
+        sink = steps.pop()
+    for s in steps:
+        name, args = (s, []) if isinstance(s, str) else (s[0], list(s[1:]))
+        if name not in DF_STAGES:
+            raise ValueError(
+                f"unknown aggregator stage {name!r} (have {sorted(DF_STAGES)})"
+            )
+        df = DF_STAGES[name](df, *args)
+    return df, sink
+
+
+def validate_aggregator_chain(chain: list) -> None:
+    """Compile-time name/shape check (fail-before-data)."""
+    steps = list(chain)
+    if steps and isinstance(steps[-1], str) and steps[-1] in SINK_STEPS:
+        steps.pop()
+    for s in steps:
+        name = s if isinstance(s, str) else (s[0] if s else None)
+        if name not in DF_STAGES:
+            raise ValueError(
+                f"unknown aggregator stage {name!r} (have {sorted(DF_STAGES)})"
+            )
+
+
 def flush_file_list(
     df: DataFrame,
     name_col: str,
@@ -109,10 +162,22 @@ def write_partitioned(
     out.write.mode("overwrite").partitionBy("dc_day", "dc_host_bucket").parquet(out_path)
 
 
-def write_outputs(result, output_dir: str) -> dict[str, str]:
+def write_outputs(result, output_dir: str, input_path: str | None = None) -> dict[str, str]:
     """Write the standard output set for a CurationResult: kept docs,
     drop log, lineage, counters.csv, one sink per file list (honoring the
-    recipe's file_list spec). Returns {name: path}."""
+    recipe's file_list spec). Returns {name: path}.
+
+    Honors the recipe's write disposition (reference transform_wrapper
+    modes, src/DataCurator.jl:1328-1348):
+
+    - ``copy`` (default): source untouched.
+    - ``move``: additionally writes ``source_remaining`` — the source
+      rewritten without the moved (kept) rows. In production this is an
+      Iceberg ``DELETE WHERE``; over immutable parquet it is an explicit
+      rewrite.
+    - ``inplace``: atomically replaces ``input_path`` with the curated
+      rows (tmp-write + directory swap, the reference's tmpcopy dance).
+    """
     os.makedirs(output_dir, exist_ok=True)
     paths: dict[str, str] = {}
 
@@ -128,12 +193,44 @@ def write_outputs(result, output_dir: str) -> dict[str, str]:
     )
     paths["counters"] = os.path.join(output_dir, "counters.csv")
     for name, spec in result.spec.file_lists.items():
+        agg = spec.get("aggregator")
+        if isinstance(agg, list):
+            out, sink = run_aggregator_chain(result.file_list(name), agg)
+            path = p(f"list_{name}")
+            if sink in ("concat_to_table", "to_table"):
+                out.write.mode("overwrite").parquet(path)
+            else:
+                out.select(
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in out.columns])
+                    .alias("value")
+                ).write.mode("overwrite").text(path)
+            continue
         flush_file_list(
             result.file_list(name),
             result.spec.name_col,
             p(f"list_{name}"),
             transformer=spec.get("transformer"),
-            chain=["unique", "sort"] if spec.get("aggregator") == "sorted_unique" else None,
-            fmt="parquet" if spec.get("aggregator") == "concat_to_table" else "text",
+            chain=["unique", "sort"] if agg == "sorted_unique" else None,
+            fmt="parquet" if agg == "concat_to_table" else "text",
         )
+
+    mode = getattr(result.spec, "write_mode", "copy")
+    if mode == "move":
+        result.remaining_source().write.mode("overwrite").parquet(p("source_remaining"))
+    elif mode == "inplace":
+        if not input_path:
+            raise ValueError("write_mode=inplace requires the input path")
+        import shutil
+
+        src = input_path.rstrip("/")
+        tmp, old = src + ".dc_inplace_tmp", src + ".dc_inplace_old"
+        # materialize BEFORE touching the source (Spark cannot overwrite a
+        # path it is reading), then swap via two renames — the crash
+        # window leaves either the old or the new directory intact
+        result.curated_source().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        paths["source"] = src
     return paths
