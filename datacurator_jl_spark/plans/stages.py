@@ -68,23 +68,37 @@ class FakeLangModel:
 
 
 class FakePerplexityModel:
-    """Deterministic KenLM stand-in: pseudo-logprob from a hash-derived
-    per-word score (stable across workers/runs)."""
+    """Deterministic KenLM stand-in: pseudo-logprob = mean of a
+    hash-derived per-word score (stable across workers/runs).
+
+    Vectorized like a real scorer would be: explode + factorize, python
+    only over batch-UNIQUE words (amortized by a vocab cache), C-speed
+    groupby mean — so the stage's cost honestly represents the batched
+    cost model the planner orders stages by."""
+
+    _CACHE: dict[str, float] = {}
 
     def score_batch(self, texts: pd.Series) -> pd.Series:
         import hashlib
 
-        def ppl(t: str) -> float:
-            ws = t.split()
-            if not ws:
-                return 1e6
-            s = sum(
-                int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 1000
-                for w in ws
-            )
-            return s / len(ws)
+        import numpy as np
 
-        return texts.fillna("").map(ppl).astype("float64")
+        toks = texts.fillna("").str.split()
+        ex = toks.explode().dropna()
+        out = pd.Series(1e6, index=texts.index, dtype="float64")  # empty doc
+        if ex.empty:
+            return out
+        codes, uniques = pd.factorize(ex)
+        scores = np.empty(len(uniques), dtype=np.float64)
+        for ui, w in enumerate(uniques):
+            v = self._CACHE.get(w)
+            if v is None:
+                v = float(int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 1000)
+                self._CACHE[w] = v
+            scores[ui] = v
+        means = pd.Series(scores[codes], index=ex.index).groupby(level=0).mean()
+        out[means.index] = means
+        return out
 
 
 def _load_fake_lang() -> FakeLangModel:

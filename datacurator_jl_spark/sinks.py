@@ -125,6 +125,45 @@ def flush_file_list(
         writer.parquet(out_path)
 
 
+def save_content(
+    df: DataFrame, sink: str, fmt: str | None = None, **options: str
+) -> None:
+    """Format-dispatched writer — the reference's ``save_content`` multiple
+    dispatch (src/DataCurator.jl:1310-1326: DataFrame->CSV, image->tif,
+    string->txt) re-expressed as one writer with format inference from the
+    sink's extension: .csv -> csv(+header), .json -> json, .txt -> text
+    (single string column), .parquet/dir -> parquet; ``fmt='jdbc'`` writes
+    to a database table (``sink`` = table name, pass ``url=...``; driver
+    jar is the deployment's responsibility, as in ``sources.load_jdbc``).
+    """
+    if fmt is None:
+        ext = os.path.splitext(sink)[1].lower().lstrip(".")
+        fmt = ext if ext in ("csv", "json", "txt", "parquet") else "parquet"
+    w = df.write.mode("overwrite")
+    for k, v in options.items():
+        if k != "url":
+            w = w.option(k, v)
+    if fmt == "csv":
+        w.option("header", "true").csv(sink)
+    elif fmt == "json":
+        w.json(sink)
+    elif fmt in ("txt", "text"):
+        out = df.select(
+            F.concat_ws(
+                ",", *[F.col(c).cast("string") for c in df.columns]
+            ).alias("value")
+        )
+        out.write.mode("overwrite").text(sink)
+    elif fmt == "jdbc":
+        if "url" not in options:
+            raise ValueError("jdbc sink needs url=...")
+        df.write.mode("overwrite").format("jdbc").option(
+            "url", options["url"]
+        ).option("dbtable", sink).save()
+    else:
+        w.parquet(sink)
+
+
 def concat_to_table(frames: list[DataFrame], out_path: str) -> None:
     """The reference's concat_to_table (src/DataCurator.jl:2662-2780):
     union-by-name of per-source frames into one table. Missing columns

@@ -47,6 +47,45 @@ def load_table(
     return df
 
 
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """SQL-database source (reference load_sqlite /
+    extract_table_as_dataframe, src/DataCurator.jl:431-443): a
+    ``spark.read.jdbc`` scan behind whatever driver jar the deployment
+    ships (none is present in this container — the codepath is real, the
+    driver is the deployment's responsibility; CI covers the recipe-level
+    SQL semantics through the DuckDB oracle instead).
+
+    Scale note: ALWAYS pass ``partition_column`` + bounds for a table of
+    any size — without them the JDBC source reads through ONE connection
+    on one task. ``table`` may be a subquery alias
+    (``"(select ...) t"``) to push predicates into the database.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -67,3 +67,18 @@ def test_write_partitioned_prunes(spark, docs_df, tmp_path):
     # scan reads only that day's directories
     assert "PartitionFilters: [" in plan and "dc_day" in plan.split("PartitionFilters")[1][:200]
     assert q.count() == back.filter(F.col("dc_day") == one_day).count()
+
+
+def test_save_content_format_dispatch(spark, tmp_path):
+    from datacurator_jl_spark.sinks import save_content
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    save_content(df, str(tmp_path / "t.csv"))
+    save_content(df, str(tmp_path / "t.json"))
+    save_content(df, str(tmp_path / "t.parquet"))
+    save_content(df.select("k"), str(tmp_path / "t.txt"))
+    got_csv = spark.read.option("header", True).csv(str(tmp_path / "t.csv"))
+    assert {(r.k, r.v) for r in got_csv.collect()} == {("a", "1"), ("b", "2")}
+    assert spark.read.json(str(tmp_path / "t.json")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "t.parquet")).count() == 2
+    assert {r.value for r in spark.read.text(str(tmp_path / "t.txt")).collect()} == {"a", "b"}
