@@ -181,6 +181,74 @@ def simhash(
     return df.withColumn(out_col, acc)
 
 
+def near_dup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH
+    candidate-pair graph, as (doc, comp) where ``comp`` = min doc id in
+    the component (singletons label themselves).
+
+    Algorithm: iterative min-label propagation to fixpoint — each round
+    is one equi-join + partial-agg min on the doc id, i.e. O(diameter)
+    shuffles. LSH buckets are cliques, so component diameter is ~#bands
+    hops and convergence is fast. Convergence is detected by the
+    monotone ``sum(comp)`` invariant (strictly decreases until the
+    fixpoint) — one scalar agg per round, no row-level diff join.
+    ``localCheckpoint`` truncates the per-iteration lineage so the plan
+    does not grow with rounds. At 1000-executor scale the same loop
+    applies (alternating large-star/small-star would cut rounds on
+    pathological chains; near-dup graphs do not have them).
+    """
+    pairs = lsh_candidate_pairs(df, id_col, text_col, k, bands, max_bucket)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()  # compute the LSH join ONCE for all rounds
+    )
+    labels = (
+        df.select(F.col(id_col).alias("doc"))
+        .distinct()
+        .withColumn("comp", F.col("doc"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc == nbr.src, "left")
+            .select(
+                labels.doc,
+                F.least(labels.comp, F.coalesce(nbr.nbr_min, labels.comp)).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def drop_near_dupes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Keep one representative (the component-min doc) per near-dup
+    cluster — LSH pairs -> connected components -> filter doc == comp."""
+    comps = near_dup_components(df, id_col, text_col, k=k, bands=bands)
+    reps = comps.filter(F.col("doc") == F.col("comp")).select("doc")
+    return df.join(reps, df[id_col] == reps.doc, "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1082,3 +1082,84 @@ def q16(spark, sf):
         res.file_list("stats"), res.spec.file_lists["stats"]["aggregator"]
     )
     return out
+
+
+_D14_EDGES = f"""
+    sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+           (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+           (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    lab(doc, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, l.comp FROM lab l JOIN edges e ON e.dst = l.doc
+    )
+"""
+
+
+@_q(
+    "d14_near_dup_components",
+    "WITH RECURSIVE " + _D14_EDGES + """
+    SELECT doc, min(comp) AS comp FROM lab GROUP BY doc
+    """,
+)
+def d14(spark, sf):
+    """Near-dup clustering: connected components over the LSH pair graph
+    via iterative min-label propagation (fixpoint). The oracle states the
+    same fixpoint declaratively as a recursive reachability CTE — both
+    converge to comp = min doc id per component."""
+    return DD.near_dup_components(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_D15_EDGES = f"""
+    sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    lab(doc, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, l.comp FROM lab l JOIN edges e ON e.dst = l.doc
+    )
+"""
+
+
+@_q(
+    "d15_near_dup_survivors",
+    "WITH RECURSIVE " + _D15_EDGES + """
+    , comp AS (SELECT doc, min(comp) AS comp FROM lab GROUP BY doc)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN comp c ON c.doc = d.doc_id AND c.comp = d.doc_id
+    """,
+)
+def d15(spark, sf):
+    """Near-dedup keep-set: one representative (component-min doc) per
+    near-dup cluster — the operator a 100 TB curation pipeline actually
+    runs (pairs -> components -> left-semi filter). Stricter banding than
+    d14 (2 bands x 4 rows ~ higher similarity threshold) so the survivor
+    set is non-degenerate on the template-heavy synthetic corpus."""
+    return DD.drop_near_dupes(
+        _t(spark, sf, "documents"), "doc_id", "text", k=8, bands=2
+    ).select("doc_id", "source")

@@ -255,3 +255,26 @@ def test_arrow_signatures_equal_native(spark):
         ra = {r.id: tuple(r[c] for c in cols) for r in a.collect()}
         rn = {r.id: tuple(r[c] for c in cols) for r in n.collect()}
         assert ra == rn, (impl_pair, ra, rn)
+
+
+def test_near_dup_components_transitive(spark):
+    """a~b and b~c must cluster a,b,c together even if a!~c directly
+    (the property pairwise dedup misses and components fix)."""
+    from datacurator_jl_spark.operators.dedup import (
+        drop_near_dupes,
+        near_dup_components,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),       # ~ 1
+        (3, base + " extra words"),  # ~ 2, maybe not ~ 1
+        (10, "completely different content about spark aggregation plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    comps = {r.doc: r.comp for r in near_dup_components(df, "doc_id", "text", k=8, bands=8).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == 10
+    kept = {r.doc_id for r in drop_near_dupes(df, "doc_id", "text", k=8, bands=8).collect()}
+    assert kept == {1, 10}
