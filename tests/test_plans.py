@@ -49,3 +49,19 @@ def test_lineage_is_single_aggregate(docs_df, flagship_spec):
     # one partial + one final hash aggregate around a single exchange
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
+
+
+def test_minhash_arrow_udf_evaluated_once(spark):
+    """The k minhash lanes fan out from ONE pre-projected struct: exactly
+    one ArrowEvalPython node in the plan (CollapseProject must not inline
+    the non-cheap UDF alias k times)."""
+    from datacurator_jl_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        minhash_signature(df, "text", k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
