@@ -82,6 +82,25 @@ def delete_rows(df: DataFrame, specs: list[tuple[str, Any, Any]]) -> DataFrame:
     return df.filter(~F.coalesce(mask, F.lit(False)))
 
 
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "dc"
+) -> DataFrame:
+    """Deterministic, reproducible sampling: keep rows whose portable
+    32-bit key hash falls in the first ``fraction`` of the hash space.
+
+    Unlike ``df.sample()`` (rand(), partition-order dependent, not
+    restart-stable), this is a pure function of the KEY: the same row is
+    in or out across retries, resumed checkpoints, and engines — which
+    is what a 100 TB curation pipeline needs for reproducible subcorpora.
+    Hash = md5-derived (`_h32` contract), so the DuckDB oracle reproduces
+    the exact row set. Pushdown-friendly: a plain filter, no shuffle.
+    """
+    from datacurator_jl_spark.operators.dedup import _h32
+
+    bucket = F.pmod(_h32(F.col(key_col).cast("string"), f"#{salt}"), F.lit(10_000))
+    return df.filter(bucket < int(round(fraction * 10_000)))
+
+
 def extract_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Projection (reference rewrites the CSV; we just select)."""
     return df.select(*_known(df, columns))

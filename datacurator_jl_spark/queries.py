@@ -1163,3 +1163,20 @@ def d15(spark, sf):
     return DD.drop_near_dupes(
         _t(spark, sf, "documents"), "doc_id", "text", k=8, bands=2
     ).select("doc_id", "source")
+
+
+@_q(
+    "d16_hash_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#corpus_v1'), 1, 8))::BIGINT
+          % 10000 < 2500
+    """,
+)
+def d16(spark, sf):
+    """Deterministic hash sampling (25%): reproducible subcorpus
+    selection as a pure key-hash filter — restart/engine-stable, unlike
+    rand()-based df.sample(); pushdown-friendly, no shuffle."""
+    return DO.hash_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.25, salt="corpus_v1"
+    ).select("doc_id", "source")

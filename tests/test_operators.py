@@ -278,3 +278,15 @@ def test_near_dup_components_transitive(spark):
     assert comps[10] == 10
     kept = {r.doc_id for r in drop_near_dupes(df, "doc_id", "text", k=8, bands=8).collect()}
     assert kept == {1, 10}
+
+
+def test_hash_sample_deterministic_and_proportional(spark, docs_df):
+    from datacurator_jl_spark.operators.dataframe_ops import hash_sample
+
+    a = {r.url for r in hash_sample(docs_df, "url", 0.25).select("url").collect()}
+    b = {r.url for r in hash_sample(docs_df, "url", 0.25).select("url").collect()}
+    assert a == b  # pure function of the key
+    n = docs_df.count()
+    assert 0.15 * n < len(a) < 0.35 * n  # ~25%
+    half = {r.url for r in hash_sample(docs_df, "url", 0.5).select("url").collect()}
+    assert a <= half  # nested: smaller fraction is a subset of larger
