@@ -394,7 +394,16 @@ class Pipeline:
         # row-count gate (has_n_rows family): ONE count, computed only when
         # a rule actually asks — on parquet sources this is a metadata-only
         # scan (no column read), so the gate stays cheap at any scale.
-        row_count = df.count() if self._uses_rowcount_condition() else None
+        row_count = None
+        if self._uses_rowcount_condition():
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "row-count conditions (has_n_rows family) are batch-only: "
+                    "an unbounded stream has no row count"
+                )
+            row_count = df.count()
         if spec.text_col in df.columns:
             tcol = F.col(spec.text_col)
             if self.arrow_stats:

@@ -149,3 +149,103 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projections): bucketed embedding near-dup WITHOUT
+# precomputed cluster labels — hyperplane sign bits -> banded equi-join.
+# The embedding analogue of MinHash-LSH: candidate generation is a join on
+# band keys (shuffle on small int keys only), never an all-pairs product.
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(dim: int, bits: int, seed: int = 7):
+    """Deterministic hyperplanes (seeded standard normal). The SAME matrix
+    is inlined as literals into the DuckDB oracle, so both engines project
+    onto identical planes."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((dim, bits))
+
+
+def srp_signature(
+    df: DataFrame,
+    emb_col: str,
+    dim: int,
+    bits: int = 16,
+    seed: int = 7,
+    out_col: str = "srp_sig",
+) -> DataFrame:
+    """Append the ``bits``-bit signed-random-projection signature.
+
+    One Arrow-batched pandas UDF doing a float64 BLAS matmul per batch —
+    the honest scale path for per-row projections (a per-bit HOF fold
+    would be ``bits`` interpreted passes; see functions/arrow_hash.py for
+    the measured rationale). Dots are rounded to 6dp before the sign so
+    float summation-order ulps can never flip a bit across engines.
+    Null/ragged embeddings get signature 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = srp_planes(dim, bits, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    # no type hints: postponed annotations ('pd.Series' strings) cannot be
+    # resolved by pandas_udf when pd is imported function-locally
+    @F.pandas_udf("long")
+    def sig(embs):
+        out = pd.Series(0, index=embs.index, dtype="int64")
+        ok = embs.map(lambda v: v is not None and len(v) == dim)
+        if ok.any():
+            m = np.vstack(embs[ok].to_numpy()).astype(np.float64)
+            dots = np.round(m @ planes, 6)
+            out[ok] = (dots > 0) @ weights
+        return out
+
+    return df.withColumn(out_col, sig(F.col(emb_col)))
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Embedding near-dup candidates: (id_a, id_b, hamming) for pairs
+    sharing >= 1 signature band, kept when the full-signature Hamming
+    distance <= ``max_hamming``. Shuffle payload: (id, band value,
+    signature) — three longs per row per band."""
+    assert bits % bands == 0
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sig = srp_signature(df.select(id_col, emb_col), emb_col, dim, bits, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("srp_sig"), b * rows).bitwiseAND(F.lit(mask)).alias("val"),
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("srp_sig").alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

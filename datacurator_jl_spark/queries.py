@@ -1180,3 +1180,73 @@ def d16(spark, sf):
     return DO.hash_sample(
         _t(spark, sf, "documents"), "doc_id", 0.25, salt="corpus_v1"
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH embedding near-dup (signed random projections): the bucketed
+# embedding analogue of MinHash-LSH, no precomputed cluster labels needed.
+# The DuckDB twin inlines the IDENTICAL seeded hyperplane matrix as
+# literals; dots are rounded to 6dp before the sign in both engines so
+# float summation-order ulps cannot flip a bit.
+# ---------------------------------------------------------------------------
+
+_SRP_DIM, _SRP_BITS, _SRP_SEED = 64, 16, 7
+
+
+def _srp_sig_sql() -> str:
+    from datacurator_jl_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(_SRP_DIM, _SRP_BITS, _SRP_SEED)
+    terms = []
+    for j in range(_SRP_BITS):
+        lits = ", ".join(repr(float(x)) for x in planes[:, j])
+        terms.append(
+            f"CASE WHEN round(list_dot_product(embedding::DOUBLE[], "
+            f"[{lits}]::DOUBLE[]), 6) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    sig = " + ".join(terms)
+    return (
+        "SELECT vec_id, (CASE WHEN embedding IS NULL OR len(embedding) != "
+        f"{_SRP_DIM} THEN 0 ELSE {sig} END)::BIGINT AS srp_sig FROM embeddings"
+    )
+
+
+ORACLES_E04 = _srp_sig_sql()
+
+
+@_q("e04_srp_signature", ORACLES_E04)
+def e04(spark, sf):
+    """16-bit signed-random-projection signature per embedding: one
+    Arrow-batched float64 BLAS matmul per batch (the per-row projection
+    scale path; a per-bit HOF fold would be 16 interpreted passes)."""
+    from datacurator_jl_spark.operators.similarity import srp_signature
+
+    return srp_signature(
+        _t(spark, sf, "embeddings"), "embedding", _SRP_DIM, _SRP_BITS, _SRP_SEED
+    ).select("vec_id", "srp_sig")
+
+
+@_q(
+    "e05_srp_near_dup_pairs",
+    "WITH sig AS (" + ORACLES_E04 + """)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           bit_count(xor(a.srp_sig, b.srp_sig))::INT AS hamming
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (
+         ((a.srp_sig >> 0)  & 15) = ((b.srp_sig >> 0)  & 15) OR
+         ((a.srp_sig >> 4)  & 15) = ((b.srp_sig >> 4)  & 15) OR
+         ((a.srp_sig >> 8)  & 15) = ((b.srp_sig >> 8)  & 15) OR
+         ((a.srp_sig >> 12) & 15) = ((b.srp_sig >> 12) & 15))
+    WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 3
+    """,
+)
+def e05(spark, sf):
+    """Embedding near-dup candidates via SRP-LSH banding (4 bands x 4
+    bits) + full-signature Hamming filter — candidate generation is an
+    equi-join on band keys (the LSH scale path), never an all-pairs
+    product. No cluster labels required (cf. e03)."""
+    from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
+
+    return srp_near_dup_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

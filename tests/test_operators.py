@@ -290,3 +290,27 @@ def test_hash_sample_deterministic_and_proportional(spark, docs_df):
     assert 0.15 * n < len(a) < 0.35 * n  # ~25%
     half = {r.url for r in hash_sample(docs_df, "url", 0.5).select("url").collect()}
     assert a <= half  # nested: smaller fraction is a subset of larger
+
+
+def test_srp_signature_properties(spark):
+    from datacurator_jl_spark.operators.similarity import (
+        srp_near_dup_pairs,
+        srp_signature,
+    )
+
+    base = [1.0, 0.5] * 32  # dim 64
+    near = list(base)
+    near[0] += 0.01
+    far = [(-1.0) * v for v in base]
+    rows = [(1, base), (2, near), (3, far), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r.vec_id: r.srp_sig for r in srp_signature(df, "embedding", 64).collect()}
+    assert sigs[1] == sigs[2]  # tiny perturbation -> same bucket bits
+    assert sigs[3] == sigs[1] ^ 0xFFFF  # antipodal -> all 16 bits flipped
+    assert sigs[4] == 0  # null embedding
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in srp_near_dup_pairs(df, "vec_id", "embedding", 64).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs  # hamming 16 > max_hamming
