@@ -5,6 +5,8 @@ broadcast."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datacurator_jl_spark.engine import Pipeline
 from datacurator_jl_spark.queries import QUERIES
 
@@ -65,3 +67,27 @@ def test_minhash_arrow_udf_evaluated_once(spark):
         .toString()
     )
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, docs_df, tmp_path):
+    """Two tables bucketed on the join key join with ZERO Exchange —
+    the co-location contract write_bucketed exists for."""
+    from datacurator_jl_spark.sources.tables import write_bucketed
+
+    left = docs_df.select("url", "text")
+    right = docs_df.select("url", F.length("text").alias("n"))
+    write_bucketed(left, "t_bleft", "url", num_buckets=8)
+    write_bucketed(right, "t_bright", "url", num_buckets=8)
+    # disable broadcast so the planner exercises the big-big (SMJ) path —
+    # the regime bucketing exists for; tiny test tables would otherwise
+    # broadcast and bypass bucket co-location entirely
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == docs_df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
