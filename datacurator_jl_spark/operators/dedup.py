@@ -133,6 +133,9 @@ def lsh_candidate_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # materialize the bucket frame once — the self-join would otherwise
+    # compute the signature UDF + explode on BOTH branches
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -281,6 +284,11 @@ def ngram_jaccard_pairs(
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
     prep = prep.withColumn("ns", F.size("ws"))
+    # materialize ONCE: both self-join branches would otherwise re-scan
+    # the source and re-run the signature UDF (the checkpointed frame —
+    # id, block, hashed set — is a small fraction of the text it derives
+    # from; at warehouse scale this is the persisted signature table)
+    prep = prep.localCheckpoint(eager=True)
     a, b = prep.alias("a"), prep.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter

@@ -236,6 +236,9 @@ def srp_near_dup_pairs(
         F.col("srp_sig").alias("sig"),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    # materialize once: the self-join would otherwise run the projection
+    # UDF on both branches
+    buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
