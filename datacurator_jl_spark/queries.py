@@ -1250,3 +1250,39 @@ def e05(spark, sf):
         _t(spark, sf, "embeddings"), "vec_id", "embedding",
         _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_q(
+    "d17_line_ratios",
+    r"""
+    WITH l AS (
+      SELECT doc_id, str_split(text, chr(10)) AS lines FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(lines) > 0 THEN
+        round(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.[ \t\x0b\f\r]*$')))::DOUBLE
+              / len(lines), 6) ELSE 0.0 END AS ellipsis_ratio,
+      CASE WHEN len(lines) > 0 THEN
+        round(len(list_filter(lines, x -> regexp_matches(x, '^[ \t\x0b\f\r]*[-*•●▪]')))::DOUBLE
+              / len(lines), 6) ELSE 0.0 END AS bullet_ratio,
+      CASE WHEN len(list_filter(lines, x -> regexp_matches(x, '\S'))) > 0 THEN
+        round(len(list_filter(lines, x -> regexp_matches(x, '\S')
+                                      AND regexp_matches(x, '[.!?"''][ \t\x0b\f\r]*$')))::DOUBLE
+              / len(list_filter(lines, x -> regexp_matches(x, '\S'))), 6)
+      ELSE 0.0 END AS terminal_punct_ratio
+    FROM l
+    """,
+)
+def d17(spark, sf):
+    """C4/Gopher line-shape heuristics (ellipsis-line, bullet-line,
+    terminal-punctuation ratios) — native array filters over the line
+    split, whitespace-robust patterns pinned identical to the DuckDB
+    list_filter twins."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(X.ellipsis_line_ratio(t), 6).alias("ellipsis_ratio"),
+        F.round(X.bullet_line_ratio(t), 6).alias("bullet_ratio"),
+        F.round(X.terminal_punct_line_ratio(t), 6).alias("terminal_punct_ratio"),
+    )

@@ -314,3 +314,29 @@ def test_srp_signature_properties(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs  # hamming 16 > max_hamming
+
+
+def test_line_ratio_heuristics_edges(spark):
+    from datacurator_jl_spark.functions import text as X
+
+    rows = [
+        (1, "ends well.\n- bullet\nmore...\t\n\t \nplain"),
+        (2, ""),
+        (3, None),
+        (4, "• uni bullet\nno end"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: (r.e, r.b, r.t)
+        for r in df.select(
+            "id",
+            F.round(X.ellipsis_line_ratio(F.col("text")), 6).alias("e"),
+            F.round(X.bullet_line_ratio(F.col("text")), 6).alias("b"),
+            F.round(X.terminal_punct_line_ratio(F.col("text")), 6).alias("t"),
+        ).collect()
+    }
+    # doc 1: 5 lines; 1 ellipsis (trailing tab ok), 1 bullet; 4 non-blank
+    # lines ("\t " is blank), 2 end in terminal punct ('.', '...')
+    assert got[1] == (0.2, 0.2, 0.5)
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.5, 0.0)
