@@ -1286,3 +1286,37 @@ def d17(spark, sf):
         F.round(X.bullet_line_ratio(t), 6).alias("bullet_ratio"),
         F.round(X.terminal_punct_line_ratio(t), 6).alias("terminal_punct_ratio"),
     )
+
+
+@_q(
+    "q17_name_predicates",
+    r"""
+    SELECT doc_id,
+      source LIKE 'src1%'                          AS p_starts,
+      regexp_matches(source, '[0-9]$')             AS p_ends_int,
+      regexp_matches(source, '[0-9]')              AS p_has_int,
+      source = lower(source)                       AS p_is_lower,
+      regexp_matches(source, '[\s,\t]')            AS p_has_ws,
+      CASE WHEN regexp_matches(lang, '[0-9]+')
+           THEN regexp_extract(lang, '([0-9]+)', 1) <> '' ELSE false END AS p_lang_int
+    FROM documents
+    """,
+)
+def q17(spark, sf):
+    """Name-predicate family (reference §2.4, src/DataCurator.jl:3161-3302)
+    oracle-checked as boolean columns over the node name: startswith,
+    ends_with_integer, contains_integer, is_lower, has_whitespace, and
+    read_int-nullability — all native, all pushdown-friendly."""
+    from datacurator_jl_spark.functions import predicates as P
+
+    d = _t(spark, sf, "documents")
+    s = F.col("source")
+    return d.select(
+        "doc_id",
+        P.startswith(s, "src1").alias("p_starts"),
+        P.ends_with_integer(s).alias("p_ends_int"),
+        P.contains_integer(s).alias("p_has_int"),
+        P.is_lower(s).alias("p_is_lower"),
+        P.has_whitespace(s).alias("p_has_ws"),
+        F.coalesce(P.read_int(F.col("lang")).isNotNull(), F.lit(False)).alias("p_lang_int"),
+    )
