@@ -1320,3 +1320,25 @@ def q17(spark, sf):
         P.has_whitespace(s).alias("p_has_ws"),
         F.coalesce(P.read_int(F.col("lang")).isNotNull(), F.lit(False)).alias("p_lang_int"),
     )
+
+
+@_q(
+    "v05_domain_quota",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def v05(spark, sf):
+    """Per-domain admission quota (training-data diversity control):
+    deterministic batch twin of the applyInPandasWithState streaming
+    operator — first `quota` docs per domain by doc_id. Output per
+    domain capped at quota, so the window shuffle is skew-bounded."""
+    from datacurator_jl_spark.streaming.stream import domain_quota_batch
+
+    return domain_quota_batch(
+        _t(spark, sf, "documents"), 20, "source", "doc_id"
+    ).select("source", "doc_id")

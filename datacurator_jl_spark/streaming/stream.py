@@ -14,7 +14,7 @@ the file source against the batch result).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datacurator_jl_spark.engine import Pipeline
@@ -141,3 +141,19 @@ def quality_filter_stream(
     """
     stream = spark.readStream.schema(schema).parquet(path)
     return Pipeline(spec).apply(stream).df
+
+
+def domain_quota_batch(
+    docs: DataFrame, quota: int, domain_col: str, order_col: str
+) -> DataFrame:
+    """Deterministic batch twin of ``domain_quota_stream``: admit the
+    FIRST ``quota`` documents per domain by ``order_col`` (the stream
+    admits in arrival order; the batch twin pins that order so the quota
+    semantics are oracle-checkable). One window shuffle on the domain
+    key; skew-bounded because output per domain is capped at quota."""
+    w = Window.partitionBy(domain_col).orderBy(order_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
