@@ -1342,3 +1342,58 @@ def v05(spark, sf):
     return domain_quota_batch(
         _t(spark, sf, "documents"), 20, "source", "doc_id"
     ).select("source", "doc_id")
+
+
+@_q(
+    "q18_hierarchical_levels",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0
+           THEN length(text) >= 150   -- level 0 rule
+           ELSE length(text) >= 300   -- level 1 rule
+      END AS keep,
+      CASE WHEN doc_id % 2 = 0
+           THEN CASE WHEN length(text) >= 150 THEN 'level_0:0:min_length'
+                     ELSE 'level_0:0:min_length' END
+           ELSE 'level_1:0:min_length'
+      END AS rule_id
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q18(spark, sf):
+    """Hierarchical level dispatch (reference Dict level->rules,
+    src/DataCurator.jl:4194-4218): per-row integer `level` selects which
+    rule chain evaluates — compiled as a level-keyed merge of decision
+    chains in ONE projection (no per-level scans)."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "hierarchical": True,
+                "name_col": "doc_id",
+                "text_col": "text",
+            },
+            "level_0": {
+                "conditions": [["min_length", 150]],
+                "actions": ["keep"],
+                "counter_actions": ["drop"],
+            },
+            "level_1": {
+                "conditions": [["min_length", 300]],
+                "actions": ["keep"],
+                "counter_actions": ["drop"],
+            },
+        }
+    )
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("level", (F.col("doc_id") % 2).cast("int"))
+    )
+    res = Pipeline(spec).apply(d)
+    return res.df.select(
+        "doc_id", F.col("dc_kept").alias("keep"), F.col("dc_rule_id").alias("rule_id")
+    )
