@@ -340,16 +340,22 @@ def d01(spark, sf):
 )
 def d02(spark, sf):
     """Per-document text stats — the graft analogue of describe_image
-    per-element stats (SURVEY.md §2.5): all native expressions."""
+    per-element stats (SURVEY.md §2.5). Word-derived stats read ONE
+    pre-projected Arrow token-stats struct (the engine's own strategy;
+    the native HOF fold is CodegenFallback and anti-scales)."""
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+
     d = _t(spark, sf, "documents")
     t = F.col("text")
+    d = d.withColumn("_s", token_stats_arrow(t))
+    s = F.col("_s")
     return d.select(
         "doc_id",
         X.n_chars(t).alias("chars"),
-        X.n_words(t).alias("n_words"),
+        X.n_words(t, stats=s).alias("n_words"),
         X.token_count(t).alias("tokens"),
-        F.round(X.distinct_word_ratio(t), 6).alias("distinct_word_ratio"),
-        F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(X.distinct_word_ratio(t, stats=s), 6).alias("distinct_word_ratio"),
+        F.round(X.stopword_ratio(t, stats=s), 6).alias("stopword_ratio"),
     )
 
 
@@ -373,10 +379,15 @@ def _sql_lang_scores() -> str:
     """,
 )
 def d03(spark, sf):
-    """Heuristic language-ID (marker-word argmax + CJK ratio), fully
-    native — the vectorized stand-in for the fastText stage."""
+    """Heuristic language-ID (marker-word argmax + CJK ratio) over the
+    shared Arrow token-stats struct — the vectorized stand-in for the
+    fastText stage."""
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+    t = F.col("text")
+    d = d.withColumn("_s", token_stats_arrow(t))
+    return d.select("doc_id", X.lang_id(t, stats=F.col("_s")).alias("lang_pred"))
 
 
 _D04_SQL = """
@@ -576,9 +587,15 @@ def d09(spark, sf):
 )
 def d10(spark, sf):
     """Composite quality score in [0,1] (native stand-in for a learned
-    quality model)."""
-    return _t(spark, sf, "documents").select(
-        "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality")
+    quality model); word stats from the shared Arrow struct."""
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    d = d.withColumn("_s", token_stats_arrow(t))
+    return d.select(
+        "doc_id",
+        F.round(X.quality_score(t, stats=F.col("_s")), 6).alias("quality"),
     )
 
 
@@ -810,9 +827,16 @@ def v03(spark, sf):
     """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS)),
 )
 def d13(spark, sf):
-    """Deterministic perplexity proxy (KenLM stand-in), fully native."""
-    return _t(spark, sf, "documents").select(
-        "doc_id", F.round(X.perplexity_proxy(F.col("text")), 6).alias("ppl")
+    """Deterministic perplexity proxy (KenLM stand-in); word stats from
+    the shared Arrow struct."""
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    d = d.withColumn("_s", token_stats_arrow(t))
+    return d.select(
+        "doc_id",
+        F.round(X.perplexity_proxy(t, stats=F.col("_s")), 6).alias("ppl"),
     )
 
 
