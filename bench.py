@@ -50,6 +50,11 @@ HEADLINE = [
     "e02_ivf_topk",
     "v01_hourly_rollup",
     "v02_user_sessions",
+    # round-2 ops
+    "d14_near_dup_components",
+    "d16_hash_sample",
+    "e05_srp_near_dup_pairs",
+    "v05_domain_quota",
 ]
 
 
