@@ -380,6 +380,26 @@ class Pipeline:
 
     def apply(self, df: DataFrame) -> CurationResult:
         spec = self.spec
+        # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
+        # BEFORE the rule chain so quality heuristics never pay for
+        # duplicate bytes — the standard curation-pipeline stage order
+        if spec.dedup and spec.text_col in df.columns:
+            from datacurator_jl_spark.operators.dedup import (
+                drop_exact_dupes,
+                drop_near_dupes,
+            )
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "dedup pre-pass is batch-only (streaming: use "
+                    "streaming.streaming_dedup)"
+                )
+            if spec.dedup == "exact":
+                df = drop_exact_dupes(df, spec.name_col, spec.text_col)
+            else:
+                df = drop_near_dupes(df, spec.name_col, spec.text_col)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps
         # the projections separate (CollapseProject refuses to inline a

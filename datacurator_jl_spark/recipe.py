@@ -79,6 +79,10 @@ class RecipeSpec:
     # rows; 'inplace' atomically replaces the source with the curated
     # output. Set by dict-form transform actions' ``mode`` key.
     write_mode: str = "copy"
+    # optional dedup pre-pass before the rule chain: None | 'exact'
+    # (min-id per identical text) | 'near' (LSH + connected components,
+    # component-min representative)
+    dedup: str | None = None
 
     @property
     def rules(self) -> list[Rule]:
@@ -98,6 +102,7 @@ _GLOBAL_KEYS = {
     "level_col",
     "counters",
     "file_lists",
+    "dedup",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -125,9 +130,12 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
         level_col=g.get("level_col", "level"),
         inputdirectory=g.get("inputdirectory"),
         outputdirectory=g.get("outputdirectory"),
+        dedup=g.get("dedup"),
         common_conditions=dict(g.get("common_conditions", {})),
         common_actions=dict(g.get("common_actions", {})),
     )
+    if spec.dedup not in (None, "exact", "near"):
+        raise RecipeError(f"dedup must be 'exact' or 'near', got {spec.dedup!r}")
     spec.counters = _decode_counters(g.get("counters", []))
     spec.file_lists = _decode_file_lists(g.get("file_lists", []))
 

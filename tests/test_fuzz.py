@@ -57,12 +57,27 @@ def test_fuzz_labels_match_oracle(spark, flagship_spec, texts):
         assert (g is None and e is None) or g == e
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=50, deadline=None)
 @given(
     cond=st.sampled_from(
-        ["always", "never", "has_text", "nonsense", 42, ["min_length"], ["min_length", 5]]
+        [
+            "always", "never", "has_text", "nonsense", 42,
+            ["min_length"], ["min_length", 5],
+            "read_int", ["read_postfix_int", ">", 3], ["read_int", ">"],
+            ["has_n_columns", 2], ["has_n_rows"], ["column_names", ["url"]],
+        ]
     ),
-    action=st.sampled_from(["keep", "drop", "bogus_action", ["count", "c"], ["->", "l"]]),
+    action=st.sampled_from(
+        [
+            "keep", "drop", "bogus_action", ["count", "c"], ["->", "l"],
+            ["extract", "read_int"], ["extract", "nope"],
+            {"name_transform": ["tolowercase"], "mode": "copy"},
+            {"content_transform": ["normalize_whitespace"], "mode": "bogus"},
+            {"mode": "move"},
+            ["transform_name", ["apply_to", "touppercase"]],
+            ["transform_name", ["apply_to"]],
+        ]
+    ),
 )
 def test_fuzz_recipe_validation_never_crashes_unexpectedly(cond, action):
     cfg = {

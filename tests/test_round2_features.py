@@ -231,3 +231,31 @@ def test_aggregator_chain_validated_at_parse_time():
                 "any": {"conditions": ["always"], "actions": [["->", "x"]]},
             }
         )
+
+
+# --- recipe-level dedup pre-pass ---------------------------------------------
+
+
+def test_recipe_dedup_exact_prepass(spark):
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "dedup": "exact"},
+            "any": {"conditions": ["has_text"], "actions": ["keep"],
+                    "counter_actions": ["drop"]},
+        }
+    )
+    rows = [("u1", "same text here"), ("u2", "same text here"), ("u3", "other")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = Pipeline(spec).apply(df)
+    kept = {r.url for r in out.kept().collect()}
+    assert kept == {"u1", "u3"}  # u2 removed by dedup before rules
+
+
+def test_recipe_dedup_validates():
+    with pytest.raises(RecipeError):
+        parse_recipe(
+            {
+                "global": {"dedup": "bogus"},
+                "any": {"conditions": ["always"], "actions": ["keep"]},
+            }
+        )
