@@ -58,10 +58,13 @@ def main(argv: list[str] | None = None) -> int:
 
         from datacurator_jl_spark.sinks import write_outputs
 
-        write_outputs(result, output_dir, input_path=input_path)
+        # evaluate anything that re-executes the plan BEFORE write_outputs:
+        # write_mode=inplace atomically replaces the input directory, so a
+        # later re-execution would scan deleted files
+        quit_requested = result.quit_requested()
         if args.verbose:
             print(result.counters().toPandas().to_string(index=False))
-        quit_requested = result.quit_requested()
+        write_outputs(result, output_dir, input_path=input_path)
         print(f"done: output at {output_dir} ({'quit' if quit_requested else 'proceed'})")
         return 2 if quit_requested else 0
     finally:

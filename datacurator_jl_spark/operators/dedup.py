@@ -220,25 +220,29 @@ def near_dup_components(
         .withColumn("comp", F.col("doc"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_min"))
         )
+        # carry an explicit per-row changed flag: works for ANY id type
+        # (a sum('comp') probe is null for string ids — it silently
+        # stopped propagation after one round) and costs one cheap agg
+        # over the already-checkpointed frame, no recompute
         labels = (
             labels.join(nbr, labels.doc == nbr.src, "left")
             .select(
                 labels.doc,
                 F.least(labels.comp, F.coalesce(nbr.nbr_min, labels.comp)).alias("comp"),
+                F.coalesce(nbr.nbr_min < labels.comp, F.lit(False)).alias("_chg"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = labels.filter(F.col("_chg")).limit(1).count()
+        labels = labels.drop("_chg")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 
@@ -295,8 +299,11 @@ def ngram_jaccard_pairs(
     jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
     # size-ratio prefilter (semantics-preserving): J(a,b) <= min/max, so
     # J >= t forces t*|b| <= |a| <= |b|/t — prunes pairs BEFORE the
-    # O(|a|+|b|) intersect. Output unchanged; oracle untouched.
-    t = float(threshold)
+    # O(|a|+|b|) intersect. The final filter compares round(J, 6), which
+    # admits raw J down to t - 5e-7; slacken the bound by 1e-6 so no
+    # boundary pair the rounded filter (and the oracle) keeps can be
+    # pre-pruned. Output unchanged; oracle untouched.
+    t = max(float(threshold) - 1e-6, 0.0)
     size_ok = (F.col("a.ns") >= t * F.col("b.ns")) & (
         F.col("b.ns") >= t * F.col("a.ns")
     )

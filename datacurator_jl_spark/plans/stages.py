@@ -83,6 +83,8 @@ class FakePerplexityModel:
 
         import numpy as np
 
+        if len(self._CACHE) > 4_000_000:  # pragma: no cover - safety valve
+            self._CACHE.clear()
         toks = texts.fillna("").str.split()
         ex = toks.explode().dropna()
         out = pd.Series(1e6, index=texts.index, dtype="float64")  # empty doc

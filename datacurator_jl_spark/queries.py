@@ -300,7 +300,7 @@ def q10(spark, sf):
 # normalized-token list in DuckDB SQL — mirrors text.norm_tokens exactly
 # (whitespace split, lowercase, strip PUNCT_STRIP chars)
 _SQL_NT = (
-    "list_transform(regexp_extract_all(lower(trim(text)), '\\S+'),"
+    "list_transform(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+'),"
     " w -> translate(w, '.,;:!?\"''()[]', ''))"
 )
 
@@ -329,12 +329,12 @@ def d01(spark, sf):
     """
     SELECT doc_id,
            length(text) AS chars,
-           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens,
-           round(len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
-                 / len(regexp_extract_all(trim(text), '\\S+')), 6) AS distinct_word_ratio,
+           len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS tokens,
+           round(len(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')))::DOUBLE
+                 / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')), 6) AS distinct_word_ratio,
            round({SW}::DOUBLE
-                 / len(regexp_extract_all(trim(text), '\\S+')), 6) AS stopword_ratio
+                 / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')), 6) AS stopword_ratio
     FROM documents
     """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS)),
 )
@@ -394,13 +394,13 @@ _D04_SQL = """
 WITH f AS (
   SELECT doc_id,
          length(text) AS chars,
-         len(regexp_extract_all(trim(text), '\\S+')) AS nw,
+         len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS nw,
          (length(text) - len(regexp_extract_all(text,
-             '[A-Za-z0-9\\s.,;:''"!?()\\-]')))::DOUBLE / length(text) AS sym,
-         len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
-             / len(regexp_extract_all(trim(text), '\\S+')) AS distinct_ratio,
+             '[A-Za-z0-9 \\t\\n\\x0b\\f\\r.,;:''"!?()\\-]')))::DOUBLE / length(text) AS sym,
+         len(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')))::DOUBLE
+             / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS distinct_ratio,
          {SW} AS sw_hits
-  FROM documents WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+  FROM documents WHERE text IS NOT NULL AND regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]')
 )
 SELECT doc_id,
   CASE WHEN NOT (chars >= 100)                  THEN false
@@ -457,7 +457,7 @@ def d04(spark, sf):
 @_q(
     "d05_fingerprint",
     """
-    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp
     FROM documents
     """,
 )
@@ -470,7 +470,7 @@ def d05(spark, sf):
 
 def _sql_minhash(i: int) -> str:
     return (
-        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')),"
         f" w -> ('0x' || substr(md5(w || '#{i}'), 1, 8))::BIGINT)) AS mh{i}"
     )
 
@@ -506,7 +506,7 @@ def _sql_simhash() -> str:
         )
     return (
         "WITH w AS (SELECT doc_id, list_transform("
-        "list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        "list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')),"
         " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM documents) "
         "SELECT doc_id, (" + " + ".join(bit_terms) + ")::BIGINT AS simhash FROM w"
     )
@@ -520,7 +520,7 @@ ORACLES["d07_simhash"] = _sql_simhash()
     """
     WITH w AS (
       SELECT doc_id, source,
-             list_distinct(list_transform(regexp_extract_all(lower(text), '\\S+'),
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
                            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
       FROM documents
     )
@@ -567,12 +567,12 @@ def d09(spark, sf):
       SELECT doc_id,
         CASE WHEN length(text) > 0 THEN
           {SW}::DOUBLE /
-          len(regexp_extract_all(trim(text), '\\S+')) ELSE 0.0 END AS sw,
-        len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
-            / len(regexp_extract_all(trim(text), '\\S+')) AS rep,
+          len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) ELSE 0.0 END AS sw,
+        len(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')))::DOUBLE
+            / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS rep,
         CASE WHEN length(text) > 0 THEN
           (length(text) - len(regexp_extract_all(text,
-              '[A-Za-z0-9\\s.,;:''"!?()\\-]')))::DOUBLE / length(text)
+              '[A-Za-z0-9 \\t\\n\\x0b\\f\\r.,;:''"!?()\\-]')))::DOUBLE / length(text)
         ELSE 0.0 END AS sym,
         CASE WHEN length(text) > 0 THEN
           len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
@@ -687,7 +687,7 @@ def d11(spark, sf):
 
 def _sql_minhash_nt(i: int) -> str:
     return (
-        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')),"
+        "list_min(list_transform(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')),"
         f" w -> ('0x' || substr(md5(w || '#{i}'), 1, 8))::BIGINT))"
     )
 
@@ -809,11 +809,11 @@ def v03(spark, sf):
     """
     WITH f AS (
       SELECT doc_id,
-        {SW}::DOUBLE / len(regexp_extract_all(trim(text), '\\S+')) AS sw,
+        {SW}::DOUBLE / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS sw,
         length(translate(text, E' \\t\\n\\x0b\\x0c\\r', ''))::DOUBLE
-          / len(regexp_extract_all(trim(text), '\\S+')) AS mwl,
-        len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))::DOUBLE
-          / len(regexp_extract_all(trim(text), '\\S+')) AS rep,
+          / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS mwl,
+        len(list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')))::DOUBLE
+          / len(regexp_extract_all(trim(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS rep,
         length(translate(text,
           'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789'
           || E' \\t\\n\\x0b\\x0c\\r' || '.,;:''"!?()-', ''))::DOUBLE

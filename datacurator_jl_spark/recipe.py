@@ -168,21 +168,44 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     from datacurator_jl_spark.registry import validate_expr
 
     modes: set[str] = set()
+
+    def collect_modes(expr: Any, seen: frozenset = frozenset()) -> None:
+        """Find `mode` keys ANYWHERE in an action expression — inside
+        all_actions chains and through common_actions indirection (a
+        top-level-only scan silently missed those)."""
+        if isinstance(expr, dict):
+            if "mode" in expr:
+                modes.add(expr["mode"])
+        elif isinstance(expr, str):
+            if expr in spec.common_actions and expr not in seen:
+                collect_modes(spec.common_actions[expr], seen | {expr})
+        elif isinstance(expr, list):
+            for e in expr:
+                collect_modes(e, seen)
+
     for lvl, rules in spec.levels.items():
         for r in rules:
             validate_expr(r.condition, kind="condition", spec=spec)
             validate_expr(r.action, kind="action", spec=spec)
             if r.counteraction is not None:
                 validate_expr(r.counteraction, kind="action", spec=spec)
-            for a in (r.action, r.counteraction):
-                if isinstance(a, dict) and "mode" in a:
-                    modes.add(a["mode"])
+            collect_modes(r.action)
+            collect_modes(r.counteraction)
     if len(modes) > 1:
         raise RecipeError(
             f"conflicting write modes {sorted(modes)} — one disposition per recipe"
         )
     if modes:
         spec.write_mode = modes.pop()
+    if spec.dedup and spec.write_mode == "move":
+        # move's contract is "source keeps every row that was not moved
+        # out"; rows removed by the dedup pre-pass would silently vanish
+        # from BOTH outputs. Reject the combination rather than lose data.
+        raise RecipeError(
+            "dedup pre-pass cannot combine with write mode 'move' "
+            "(dedup-dropped rows would be lost from both outputs); "
+            "use mode 'copy' or 'inplace'"
+        )
     for name, inc in spec.counters.items():
         if inc is not None:
             validate_expr(inc, kind="metric", spec=spec)

@@ -226,14 +226,26 @@ def _user_cols(ctx: "RuleContext") -> list[str]:
     return [c for c in ctx.available_cols if not c.startswith("_dc_")]
 
 
+def _name_list(names: Any, cond: str) -> set[str]:
+    # a bare string would silently become a CHARACTER set
+    # (set('url') == {'u','r','l'} -> constant-false condition)
+    if isinstance(names, str) or not isinstance(names, (list, tuple)):
+        raise RecipeError(f"{cond} needs a LIST of column names, got {names!r}")
+    return set(names)
+
+
 _cond("has_n_columns", 1, 1)(
     lambda ctx, n: F.lit(len(_user_cols(ctx)) == int(n))
 )
 _cond("has_columns_named", 1, 1)(
-    lambda ctx, names: F.lit(set(names) <= set(_user_cols(ctx)))
+    lambda ctx, names: F.lit(
+        _name_list(names, "has_columns_named") <= set(_user_cols(ctx))
+    )
 )
 _cond("column_names", 1, 1)(
-    lambda ctx, names: F.lit(set(names) == set(_user_cols(ctx)))
+    lambda ctx, names: F.lit(
+        _name_list(names, "column_names") == set(_user_cols(ctx))
+    )
 )
 
 ROWCOUNT_CONDITIONS = {"has_n_rows", "less_than_n_rows", "more_than_n_rows"}

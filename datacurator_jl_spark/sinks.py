@@ -139,29 +139,30 @@ def save_content(
     if fmt is None:
         ext = os.path.splitext(sink)[1].lower().lstrip(".")
         fmt = ext if ext in ("csv", "json", "txt", "parquet") else "parquet"
-    w = df.write.mode("overwrite")
-    for k, v in options.items():
-        if k != "url":
+
+    def writer(frame: DataFrame):
+        w = frame.write.mode("overwrite")
+        for k, v in options.items():  # ALL options reach every format
             w = w.option(k, v)
+        return w
+
     if fmt == "csv":
-        w.option("header", "true").csv(sink)
+        writer(df).option("header", "true").csv(sink)
     elif fmt == "json":
-        w.json(sink)
+        writer(df).json(sink)
     elif fmt in ("txt", "text"):
         out = df.select(
             F.concat_ws(
                 ",", *[F.col(c).cast("string") for c in df.columns]
             ).alias("value")
         )
-        out.write.mode("overwrite").text(sink)
+        writer(out).text(sink)
     elif fmt == "jdbc":
         if "url" not in options:
             raise ValueError("jdbc sink needs url=...")
-        df.write.mode("overwrite").format("jdbc").option(
-            "url", options["url"]
-        ).option("dbtable", sink).save()
+        writer(df).format("jdbc").option("dbtable", sink).save()
     else:
-        w.parquet(sink)
+        writer(df).parquet(sink)
 
 
 def concat_to_table(frames: list[DataFrame], out_path: str) -> None:
@@ -235,14 +236,11 @@ def write_outputs(result, output_dir: str, input_path: str | None = None) -> dic
         agg = spec.get("aggregator")
         if isinstance(agg, list):
             out, sink = run_aggregator_chain(result.file_list(name), agg)
-            path = p(f"list_{name}")
-            if sink in ("concat_to_table", "to_table"):
-                out.write.mode("overwrite").parquet(path)
-            else:
-                out.select(
-                    F.concat_ws(",", *[F.col(c).cast("string") for c in out.columns])
-                    .alias("value")
-                ).write.mode("overwrite").text(path)
+            save_content(
+                out,
+                p(f"list_{name}"),
+                fmt="parquet" if sink in ("concat_to_table", "to_table") else "txt",
+            )
             continue
         flush_file_list(
             result.file_list(name),

@@ -340,3 +340,20 @@ def test_line_ratio_heuristics_edges(spark):
     assert got[1] == (0.2, 0.2, 0.5)
     assert got[2] == (0.0, 0.0, 0.0)
     assert got[4] == (0.0, 0.5, 0.0)
+
+
+def test_near_dup_components_string_ids_converge(spark):
+    """Round-2 review regression: the old sum('comp') convergence probe
+    was null for STRING ids, silently stopping propagation after one
+    round. A 3-chain keyed so the min label needs 2 hops to reach the
+    far end must still fully converge."""
+    from datacurator_jl_spark.operators.dedup import near_dup_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [("m1", base + " x"), ("a0", base), ("z9", base + " x y")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    comps = {
+        r.doc: r.comp
+        for r in near_dup_components(df, "doc_id", "text", k=8, bands=8).collect()
+    }
+    assert comps == {"a0": "a0", "m1": "a0", "z9": "a0"}

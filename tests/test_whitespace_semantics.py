@@ -3,8 +3,8 @@
 Round-1 fuzz regression (VERDICT "What's wrong #1"): Spark ``F.trim``
 strips ONLY the space character, so ``has_text("\\n")`` and
 ``words("\\nfoo")`` diverged from the Python oracle / Arrow twin / DuckDB
-(all `\\S`-based). The spec is now pinned: token list = the ASCII
-``\\S+`` match list; has_text = "contains any ``\\S`` char".
+(all `[^ \\t\\n\\x0b\\f\\r]`-based). The spec is now pinned: token list = the ASCII
+``[^ \\t\\n\\x0b\\f\\r]+`` match list; has_text = "contains any ``[^ \\t\\n\\x0b\\f\\r]`` char".
 
 Every implementation (JVM Column expr, Arrow pandas batch, per-row
 Python oracle, DuckDB SQL) is asserted identical here on the falsifying
@@ -22,8 +22,11 @@ from datacurator_jl_spark.functions.arrow_stats import _token_stats_batch
 from datacurator_jl_spark.testing import oracle as O
 
 # the falsifying inputs from the round-1 fuzzer plus ordinary ones
+# NB "\x0b" (vertical tab): Java and Python(ASCII) \s include it, RE2's
+# does NOT — which is why every DuckDB oracle spells the whitespace class
+# out explicitly instead of using \s/\S (round-2 review finding).
 CASES = ["\n", "\nfoo", "\tbar ", " . ", "\t", "", "  ", "a b", "x\n\ny",
-         "\tthe fox", "the and of", None]
+         "\tthe fox", "the and of", "\x0b", "a\x0bb", None]
 
 
 def _spark_tok(spark, texts):
@@ -55,9 +58,9 @@ def test_tokenization_pinned_four_way(spark):
         nw_arrow = int(_token_stats_batch(pd.Series([t]))["nw"].iloc[0])
         # DuckDB
         w_duck, ht_duck, fp_duck = con.execute(
-            "SELECT regexp_extract_all(?, '\\S+'),"
-            " ? IS NOT NULL AND regexp_matches(?, '\\S'),"
-            " md5(trim(regexp_replace(lower(?), '\\s+', ' ', 'g')))",
+            "SELECT regexp_extract_all(?, '[^ \\t\\n\\x0b\\f\\r]+'),"
+            " ? IS NOT NULL AND regexp_matches(?, '[^ \\t\\n\\x0b\\f\\r]'),"
+            " md5(trim(regexp_replace(lower(?), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))",
             [t, t, t, t],
         ).fetchone()
         if t is None:
