@@ -1421,3 +1421,52 @@ def q18(spark, sf):
     return res.df.select(
         "doc_id", F.col("dc_kept").alias("keep"), F.col("dc_rule_id").alias("rule_id")
     )
+
+
+def _d18_sql() -> str:
+    from datacurator_jl_spark.functions.scrub import SCRUB_RULES
+
+    pii = "|".join(f"({p})" for _n, p, _r in SCRUB_RULES)
+    nws = r"[^ \t\n\x0b\f\r]"
+    ws = r"[ \t\n\x0b\f\r]"
+    return f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{nws}+')) AS nw,
+             length(regexp_replace(text, '{ws}', '', 'g')) AS nonws,
+             {_sql_lang_scores()}
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN nw > 0 THEN nonws::DOUBLE / nw END > 2.0
+        AND CASE WHEN nw > 0 THEN nonws::DOUBLE / nw END < 12.0 AS mwl_ok,
+      (CASE WHEN nw > 0 THEN
+         list_max(list_transform(regexp_extract_all(text, '{nws}+'), x -> length(x)))
+       ELSE 0 END) < 25 AS maxw_ok,
+      greatest(s_en, s_de, s_fr, s_es, s_it, s_zh) >= 2 AS lang_ok,
+      regexp_matches(text, '{pii}') AS has_pii
+    FROM f
+    """
+
+
+@_q("d18_condition_columns", _d18_sql())
+def d18(spark, sf):
+    """Registry conditions compiled EXACTLY as the engine compiles them
+    (compile_condition), emitted as boolean columns:
+    mean_word_length_between, max_word_length_below, lang_confident,
+    contains_pii — oracle coverage for the conditions d04's recipe does
+    not exercise."""
+    from datacurator_jl_spark.registry import RuleContext, compile_condition
+
+    d = _t(spark, sf, "documents")
+    ctx = RuleContext(
+        name_col="doc_id", text_col="text", html_col=None,
+        available_cols=d.columns,
+    )
+    return d.select(
+        "doc_id",
+        compile_condition(["mean_word_length_between", [2.0, 12.0]], ctx).alias("mwl_ok"),
+        compile_condition(["max_word_length_below", 25], ctx).alias("maxw_ok"),
+        compile_condition(["lang_confident", 2], ctx).alias("lang_ok"),
+        compile_condition("contains_pii", ctx).alias("has_pii"),
+    )
