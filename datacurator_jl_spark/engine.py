@@ -380,6 +380,24 @@ class Pipeline:
 
     def apply(self, df: DataFrame) -> CurationResult:
         spec = self.spec
+        # row-count gate (has_n_rows family): ONE count, computed only when
+        # a rule actually asks — on parquet sources this is a metadata-only
+        # scan (no column read), so the gate stays cheap at any scale.
+        # Computed on the RAW INPUT, before any dedup pre-pass: a
+        # table-shape assertion describes the table the user pointed at,
+        # not the post-dedup survivor set (and counting post-dedup would
+        # execute the whole LSH job once for the gate and again for the
+        # pipeline).
+        row_count = None
+        if self._uses_rowcount_condition():
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "row-count conditions (has_n_rows family) are batch-only: "
+                    "an unbounded stream has no row count"
+                )
+            row_count = df.count()
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
         # duplicate bytes — the standard curation-pipeline stage order
@@ -400,6 +418,10 @@ class Pipeline:
                 df = drop_exact_dupes(df, spec.name_col, spec.text_col)
             else:
                 df = drop_near_dupes(df, spec.name_col, spec.text_col)
+            # materialize the survivor set once: the quit gate, counters,
+            # file lists and the final write each execute the plan — the
+            # LSH + connected-components job must not run per action
+            df = df.localCheckpoint(eager=False)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps
         # the projections separate (CollapseProject refuses to inline a
@@ -411,19 +433,6 @@ class Pipeline:
         from datacurator_jl_spark.functions import text as X
 
         input_cols = list(df.columns)
-        # row-count gate (has_n_rows family): ONE count, computed only when
-        # a rule actually asks — on parquet sources this is a metadata-only
-        # scan (no column read), so the gate stays cheap at any scale.
-        row_count = None
-        if self._uses_rowcount_condition():
-            if df.isStreaming:
-                from datacurator_jl_spark.recipe import RecipeError
-
-                raise RecipeError(
-                    "row-count conditions (has_n_rows family) are batch-only: "
-                    "an unbounded stream has no row count"
-                )
-            row_count = df.count()
         if spec.text_col in df.columns:
             tcol = F.col(spec.text_col)
             if self.arrow_stats:

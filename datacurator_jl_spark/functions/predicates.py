@@ -76,8 +76,11 @@ def has_upper(col: Column) -> Column:
 
 
 def has_whitespace(col: Column) -> Column:
-    # reference treats comma and tab as whitespace too (src/DataCurator.jl:3177-3179)
-    return col.rlike(r"[\s,\t]")
+    # reference treats comma and tab as whitespace too
+    # (src/DataCurator.jl:3177-3179). The class is spelled explicitly
+    # (repo rule): Java \s == [ \t\n\x0b\f\r], but RE2 (DuckDB) excludes
+    # \x0b from \s — explicit classes keep all engines value-identical.
+    return col.rlike("[ \t\n\x0b\f\r,]")
 
 
 def is_hidden(col: Column) -> Column:

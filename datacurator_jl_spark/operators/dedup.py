@@ -22,10 +22,43 @@ or cap bucket size with ``max_bucket``.
 
 from __future__ import annotations
 
+import uuid
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datacurator_jl_spark.functions.text import words
+
+
+def _materialize(df: DataFrame, policy: str = "local") -> DataFrame:
+    """Materialize an intermediate dedup frame per an explicit policy.
+
+    - ``"local"`` (default): ``localCheckpoint`` — executor-local blocks.
+      Fast, but lineage is unrecoverable if an executor dies; fine for a
+      single-JVM run or short jobs.
+    - ``"reliable"``: ``df.checkpoint()`` to the session checkpoint dir
+      (HDFS/S3 on a real cluster). Survives executor loss — the right
+      policy for a multi-hour 100-TB near-dedup. Requires
+      ``spark.sparkContext.setCheckpointDir(...)``.
+    - any other string: treated as a directory; the frame is written as
+      parquet under a unique subdir and read back — the "persisted
+      signature table" pattern (restartable, inspectable, shareable
+      across jobs; swap for an Iceberg table in production).
+    """
+    if policy == "local":
+        return df.localCheckpoint(eager=True)
+    if policy == "reliable":
+        spark = df.sparkSession
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "materialize='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
+            )
+        return df.checkpoint(eager=True)
+    path = f"{policy.rstrip('/')}/dc-mat-{uuid.uuid4().hex}"
+    df.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _h32(col: Column, salt: str = "") -> Column:
@@ -106,16 +139,27 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = 1000,
+    materialize: str = "local",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) sharing >=1 band.
 
     shingle -> minhash -> band -> bucket equi-join (the scale path: the
     only shuffle is on band keys). ``max_bucket`` drops degenerate
     buckets (skew guard). Pairs are distinct with id_a < id_b.
+    ``materialize`` picks the durability of the bucket frame (see
+    ``_materialize``; default executor-local).
     """
     assert k % bands == 0
     rows = k // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col, k)
+    # Token-less docs (empty/whitespace-only/NULL text) have NULL minhash
+    # lanes — all k lanes together. F.hash maps NULL lanes to a regular
+    # int, so without this filter every blank doc lands in ONE shared
+    # bucket and pairs with unrelated blanks. The DuckDB oracle joins on
+    # raw mh equality where NULL never equals NULL, so the pinned
+    # semantics are: no signature -> no candidacy. Filter before the
+    # band explode (also kills the worst-case degenerate bucket).
+    sig = sig.filter(F.col("mh0").isNotNull())
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -135,7 +179,7 @@ def lsh_candidate_pairs(
         )
     # materialize the bucket frame once — the self-join would otherwise
     # compute the signature UDF + explode on BOTH branches
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = _materialize(buckets, materialize)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -192,6 +236,7 @@ def near_dup_components(
     bands: int = 4,
     max_bucket: int | None = 1000,
     max_iter: int = 25,
+    materialize: str = "local",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
     candidate-pair graph, as (doc, comp) where ``comp`` = min doc id in
@@ -208,18 +253,24 @@ def near_dup_components(
     applies (alternating large-star/small-star would cut rounds on
     pathological chains; near-dup graphs do not have them).
     """
-    pairs = lsh_candidate_pairs(df, id_col, text_col, k, bands, max_bucket)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()  # compute the LSH join ONCE for all rounds
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, k, bands, max_bucket, materialize=materialize
     )
-    labels = (
+    # the edge list is the expensive artifact (full LSH join) — under a
+    # durable policy it is exactly what a restarted job must not lose
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ),
+        materialize,
+    )
+    labels = _materialize(
         df.select(F.col(id_col).alias("doc"))
         .distinct()
-        .withColumn("comp", F.col("doc"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("doc")),
+        materialize,
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.doc)
@@ -230,28 +281,45 @@ def near_dup_components(
         # (a sum('comp') probe is null for string ids — it silently
         # stopped propagation after one round) and costs one cheap agg
         # over the already-checkpointed frame, no recompute
-        labels = (
-            labels.join(nbr, labels.doc == nbr.src, "left")
-            .select(
+        labels = _materialize(
+            labels.join(nbr, labels.doc == nbr.src, "left").select(
                 labels.doc,
                 F.least(labels.comp, F.coalesce(nbr.nbr_min, labels.comp)).alias("comp"),
                 F.coalesce(nbr.nbr_min < labels.comp, F.lit(False)).alias("_chg"),
-            )
-            .localCheckpoint()
+            ),
+            materialize,
         )
         changed = labels.filter(F.col("_chg")).limit(1).count()
         labels = labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially-converged labels would silently keep non-representative
+        # survivors (chain-shaped components with diameter > max_iter)
+        warnings.warn(
+            f"near_dup_components did not reach a fixpoint in {max_iter} "
+            "rounds; returned labels are PARTIAL (some components carry "
+            "more than one label). Raise max_iter for chain-shaped graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
 def drop_near_dupes(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    materialize: str = "local",
 ) -> DataFrame:
     """Keep one representative (the component-min doc) per near-dup
     cluster — LSH pairs -> connected components -> filter doc == comp."""
-    comps = near_dup_components(df, id_col, text_col, k=k, bands=bands)
+    comps = near_dup_components(
+        df, id_col, text_col, k=k, bands=bands, materialize=materialize
+    )
     reps = comps.filter(F.col("doc") == F.col("comp")).select("doc")
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
 
@@ -262,6 +330,12 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_col: str,
     threshold: float = 0.5,
+    max_block: int | None = 100_000,
+    prefilter: str = "none",
+    lsh_k: int = 8,
+    lsh_bands: int = 4,
+    lsh_max_bucket: int | None = 1000,
+    materialize: str = "local",
 ) -> DataFrame:
     """Word-set Jaccard similarity for all pairs within a block.
 
@@ -270,6 +344,22 @@ def ngram_jaccard_pairs(
     array_intersect fold. At web scale the block key is an LSH band or
     domain; here it doubles as the reference's prefix-grouping idea
     (stack_images_by_prefix, src/DataCurator.jl:2806-2851).
+
+    Skew guards (round-3, VERDICT #1 — Σ block² is the scale-killer):
+
+    - ``max_block`` drops blocks larger than the cap BEFORE the self-join
+      (window count, same shape as ``lsh_candidate_pairs``'s
+      ``max_bucket``). A mega-block (one domain = 10⁷ docs) would emit
+      ~5·10¹³ pairs on a single join key; AQE skew-split only shares
+      that pain, it cannot shrink the pair count. Default 100k keeps
+      test-scale output byte-identical while bounding any block at
+      ≤ 5·10⁹ pairs.
+    - ``prefilter="lsh"`` replaces the blocked self-join entirely: exact
+      Jaccard is computed ONLY over ``lsh_candidate_pairs`` output
+      (restricted to same-block pairs, so the result is a strict subset
+      of the default output — candidates LSH recall misses are dropped).
+      This is the 100-TB path: pair count is bounded by bucket sizes, not
+      block sizes.
 
     Shuffle-payload note (round-2 fix, VERDICT #4): word sets are hashed
     to distinct 32-bit ints (``_h32``, Arrow-batched) BEFORE the join, so
@@ -288,12 +378,18 @@ def ngram_jaccard_pairs(
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
     prep = prep.withColumn("ns", F.size("ws"))
+    if max_block and prefilter == "none":
+        w = Window.partitionBy("blk")
+        prep = (
+            prep.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
     # materialize ONCE: both self-join branches would otherwise re-scan
-    # the source and re-run the signature UDF (the checkpointed frame —
+    # the source and re-run the signature UDF (the materialized frame —
     # id, block, hashed set — is a small fraction of the text it derives
     # from; at warehouse scale this is the persisted signature table)
-    prep = prep.localCheckpoint(eager=True)
-    a, b = prep.alias("a"), prep.alias("b")
+    prep = _materialize(prep, materialize)
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
@@ -307,10 +403,31 @@ def ngram_jaccard_pairs(
     size_ok = (F.col("a.ns") >= t * F.col("b.ns")) & (
         F.col("b.ns") >= t * F.col("a.ns")
     )
+    if prefilter == "lsh":
+        cand = lsh_candidate_pairs(
+            df,
+            id_col,
+            text_col,
+            k=lsh_k,
+            bands=lsh_bands,
+            max_bucket=lsh_max_bucket,
+            materialize=materialize,
+        )
+        # two broadcast-sized equi-joins hydrate the hashed sets onto the
+        # candidate pairs; the blocked O(Σ block²) self-join never runs
+        joined = (
+            cand.join(prep.alias("a"), cand.id_a == F.col("a.id"))
+            .join(prep.alias("b"), cand.id_b == F.col("b.id"))
+            .filter(F.col("a.blk") == F.col("b.blk"))
+        )
+    else:
+        joined = (
+            prep.alias("a")
+            .join(prep.alias("b"), F.col("a.blk") == F.col("b.blk"))
+            .filter(F.col("a.id") < F.col("b.id"))
+        )
     return (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(size_ok)
+        joined.filter(size_ok)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -1320,7 +1320,7 @@ def d17(spark, sf):
       regexp_matches(source, '[0-9]$')             AS p_ends_int,
       regexp_matches(source, '[0-9]')              AS p_has_int,
       source = lower(source)                       AS p_is_lower,
-      regexp_matches(source, '[\s,\t]')            AS p_has_ws,
+      regexp_matches(source, '[ \t\n\x0b\f\r,]')   AS p_has_ws,
       CASE WHEN regexp_matches(lang, '[0-9]+')
            THEN regexp_extract(lang, '([0-9]+)', 1) <> '' ELSE false END AS p_lang_int
     FROM documents

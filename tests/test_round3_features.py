@@ -1,0 +1,228 @@
+"""Round-3 coverage: NULL-signature LSH semantics (token-less docs never
+pair — the ADVICE medium finding), Jaccard block-size skew guards
+(max_block / LSH prefilter), explicit materialization policies for the
+dedup path, near-dup non-convergence warning, and pre-dedup row-count
+semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from datacurator_jl_spark.engine import Pipeline
+from datacurator_jl_spark.operators import dedup as DD
+from datacurator_jl_spark.recipe import parse_recipe
+
+
+# --- token-less docs in the LSH path (ADVICE r2, medium) --------------------
+#
+# Blank docs (empty / whitespace-only / NULL text) have NULL minhash
+# signatures. The pinned semantics — matching the DuckDB oracle, where
+# NULL never equals NULL — are: no signature => no candidacy. Before the
+# round-3 fix, F.hash mapped the NULL lanes to a regular band key and
+# every blank doc paired with every other blank doc.
+
+_BLANKY_ROWS = [
+    ("a1", "the quick brown fox jumps over the lazy dog", "s1"),
+    ("a2", "the quick brown fox jumps over the lazy dog", "s1"),
+    ("b1", "", "s1"),
+    ("b2", "   \n\t ", "s1"),
+    ("b3", None, "s2"),
+    ("b4", "\x0b", "s2"),  # vertical tab only: token-less in Java/Python
+    ("c1", "completely different words entirely here", "s2"),
+]
+
+
+@pytest.fixture(scope="module")
+def blanky_df(spark):
+    return spark.createDataFrame(
+        _BLANKY_ROWS, "doc_id string, text string, source string"
+    ).cache()
+
+
+def test_tokenless_docs_never_pair(blanky_df):
+    pairs = DD.lsh_candidate_pairs(blanky_df, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {("a1", "a2")}  # blanks pair with nothing, incl. each other
+
+
+def test_tokenless_docs_survive_near_dedup(blanky_df):
+    kept = {
+        r.doc_id
+        for r in DD.drop_near_dupes(blanky_df, "doc_id", "text").select("doc_id").collect()
+    }
+    # ALL blank docs survive (each its own singleton); only the real dup drops
+    assert kept == {"a1", "b1", "b2", "b3", "b4", "c1"}
+
+
+def test_tokenless_components_match_duckdb_oracle(spark, blanky_df):
+    """The d14 oracle gate at sf0.01 has zero token-less docs; this runs
+    the SAME recursive-CTE DuckDB oracle over a corpus that has them."""
+    import duckdb
+
+    from datacurator_jl_spark.queries import ORACLES
+
+    got = (
+        DD.near_dup_components(blanky_df, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(_BLANKY_ROWS, columns=["doc_id", "text", "source"]),
+    )
+    exp = (
+        con.execute(ORACLES["d14_near_dup_components"])
+        .df()
+        .sort_values("doc")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc"]) == list(exp["doc"])
+    assert list(got["comp"]) == list(exp["comp"])
+
+
+def test_dedup_near_prepass_keeps_blank_docs(spark, blanky_df):
+    """`[global] dedup = "near"` inherits the NULL-signature fix: a
+    NULL-text row must NOT be dropped as a 'near-duplicate' of an
+    unrelated empty row."""
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "dedup": "near"},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    df = blanky_df.withColumnRenamed("doc_id", "url")
+    out = Pipeline(spec).apply(df).df
+    kept = {r.url for r in out.select("url").collect()}
+    assert {"b1", "b2", "b3", "b4"} <= kept
+
+
+# --- Jaccard block-size skew guards (VERDICT r2 #1) --------------------------
+
+
+def _jaccard_corpus(spark, mega: int = 30, small: int = 4):
+    # one mega-block of identical docs + one small block of near-dups
+    rows = [(f"m{i:03d}", "alpha beta gamma delta", "mega") for i in range(mega)]
+    rows += [(f"s{i}", "one two three four five six seven", "small") for i in range(small)]
+    return spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+
+def test_max_block_caps_mega_blocks(spark):
+    df = _jaccard_corpus(spark)
+    uncapped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", "source", 0.5, max_block=None
+    )
+    assert uncapped.count() == 30 * 29 // 2 + 4 * 3 // 2
+    capped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", "source", 0.5, max_block=10
+    ).collect()
+    # mega-block dropped entirely (same drop semantics as max_bucket);
+    # blocks under the cap are untouched
+    assert {(r.id_a, r.id_b) for r in capped} == {
+        (f"s{i}", f"s{j}") for i in range(4) for j in range(i + 1, 4)
+    }
+
+
+def test_lsh_prefilter_is_subset_and_exact(spark):
+    df = _jaccard_corpus(spark, mega=8, small=4)
+    default = DD.ngram_jaccard_pairs(df, "doc_id", "text", "source", 0.5, max_block=None)
+    pre = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", "source", 0.5, prefilter="lsh"
+    )
+    dflt = {(r.id_a, r.id_b): r.jaccard for r in default.collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in pre.collect()}
+    cand = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(df, "doc_id", "text").collect()
+    }
+    # exact Jaccard over the LSH candidate set: subset of the default
+    # output, identical values, and exactly the candidates that pass
+    assert set(got) <= set(dflt)
+    assert got == {k: v for k, v in dflt.items() if k in cand}
+    assert got  # non-degenerate: identical docs are sure LSH candidates
+
+
+# --- materialization policies (VERDICT r2 #2) --------------------------------
+
+
+def test_materialize_policies_agree(spark, blanky_df, tmp_path):
+    local = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(blanky_df, "doc_id", "text").collect()
+    }
+
+    # 'reliable' without a checkpoint dir is an explicit, early error
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            DD.lsh_candidate_pairs(
+                blanky_df, "doc_id", "text", materialize="reliable"
+            )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(
+            blanky_df, "doc_id", "text", materialize="reliable"
+        ).collect()
+    }
+    assert reliable == local
+    assert glob.glob(str(tmp_path / "ckpt" / "**" / "rdd-*"), recursive=True)
+
+    sig_dir = str(tmp_path / "sigs")
+    path_pol = {
+        (r.id_a, r.id_b)
+        for r in DD.lsh_candidate_pairs(
+            blanky_df, "doc_id", "text", materialize=sig_dir
+        ).collect()
+    }
+    assert path_pol == local
+    # the signature table was persisted as real parquet (restartable)
+    written = glob.glob(os.path.join(sig_dir, "dc-mat-*", "*.parquet"))
+    assert written
+
+
+def test_materialize_policies_agree_components(spark, blanky_df, tmp_path):
+    base = DD.near_dup_components(blanky_df, "doc_id", "text").collect()
+    durable = DD.near_dup_components(
+        blanky_df, "doc_id", "text", materialize=str(tmp_path / "mats")
+    ).collect()
+    assert {(r.doc, r.comp) for r in base} == {(r.doc, r.comp) for r in durable}
+
+
+# --- non-convergence warning (ADVICE r2, low) --------------------------------
+
+
+def test_near_dup_components_warns_on_non_convergence(spark):
+    rows = [
+        ("a", "identical twin text body"),
+        ("b", "identical twin text body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # max_iter=1: round 1 still flips b's label, so the loop exits without
+    # observing a fixpoint and must say so instead of silently returning
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        DD.near_dup_components(df, "doc_id", "text", max_iter=1)
+
+
+# --- pre-dedup row-count semantics (ADVICE r2, low) ---------------------------
+
+
+def test_has_n_rows_asserts_input_cardinality(spark):
+    rows = [("u1", "same text"), ("u2", "same text"), ("u3", "other")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "dedup": "exact"},
+            "any": {"conditions": [["has_n_rows", 3]], "actions": ["keep"]},
+        }
+    )
+    out = Pipeline(spec).apply(df).df
+    # 3 input rows (the shape assertion target) -> condition true;
+    # 2 survive the exact-dedup pre-pass
+    assert out.count() == 2
+    assert {r.dc_rule_id for r in out.collect()} == {"any:0:has_n_rows"}

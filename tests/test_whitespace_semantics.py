@@ -73,6 +73,26 @@ def test_tokenization_pinned_four_way(spark):
             assert fp_spark == fp_duck, (t, fp_spark, fp_duck)
 
 
+def test_has_whitespace_vertical_tab_cross_engine(spark):
+    """has_whitespace must agree with its DuckDB oracle on \\x0b — both
+    sides now spell the class explicitly (`[ \\t\\n\\x0b\\f\\r,]`) because
+    RE2's \\s excludes vertical tab while Java's includes it (ADVICE r2)."""
+    from datacurator_jl_spark.functions import predicates as P
+
+    names = ["a\x0bb", "a b", "a,b", "a\tb", "plain", ""]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(names)), "s": names}), "i int, s string"
+    )
+    got = {r.i: r.ws for r in df.select("i", P.has_whitespace(F.col("s")).alias("ws")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(names):
+        (exp,) = con.execute(
+            "SELECT regexp_matches(?, '[ \\t\\n\\x0b\\f\\r,]')", [s]
+        ).fetchone()
+        assert got[i] == exp, (s, got[i], exp)
+    assert got[0] is True  # the RE2-divergence case itself
+
+
 def test_fuzz_falsifying_example_labels(spark, flagship_spec):
     """The exact round-1 failing fuzz input, pinned forever."""
     from datacurator_jl_spark.engine import Pipeline
