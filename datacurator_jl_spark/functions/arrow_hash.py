@@ -29,6 +29,7 @@ the python-level loop touches only batch-NEW words.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 
 import numpy as np
@@ -39,7 +40,7 @@ from pyspark.sql import types as T
 
 _TOKEN_RE = re.compile(r"\S+", re.ASCII)  # pinned: text.words semantics
 
-_CACHE_CAP = 4_000_000  # safety valve; vocab rarely exceeds this
+_CACHE_CAP = 4_000_000  # per-worker memory bound per (fn, config) cache
 
 # word -> np.int64[k] of minhash lanes, per k
 _MH_CACHES: dict[int, dict[str, np.ndarray]] = {}
@@ -47,6 +48,29 @@ _MH_CACHES: dict[int, dict[str, np.ndarray]] = {}
 _SH_CACHES: dict[int, dict[str, np.ndarray]] = {}
 # word -> h32 int
 _H32_CACHE: dict[str, int] = {}
+
+
+def _lru_get(cache: dict, key: str):
+    """Cache lookup that refreshes recency: python dicts are
+    insertion-ordered, so re-inserting a hit moves it to the back and
+    eviction from the front becomes least-recently-USED, not merely
+    least-recently-inserted."""
+    v = cache.get(key)
+    if v is not None:
+        del cache[key]
+        cache[key] = v
+    return v
+
+
+def _lru_evict(cache: dict) -> None:
+    """Evict from the front (least recent) down to 3/4 of the cap —
+    smooth recency eviction instead of the round-2 clear-all valve, which
+    dropped the whole Zipf head (hundreds of MB re-hashed) at once."""
+    if len(cache) <= _CACHE_CAP:
+        return
+    drop = len(cache) - (_CACHE_CAP * 3) // 4
+    for k in list(itertools.islice(iter(cache), drop)):
+        del cache[k]
 
 
 def _md5_prefix_int(data: bytes, nhex: int) -> int:
@@ -64,8 +88,7 @@ def _distinct_token_pairs(texts: pd.Series) -> pd.DataFrame:
 
 def _minhash_batch(texts: pd.Series, k: int) -> pd.DataFrame:
     cache = _MH_CACHES.setdefault(k, {})
-    if len(cache) > _CACHE_CAP:  # pragma: no cover - safety valve
-        cache.clear()
+    _lru_evict(cache)
     pairs = _distinct_token_pairs(texts)
     cols = [f"mh{i}" for i in range(k)]
     if pairs.empty:
@@ -75,7 +98,7 @@ def _minhash_batch(texts: pd.Series, k: int) -> pd.DataFrame:
     lanes = np.empty((len(uniques), k), dtype=np.int64)
     salts = [f"#{i}".encode() for i in range(k)]
     for ui, w in enumerate(uniques):
-        v = cache.get(w)
+        v = _lru_get(cache, w)
         if v is None:
             wb = w.encode("utf-8")
             v = np.fromiter(
@@ -92,8 +115,7 @@ def _minhash_batch(texts: pd.Series, k: int) -> pd.DataFrame:
 
 def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
     cache = _SH_CACHES.setdefault(bits, {})
-    if len(cache) > _CACHE_CAP:  # pragma: no cover - safety valve
-        cache.clear()
+    _lru_evict(cache)
     pairs = _distinct_token_pairs(texts)
     out = pd.Series(0, index=texts.index, dtype="int64")
     if pairs.empty:
@@ -102,7 +124,7 @@ def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
     contrib = np.empty((len(uniques), bits), dtype=np.int64)
     jidx = np.arange(bits)
     for ui, w in enumerate(uniques):
-        v = cache.get(w)
+        v = _lru_get(cache, w)
         if v is None:
             h = _md5_prefix_int(w.encode("utf-8"), 15)  # 60-bit word hash
             v = (((h >> jidx) & 1) * 2 - 1).astype(np.int64)
@@ -115,8 +137,7 @@ def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
 
 
 def _h32_wordset_batch(texts: pd.Series) -> pd.Series:
-    if len(_H32_CACHE) > _CACHE_CAP:  # pragma: no cover - safety valve
-        _H32_CACHE.clear()
+    _lru_evict(_H32_CACHE)
     toks = texts.str.lower().str.findall(_TOKEN_RE)
 
     def row_set(ws):
@@ -125,7 +146,7 @@ def _h32_wordset_batch(texts: pd.Series) -> pd.Series:
         seen = []
         have = set()
         for w in ws:
-            h = _H32_CACHE.get(w)
+            h = _lru_get(_H32_CACHE, w)
             if h is None:
                 h = _md5_prefix_int(w.encode("utf-8"), 8)
                 _H32_CACHE[w] = h

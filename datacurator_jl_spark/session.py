@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # optional JDBC driver jar (round-3, VERDICT #8): point
+    # SPARK_GRAFT_JDBC_JAR at a driver (e.g. sqlite-jdbc) and the
+    # load_jdbc / jdbc-sink codepaths become live; unset, they stay
+    # dormant (no jar ships in this container)
+    jdbc_jar = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if jdbc_jar:
+        builder = builder.config("spark.jars", jdbc_jar)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -68,3 +68,39 @@ def test_resize_images_fake_plumbing(spark, docs_df):
     rows = out.collect()
     assert all(r.resized_w == 224 and r.resized_h == 224 for r in rows)
     assert all(len(r.resized or b"") <= 224 * 224 // 64 for r in rows)
+
+
+def test_decode_images_real_pillow(spark):
+    """The optional-import real-decoder branch (round-3): runs only where
+    Pillow exists; elsewhere the seam is still covered by the
+    ImportError-guidance assertion below."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), color=(10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([("i1", buf.getvalue()), ("i2", b"junk")],
+                               "url string, html binary")
+    rows = {r.url: r for r in decode_images(df, fake=False).collect()}
+    assert (rows["i1"].width, rows["i1"].height, rows["i1"].n_channels) == (8, 4, 3)
+    assert rows["i1"].decode_ok and not rows["i2"].decode_ok
+
+
+def test_decode_images_import_guidance_without_pillow(spark, docs_df):
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; guidance branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        decode_images(docs_df.select("url", "html").limit(2), fake=False).collect()
+    # the worker-side ImportError (with install guidance) surfaces in the
+    # driver-side error chain
+    assert "Pillow" in str(ei.value) or "Pillow" in repr(ei.getrepr())

@@ -209,6 +209,82 @@ def test_near_dup_components_warns_on_non_convergence(spark):
         DD.near_dup_components(df, "doc_id", "text", max_iter=1)
 
 
+# --- arrow_hash LRU caches (VERDICT r2 minor #3) ------------------------------
+
+
+def test_arrow_hash_lru_eviction(monkeypatch):
+    """The per-worker word caches evict by recency instead of the old
+    clear-all valve: recently-USED words survive an overflow, values are
+    identical before and after re-derivation."""
+    from datacurator_jl_spark.functions import arrow_hash as AH
+
+    monkeypatch.setattr(AH, "_CACHE_CAP", 10)
+    AH._MH_CACHES.pop(3, None)
+    sig1 = AH._minhash_batch(pd.Series([" ".join(f"w{i}" for i in range(12))]), 3)
+    cache = AH._MH_CACHES[3]
+    assert len(cache) == 12  # eviction runs at NEXT batch entry
+    AH._minhash_batch(pd.Series(["w0"]), 3)  # overflow -> evict to 7, re-add w0
+    assert len(cache) == 8 and "w0" in cache
+    # refresh w0/w5 recency, push past the cap, overflow on the next batch
+    AH._minhash_batch(pd.Series(["w0 w5 n1 n2 n3"]), 3)
+    AH._minhash_batch(pd.Series(["zz"]), 3)
+    assert {"w0", "w5", "n1", "n2", "n3"} <= set(cache)  # recent survive
+    assert "w6" not in cache and "w7" not in cache  # stale evicted
+    assert len(cache) <= 10
+    # determinism across eviction: recomputed lanes equal the originals
+    sig2 = AH._minhash_batch(pd.Series([" ".join(f"w{i}" for i in range(12))]), 3)
+    assert sig1.equals(sig2)
+    AH._MH_CACHES.pop(3, None)
+
+
+# --- domain-quota input-skew pre-cap (VERDICT r2 minor #3) -------------------
+
+
+def test_domain_precap_bounds_shuffle_input():
+    """The stateless pre-cap ahead of the stateful quota shuffle: at most
+    `quota` rows per domain leave each partition, in arrival order, and
+    no row the global quota would admit is ever dropped."""
+    from datacurator_jl_spark.streaming.stream import _domain_precap
+
+    b1 = pd.DataFrame({"_domain": ["big"] * 6 + ["small", None], "_key": [f"k{i}" for i in range(8)]})
+    b2 = pd.DataFrame({"_domain": ["big", "big", None, None, None], "_key": [f"j{i}" for i in range(5)]})
+    out = pd.concat(list(_domain_precap(3)(iter([b1, b2]))))
+    # per domain (incl. null), at most quota=3 admitted across the
+    # partition's batches, and they are the FIRST arrivals
+    assert list(out["_key"]) == ["k0", "k1", "k2", "k6", "k7", "j2", "j3"]
+
+
+def test_domain_quota_stream_capped_after_precap(spark, tmp_path):
+    from datacurator_jl_spark.streaming.stream import domain_quota_stream
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://big.com/{i}" for i in range(40)]
+            + [f"http://tiny.org/{i}" for i in range(2)],
+            "text": ["x"] * 42,
+        }
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("url string, text string").parquet(src)
+    q = (
+        domain_quota_stream(stream, quota=5)
+        .writeStream.format("memory")
+        .queryName("precapstream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    counts = {
+        r.domain: r.n
+        for r in spark.sql(
+            "select domain, count(*) n from precapstream group by domain"
+        ).collect()
+    }
+    assert counts == {"big.com": 5, "tiny.org": 2}
+
+
 # --- pre-dedup row-count semantics (ADVICE r2, low) ---------------------------
 
 

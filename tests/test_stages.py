@@ -46,6 +46,68 @@ def test_fake_models_deterministic(spark, docs_df):
     assert a == b
 
 
+def test_langid_model_path_contract(spark, docs_df, tmp_path, monkeypatch):
+    """The path-configured loader seam (round-3): DC_LANGID_MODEL (or an
+    explicit model_path) activates a file-backed model; unset falls back
+    to the deterministic stand-in. The fixture model votes for a language
+    that does NOT exist in the stand-in's marker table, proving the file
+    was actually loaded on the worker."""
+    import json
+
+    from datacurator_jl_spark.plans.stages import (
+        FakeLangModel,
+        JsonMarkerLangModel,
+        load_langid_model,
+    )
+
+    model = tmp_path / "markers.json"
+    model.write_text(json.dumps({"xx": ["zorp"], "en": ["the"]}))
+
+    # loader resolution: stand-in without a path, fixture with one
+    assert isinstance(load_langid_model(None), FakeLangModel)
+    assert isinstance(load_langid_model(str(model)), JsonMarkerLangModel)
+    monkeypatch.setenv("DC_LANGID_MODEL", str(model))
+    assert isinstance(load_langid_model(None), JsonMarkerLangModel)
+
+    df = spark.createDataFrame(
+        [("u1", "zorp zorp zorp"), ("u2", "the cat sat")], "url string, text string"
+    )
+    out = {
+        r.url: r.lang_pred
+        for r in StagePlanner().add(langid_stage()).apply(df).collect()
+    }
+    assert out == {"u1": "xx", "u2": "en"}
+
+    monkeypatch.delenv("DC_LANGID_MODEL")
+    out_standin = {
+        r.url: r.lang_pred
+        for r in StagePlanner().add(langid_stage()).apply(df).collect()
+    }
+    assert out_standin["u1"] != "xx"  # stand-in has no 'zorp' marker
+
+
+def test_perplexity_model_path_contract(spark, monkeypatch, tmp_path):
+    import json
+
+    import pytest
+
+    from datacurator_jl_spark.plans.stages import load_langid_model
+
+    model = tmp_path / "unigram.json"
+    model.write_text(json.dumps({"words": {"foo": 1.0, "bar": 3.0}, "unk": 100.0}))
+    monkeypatch.setenv("DC_KENLM_MODEL", str(model))
+    df = spark.createDataFrame(
+        [("u1", "foo bar"), ("u2", "foo nope"), ("u3", "")], "url string, text string"
+    )
+    out = {
+        r.url: r.ppl for r in StagePlanner().add(perplexity_stage()).apply(df).collect()
+    }
+    assert out == {"u1": 2.0, "u2": 50.5, "u3": 1e6}
+    # a non-.json path without the real lib is an explicit, early error
+    with pytest.raises(RuntimeError, match="fasttext"):
+        load_langid_model("/nonexistent/lid.176.bin")
+
+
 def test_python_bridge_condition(spark, docs_df, tmp_path):
     """Reference lookup/decode_python parity: ['python', 'mod.fn', args]
     resolves eagerly and runs as an Arrow-batched predicate."""
