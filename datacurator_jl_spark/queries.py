@@ -1449,6 +1449,76 @@ def _d18_sql() -> str:
     """
 
 
+@_q(
+    "d19_jaccard_lsh_prefilter",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM w a
+    JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    JOIN sig sa ON sa.doc_id = a.doc_id
+    JOIN sig sb ON sb.doc_id = b.doc_id
+    WHERE ((sa.mh0 = sb.mh0 AND sa.mh1 = sb.mh1) OR
+           (sa.mh2 = sb.mh2 AND sa.mh3 = sb.mh3) OR
+           (sa.mh4 = sb.mh4 AND sa.mh5 = sb.mh5) OR
+           (sa.mh6 = sb.mh6 AND sa.mh7 = sb.mh7))
+      AND round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.6
+    """,
+)
+def d19(spark, sf):
+    """Exact Jaccard restricted to MinHash-LSH candidates — the 100-TB
+    near-dup scoring path (round-3): pair count bounded by LSH bucket
+    sizes instead of Σ block², with exact similarities on the survivors.
+    The oracle restates the prefilter declaratively as band equality."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", "source",
+        threshold=0.6, prefilter="lsh",
+    )
+
+
+@_q(
+    "d20_jaccard_block_cap",
+    """
+    WITH ok AS (
+      SELECT lang FROM documents GROUP BY lang HAVING count(*) <= 100
+    ),
+    w AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
+      FROM documents JOIN ok USING (lang)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+    FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) >= 0.6
+    """,
+)
+def d20(spark, sf):
+    """Blocked Jaccard with the max_block skew cap live: blocking on
+    ``lang`` makes the head block ('en', 218 docs at sf0.01) exceed the
+    cap and drop — the degenerate-block guard semantics (same contract as
+    lsh_candidate_pairs.max_bucket), oracle-stated as a HAVING filter."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", "lang",
+        threshold=0.6, max_block=100,
+    )
+
+
 @_q("d18_condition_columns", _d18_sql())
 def d18(spark, sf):
     """Registry conditions compiled EXACTLY as the engine compiles them
