@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+# The flagship is measured at the VM's measured saturation knee (~8-16
+# busy cores for string-heavy work on this shared box, BENCH.md): beyond
+# it, extra local threads only add memory-subsystem contention. This
+# matches production executor sizing (4-8 cores/executor) — the cluster
+# scales by executor count, each in this regime.
+FLAGSHIP_CPUS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_CPUS", str(min(CPUS, 16))))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
 
@@ -86,6 +92,55 @@ def flagship_pipeline(spark, docs_path: str):
     return Pipeline(spec).apply(df).df
 
 
+_FLAGSHIP_WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from datacurator_jl_spark.session import get_spark
+from bench import flagship_pipeline, ensure_bench_docs
+s = get_spark("bench-flagship", cores={cores}, shuffle_partitions={cores})
+path = ensure_bench_docs(s, {docs})
+df = flagship_pipeline(s, path)
+# warm the PIPELINE on a small slice: python-worker spin-up +
+# whole-stage-codegen JIT happen here, so the timed runs measure
+# steady-state throughput, not startup
+df.limit(5000).write.format("noop").mode("overwrite").save()
+runs = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    runs.append(round(time.perf_counter() - t0, 3))
+print("FLAGSHIP " + json.dumps({{"cold": runs[0], "warm": min(runs[1:]), "runs": runs}}))
+s.stop()
+"""
+
+
+def _measure_flagship_fresh_jvm() -> dict:
+    """Measure the flagship in a FRESH JVM subprocess (round-3 fix): the
+    in-session number the driver records used to inherit whatever heap/GC
+    state the 21-query suite left behind (28.4 s in-session vs 13.6 s
+    quiet-window in round 2). A dedicated JVM at the knee parallelism
+    reproduces the scripts/bench_scaling.py protocol inside bench.py.
+    Reports cold (first timed run after the pipeline warmup) AND warm
+    (min of the remaining runs); the headline uses warm."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _FLAGSHIP_WORKER.format(repo=repo, cores=FLAGSHIP_CPUS, docs=BENCH_DOCS),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("FLAGSHIP "):
+            return json.loads(line[len("FLAGSHIP "):])
+    raise RuntimeError(f"flagship worker failed:\n{out.stderr[-2000:]}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["flagship", "suite", "all"], default="all")
@@ -118,21 +173,15 @@ def main() -> int:
             timings[name] = round(best, 3)
 
     if args.only in ("flagship", "all"):
-        docs_path = ensure_bench_docs(spark, BENCH_DOCS)
-        # warm the PIPELINE itself on a small slice (python-worker
-        # spin-up + whole-stage-codegen JIT happen here, matching
-        # scripts/bench_scaling.py's protocol) so the timed run measures
-        # steady-state throughput, not startup
-        flagship = flagship_pipeline(spark, docs_path)
-        _noop_write(flagship.limit(5000))
-        dt = float("inf")
-        for _ in range(2):  # min-of-2, same burst rationale as the suite
-            t0 = time.perf_counter()
-            _noop_write(flagship)
-            dt = min(dt, time.perf_counter() - t0)
-        timings["flagship_quality_pipeline"] = round(dt, 3)
+        # ensure the corpus exists before the subprocess measures (the
+        # generation cost must never land inside a timed window)
+        ensure_bench_docs(spark, BENCH_DOCS)
+        fm = _measure_flagship_fresh_jvm()
+        timings["flagship_quality_pipeline"] = fm["warm"]
+        extras["flagship_cold_sec"] = fm["cold"]
         extras["flagship_docs"] = BENCH_DOCS
-        extras["flagship_docs_per_sec"] = round(BENCH_DOCS / dt, 1)
+        extras["flagship_docs_per_sec"] = round(BENCH_DOCS / fm["warm"], 1)
+        extras["flagship_cpus"] = FLAGSHIP_CPUS
         extras["cpus"] = CPUS
 
     total = round(sum(timings.values()), 3)
