@@ -417,7 +417,12 @@ class Pipeline:
             if spec.dedup == "exact":
                 df = drop_exact_dupes(df, spec.name_col, spec.text_col)
             else:
-                df = drop_near_dupes(df, spec.name_col, spec.text_col)
+                df = drop_near_dupes(
+                    df,
+                    spec.name_col,
+                    spec.text_col,
+                    materialize=spec.dedup_materialize,
+                )
             # materialize the survivor set once: the quit gate, counters,
             # file lists and the final write each execute the plan — the
             # LSH + connected-components job must not run per action

@@ -83,6 +83,11 @@ class RecipeSpec:
     # (min-id per identical text) | 'near' (LSH + connected components,
     # component-min representative)
     dedup: str | None = None
+    # materialization policy for the near-dedup intermediates (signature
+    # buckets, edge list, per-round labels): 'local' (executor-local
+    # checkpoint) | 'reliable' (Spark checkpoint dir) | a directory path
+    # (persisted parquet signature tables) — operators/dedup._materialize
+    dedup_materialize: str = "local"
 
     @property
     def rules(self) -> list[Rule]:
@@ -103,6 +108,7 @@ _GLOBAL_KEYS = {
     "counters",
     "file_lists",
     "dedup",
+    "dedup_materialize",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -131,6 +137,7 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
         inputdirectory=g.get("inputdirectory"),
         outputdirectory=g.get("outputdirectory"),
         dedup=g.get("dedup"),
+        dedup_materialize=str(g.get("dedup_materialize", "local")),
         common_conditions=dict(g.get("common_conditions", {})),
         common_actions=dict(g.get("common_actions", {})),
     )

@@ -194,6 +194,26 @@ def test_materialize_policies_agree_components(spark, blanky_df, tmp_path):
     assert {(r.doc, r.comp) for r in base} == {(r.doc, r.comp) for r in durable}
 
 
+def test_recipe_level_dedup_materialize(spark, blanky_df, tmp_path):
+    """`[global] dedup_materialize = <dir>` routes the near-dedup
+    pre-pass intermediates to persisted parquet signature tables."""
+    sig_dir = str(tmp_path / "recipe_sigs")
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "dedup": "near",
+                "dedup_materialize": sig_dir,
+            },
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    df = blanky_df.withColumnRenamed("doc_id", "url")
+    kept = {r.url for r in Pipeline(spec).apply(df).df.select("url").collect()}
+    assert kept == {"a1", "b1", "b2", "b3", "b4", "c1"}
+    assert glob.glob(os.path.join(sig_dir, "dc-mat-*", "*.parquet"))
+
+
 # --- non-convergence warning (ADVICE r2, low) --------------------------------
 
 
