@@ -176,6 +176,10 @@ def main() -> int:
         # ensure the corpus exists before the subprocess measures (the
         # generation cost must never land inside a timed window)
         ensure_bench_docs(spark, BENCH_DOCS)
+        # stop the suite session BEFORE measuring: a resident multi-GB
+        # local[32] JVM competing for memory/page cache would partially
+        # reintroduce the same-JVM contamination this protocol removes
+        spark.stop()
         fm = _measure_flagship_fresh_jvm()
         timings["flagship_quality_pipeline"] = fm["warm"]
         extras["flagship_cold_sec"] = fm["cold"]
@@ -197,7 +201,8 @@ def main() -> int:
             }
         )
     )
-    spark.stop()
+    if args.only == "suite":  # flagship path already stopped the session
+        spark.stop()
     return 0
 
 

@@ -416,17 +416,27 @@ class Pipeline:
                 )
             if spec.dedup == "exact":
                 df = drop_exact_dupes(df, spec.name_col, spec.text_col)
+                # materialize the survivor set once: the quit gate,
+                # counters, file lists and the final write each execute
+                # the plan — the dedup job must not run per action
+                df = df.localCheckpoint(eager=False)
             else:
+                from datacurator_jl_spark.operators.dedup import _materialize
+
                 df = drop_near_dupes(
                     df,
                     spec.name_col,
                     spec.text_col,
                     materialize=spec.dedup_materialize,
                 )
-            # materialize the survivor set once: the quit gate, counters,
-            # file lists and the final write each execute the plan — the
-            # LSH + connected-components job must not run per action
-            df = df.localCheckpoint(eager=False)
+                # survivor set honors the SAME durability policy as the
+                # dedup intermediates: wrapping a 'reliable'/path run in
+                # a localCheckpoint would silently reintroduce the
+                # executor-loss failure mode the policy exists to prevent
+                if spec.dedup_materialize == "local":
+                    df = df.localCheckpoint(eager=False)
+                else:
+                    df = _materialize(df, spec.dedup_materialize)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps
         # the projections separate (CollapseProject refuses to inline a

@@ -139,6 +139,17 @@ def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
 def _h32_wordset_batch(texts: pd.Series) -> pd.Series:
     _lru_evict(_H32_CACHE)
     toks = texts.str.lower().str.findall(_TOKEN_RE)
+    # touch the LRU once per batch-UNIQUE word (like the minhash path) —
+    # recency refresh per token OCCURRENCE would triple dict ops in the
+    # hottest loop; the per-row loop below reads a plain local dict
+    ex = toks.explode().dropna()
+    local: dict[str, int] = {}
+    for w in (pd.unique(ex) if not ex.empty else ()):  # noqa: B020
+        h = _lru_get(_H32_CACHE, w)
+        if h is None:
+            h = _md5_prefix_int(w.encode("utf-8"), 8)
+            _H32_CACHE[w] = h
+        local[w] = h
 
     def row_set(ws):
         if ws is None or (isinstance(ws, float) and pd.isna(ws)):
@@ -146,10 +157,7 @@ def _h32_wordset_batch(texts: pd.Series) -> pd.Series:
         seen = []
         have = set()
         for w in ws:
-            h = _lru_get(_H32_CACHE, w)
-            if h is None:
-                h = _md5_prefix_int(w.encode("utf-8"), 8)
-                _H32_CACHE[w] = h
+            h = local[w]
             if h not in have:
                 have.add(h)
                 seen.append(h)

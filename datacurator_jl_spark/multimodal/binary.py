@@ -180,7 +180,16 @@ def resize_images(
                     except Exception:
                         return None
 
-                pdf["resized"] = pdf[payload_col].map(resize_one)
+                res = pdf[payload_col].map(resize_one)
+                pdf["resized"] = res
+                # failed decodes report null dims, not the target (a
+                # consumer filtering resized_w == target must not select
+                # rows with no image bytes)
+                ok = res.notna()
+                pdf["resized_w"] = pd.Series(tw, index=pdf.index).where(ok)
+                pdf["resized_h"] = pd.Series(th, index=pdf.index).where(ok)
+                yield pdf
+                continue
             pdf["resized_w"] = tw
             pdf["resized_h"] = th
             yield pdf

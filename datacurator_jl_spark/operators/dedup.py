@@ -270,6 +270,11 @@ def near_dup_components(
         .withColumn("comp", F.col("doc")),
         materialize,
     )
+    # per-ROUND label frames are loop scratch, not restartable artifacts:
+    # under a path policy they would leak one parquet dir per round, so
+    # they stay on localCheckpoint unless the policy is 'reliable' (where
+    # round durability is the point)
+    round_policy = "reliable" if materialize == "reliable" else "local"
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -287,7 +292,7 @@ def near_dup_components(
                 F.least(labels.comp, F.coalesce(nbr.nbr_min, labels.comp)).alias("comp"),
                 F.coalesce(nbr.nbr_min < labels.comp, F.lit(False)).alias("_chg"),
             ),
-            materialize,
+            round_policy,
         )
         changed = labels.filter(F.col("_chg")).limit(1).count()
         labels = labels.drop("_chg")

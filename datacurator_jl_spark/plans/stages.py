@@ -24,12 +24,17 @@ thing in production; nothing else changes.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# pinned tokenization for every model stand-in/fixture: ASCII \S+
+# (CLAUDE.md invariant — str.split() would add unicode whitespace splits)
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 # per-python-worker model cache: loader id -> loaded model
 _WORKER_MODELS: dict[str, object] = {}
@@ -54,7 +59,8 @@ class FakeLangModel:
         self.markers = {k: set(ws) for k, ws in LANG_MARKERS.items()}
 
     def predict_batch(self, texts: pd.Series) -> pd.DataFrame:
-        toks = texts.fillna("").str.lower().str.split()
+        # pinned repo-wide ASCII \S+ tokenization (CLAUDE.md invariant)
+        toks = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
         counts = {
             k: toks.map(lambda ws, s=s: sum(1 for w in ws if w in s))
             for k, s in self.markers.items()
@@ -85,7 +91,7 @@ class FakePerplexityModel:
 
         if len(self._CACHE) > 4_000_000:  # pragma: no cover - safety valve
             self._CACHE.clear()
-        toks = texts.fillna("").str.split()
+        toks = texts.fillna("").str.findall(_TOKEN_RE)
         ex = toks.explode().dropna()
         out = pd.Series(1e6, index=texts.index, dtype="float64")  # empty doc
         if ex.empty:
@@ -134,7 +140,7 @@ class JsonPerplexityModel:
         self.unk = float(spec.get("unk", 1e6))
 
     def score_batch(self, texts: pd.Series) -> pd.Series:
-        toks = texts.fillna("").str.split()
+        toks = texts.fillna("").str.findall(_TOKEN_RE)
         ex = toks.explode().dropna()
         out = pd.Series(1e6, index=texts.index, dtype="float64")  # empty doc
         if ex.empty:
@@ -224,7 +230,18 @@ def load_perplexity_model(model_path: str | None = None) -> object:
 
 
 def load_fasttext_or_fake(model_path: str | None = None) -> object:
-    """Back-compat alias for :func:`load_langid_model`."""
+    """Back-compat entry with the ORIGINAL contract: real fastText
+    whenever the package is importable (default model ``lid.176.bin``),
+    else fall through to the path-contract resolution (env fixture or
+    deterministic stand-in). ``.json`` paths always mean the fixture
+    format."""
+    if model_path is None or not model_path.endswith(".json"):
+        try:  # pragma: no cover - lib not in this environment
+            import fasttext  # type: ignore
+
+            return FastTextAdapter(fasttext.load_model(model_path or "lid.176.bin"))
+        except ImportError:
+            pass
     return load_langid_model(model_path)
 
 

@@ -143,6 +143,16 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     )
     if spec.dedup not in (None, "exact", "near"):
         raise RecipeError(f"dedup must be 'exact' or 'near', got {spec.dedup!r}")
+    # a typo'd policy keyword must not silently become an output
+    # directory: anything that is not a keyword must look like a path
+    if spec.dedup_materialize not in ("local", "reliable") and (
+        not isinstance(g.get("dedup_materialize"), str)
+        or "/" not in spec.dedup_materialize
+    ):
+        raise RecipeError(
+            "dedup_materialize must be 'local', 'reliable', or a directory "
+            f"path (containing '/'), got {spec.dedup_materialize!r}"
+        )
     spec.counters = _decode_counters(g.get("counters", []))
     spec.file_lists = _decode_file_lists(g.get("file_lists", []))
 

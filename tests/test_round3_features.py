@@ -194,6 +194,40 @@ def test_materialize_policies_agree_components(spark, blanky_df, tmp_path):
     assert {(r.doc, r.comp) for r in base} == {(r.doc, r.comp) for r in durable}
 
 
+def test_dedup_materialize_validated_eagerly():
+    """A typo'd policy keyword must raise at parse time, not silently
+    become an output directory named after the typo (review finding)."""
+    from datacurator_jl_spark.recipe import RecipeError
+
+    for bad in ("Local", "relaible", True):
+        with pytest.raises(RecipeError, match="dedup_materialize"):
+            parse_recipe(
+                {
+                    "global": {"dedup": "near", "dedup_materialize": bad},
+                    "any": {"conditions": ["always"], "actions": ["keep"]},
+                }
+            )
+
+
+def test_json_models_use_ascii_tokenization():
+    """Fixture models obey the repo-pinned ASCII \\S+ token contract:
+    unicode whitespace (\\xa0) does NOT split tokens (review finding)."""
+    import json
+
+    from datacurator_jl_spark.plans.stages import JsonPerplexityModel
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump({"words": {"foo": 1.0, "bar": 3.0}, "unk": 100.0}, fh)
+        path = fh.name
+    m = JsonPerplexityModel(path)
+    scores = m.score_batch(pd.Series(["foo bar", "foo\xa0bar"]))
+    assert scores.iloc[0] == 2.0  # two known tokens
+    assert scores.iloc[1] == 100.0  # ONE unknown token "foo\xa0bar", not two knowns
+    os.unlink(path)
+
+
 def test_recipe_level_dedup_materialize(spark, blanky_df, tmp_path):
     """`[global] dedup_materialize = <dir>` routes the near-dedup
     pre-pass intermediates to persisted parquet signature tables."""
