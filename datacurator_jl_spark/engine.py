@@ -60,6 +60,7 @@ from datacurator_jl_spark.registry import (
 
 WORDS_COL = "_dc_words"
 STATS_COL = "_dc_stats"
+REP_COL = "_dc_rep"
 DECISION_COL = "_dc_decision"
 KEPT_COL = "dc_kept"
 RULE_COL = "dc_rule_id"
@@ -359,12 +360,11 @@ class Pipeline:
             spec=self.spec,
             words_col=WORDS_COL if WORDS_COL in df.columns else None,
             stats_col=STATS_COL if STATS_COL in df.columns else None,
+            rep_col=REP_COL if REP_COL in df.columns else None,
             row_count=row_count,
         )
 
-    def _uses_rowcount_condition(self) -> bool:
-        from datacurator_jl_spark.registry import ROWCOUNT_CONDITIONS
-
+    def _uses_condition_from(self, pool: set[str]) -> bool:
         def names(e):
             if isinstance(e, str):
                 yield e
@@ -374,9 +374,12 @@ class Pipeline:
 
         exprs = [r.condition for rules in self.spec.levels.values() for r in rules]
         exprs.extend(self.spec.common_conditions.values())
-        return any(
-            n in ROWCOUNT_CONDITIONS for e in exprs for n in names(e)
-        )
+        return any(n in pool for e in exprs for n in names(e))
+
+    def _uses_rowcount_condition(self) -> bool:
+        from datacurator_jl_spark.registry import ROWCOUNT_CONDITIONS
+
+        return self._uses_condition_from(ROWCOUNT_CONDITIONS)
 
     def apply(self, df: DataFrame) -> CurationResult:
         spec = self.spec
@@ -467,6 +470,17 @@ class Pipeline:
                 # shared by the stats fold and any array-needing rule
                 df = df.withColumn(WORDS_COL, X.words(F.lower(tcol)))
                 df = df.withColumn(STATS_COL, X.token_stats(tcol, F.col(WORDS_COL)))
+            # Repetition struct (functions/rep_stats.py): ONE extra Arrow
+            # pass, pre-projected only when a repetition rule exists —
+            # recipes that never mention repetition pay nothing.
+            from datacurator_jl_spark.registry import REPSTATS_CONDITIONS
+
+            if self._uses_condition_from(REPSTATS_CONDITIONS):
+                from datacurator_jl_spark.functions.rep_stats import (
+                    rep_stats_arrow,
+                )
+
+                df = df.withColumn(REP_COL, rep_stats_arrow(tcol))
         ctx = self._ctx(df, row_count=row_count)
         compiled_levels: dict[int, list[_CompiledRule]] = {
             lvl: [_compile_rule(r, ctx, spec.act_on_success) for r in rules]

@@ -1519,6 +1519,107 @@ def d20(spark, sf):
     )
 
 
+def _d21_sql() -> str:
+    """DuckDB twin of functions/rep_stats.py over the synthesized
+    multi-line corpus (the parquet docs are single-line; duplicating the
+    first 40 chars as two extra paragraphs exercises every field with
+    nonzero values on all three engines identically)."""
+    from datacurator_jl_spark.functions.rep_stats import DUP_NS, TOP_NS
+
+    gram_ctes = ",\n".join(
+        f"""g{n} AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)-{n}+2),
+                 i -> array_to_string(ws[i:i+{n}-1], ' '))) AS gram FROM w)
+      GROUP BY doc_id, gram)"""
+        for n in (*TOP_NS, *DUP_NS)
+    )
+    tops = ",\n".join(
+        f"t{n} AS (SELECT doc_id, max(cnt*length(gram)) AS v FROM g{n} "
+        f"WHERE cnt>=2 GROUP BY doc_id)"
+        for n in TOP_NS
+    )
+    # (cnt-1)*len is 0 for cnt=1, so no filter is needed on the dup sums
+    dups = ",\n".join(
+        f"d{n}_ AS (SELECT doc_id, sum((cnt-1)*length(gram)) AS v FROM g{n} "
+        f"WHERE cnt>=2 GROUP BY doc_id)"
+        for n in DUP_NS
+    )
+
+    def part_cte(name: str, delim: str) -> str:
+        return f"""{name} AS (
+      SELECT doc_id, sum(cnt) AS np, sum(cnt)-count(*) AS ndup,
+             sum((cnt-1)*length(part)) AS dupchars
+      FROM (SELECT doc_id, part, count(*) AS cnt FROM (
+            SELECT doc_id, unnest(list_filter(str_split(t, {delim}), x -> x <> '')) AS part FROM w)
+            GROUP BY doc_id, part)
+      GROUP BY doc_id)"""
+
+    top_cols = ",\n      ".join(
+        f"round(CASE WHEN nc>0 THEN least(1.0, coalesce(t{n}.v,0)::DOUBLE/nc) "
+        f"ELSE 0.0 END, 6) AS top{n}"
+        for n in TOP_NS
+    )
+    dup_cols = ",\n      ".join(
+        f"round(CASE WHEN nc>0 THEN least(1.0, coalesce(d{n}_.v,0)::DOUBLE/nc) "
+        f"ELSE 0.0 END, 6) AS dup{n}"
+        for n in DUP_NS
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN t{n} ON t{n}.doc_id = w.doc_id" for n in TOP_NS
+    ) + "\n    " + "\n    ".join(
+        f"LEFT JOIN d{n}_ ON d{n}_.doc_id = w.doc_id" for n in DUP_NS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(text,1,40) || chr(10)||chr(10) || substr(text,1,40)
+               || chr(10)||chr(10) || text AS t
+      FROM documents
+    ),
+    w AS (SELECT doc_id, coalesce(length(t),0) AS nc,
+                 regexp_extract_all(lower(t), '[^ \\t\\n\\x0b\\f\\r]+') AS ws, t
+          FROM base),
+    {gram_ctes},
+    {tops},
+    {dups},
+    {part_cte('lc', 'chr(10)')},
+    {part_cte('pc', 'chr(10)||chr(10)')}
+    SELECT w.doc_id,
+      {top_cols},
+      {dup_cols},
+      round(CASE WHEN coalesce(lc.np,0)>0 THEN lc.ndup::DOUBLE/lc.np ELSE 0.0 END, 6) AS dup_line_frac,
+      round(CASE WHEN nc>0 THEN coalesce(lc.dupchars,0)::DOUBLE/nc ELSE 0.0 END, 6) AS dup_line_char_frac,
+      round(CASE WHEN coalesce(pc.np,0)>0 THEN pc.ndup::DOUBLE/pc.np ELSE 0.0 END, 6) AS dup_para_frac,
+      round(CASE WHEN nc>0 THEN coalesce(pc.dupchars,0)::DOUBLE/nc ELSE 0.0 END, 6) AS dup_para_char_frac
+    FROM w
+    {joins}
+    LEFT JOIN lc ON lc.doc_id = w.doc_id
+    LEFT JOIN pc ON pc.doc_id = w.doc_id
+    """
+
+
+@_q("d21_repetition_stats", _d21_sql())
+def d21(spark, sf):
+    """Gopher repetition statistics (top-2/3/4-gram char fraction,
+    duplicated 5..10-gram char fraction, dup line/paragraph fractions) —
+    ONE Arrow pass computing all 13 fields (functions/rep_stats.py), the
+    struct pre-projected so the pandas UDF runs once. The input is the
+    corpus with its first 40 chars duplicated as two extra paragraphs
+    (both engines apply the same concat), giving every field nonzero
+    coverage on the single-line parquet docs."""
+    from datacurator_jl_spark.functions.rep_stats import REP_FIELDS, rep_stats_arrow
+
+    d = _t(spark, sf, "documents")
+    p = F.substring(F.col("text"), 1, 40)
+    rt = F.concat(p, F.lit("\n\n"), p, F.lit("\n\n"), F.col("text"))
+    d = d.withColumn("_rep", rep_stats_arrow(rt))
+    return d.select(
+        "doc_id",
+        *[F.round(F.col("_rep").getField(f), 6).alias(f) for f in REP_FIELDS],
+    )
+
+
 @_q("d18_condition_columns", _d18_sql())
 def d18(spark, sf):
     """Registry conditions compiled EXACTLY as the engine compiles them

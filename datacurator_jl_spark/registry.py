@@ -43,6 +43,9 @@ class RuleContext:
     # per row instead of re-deriving them inside each rule
     words_col: str | None = None
     stats_col: str | None = None
+    # shared repetition-stats struct (functions/rep_stats.py), pre-
+    # projected by the engine iff a repetition condition is used
+    rep_col: str | None = None
     # input cardinality, computed ONCE by the engine (parquet metadata
     # count) iff the recipe uses a row-count condition
     row_count: int | None = None
@@ -62,6 +65,10 @@ class RuleContext:
     @property
     def stats(self) -> Column | None:
         return F.col(self.stats_col) if self.stats_col else None
+
+    @property
+    def rep(self) -> Column | None:
+        return F.col(self.rep_col) if self.rep_col else None
 
     @property
     def size(self) -> Column:
@@ -187,6 +194,67 @@ _cond("word_repetition_below", 1, 1)(
 _cond("line_repetition_below", 1, 1)(
     lambda ctx, r: X.distinct_line_ratio(ctx.text) > F.lit(1.0) - float(r)
 )
+# -- Gopher repetition conditions (functions/rep_stats.py struct). All
+#    read the pre-projected shared ``_dc_rep`` struct when the engine
+#    provides one (ONE Arrow pass for all 13 fields across all rules);
+#    standalone compile_condition falls back to building the struct
+#    inline. n is validated at Column-build time — still fail-before-data
+#    (Pipeline compiles every rule before touching rows). ------------------
+
+
+def _rep(ctx: "RuleContext") -> Column:
+    if ctx.rep is not None:
+        return ctx.rep
+    from datacurator_jl_spark.functions.rep_stats import rep_stats_arrow
+
+    return rep_stats_arrow(ctx.text)
+
+
+def _rep_cond(ctx: "RuleContext", field: str, r) -> Column:
+    # The struct itself is pinned zero-for-null (rep_stats.py), but the
+    # CONDITION must be null on null text — the oracle contract every
+    # text condition follows (null ⇒ failed, not "not repetitive"):
+    # an unguarded `0.0 < r` would silently KEEP null docs under
+    # act_on_success=true recipes.
+    return F.when(ctx.text.isNotNull(), _rep(ctx).getField(field) < float(r))
+
+
+def _rep_ngram_cond(ctx: "RuleContext", prefix: str, n, r, allowed) -> Column:
+    if int(n) not in allowed:
+        raise RecipeError(
+            f"{prefix}_ngram condition: n must be one of {sorted(allowed)}, got {n!r}"
+        )
+    return _rep_cond(ctx, f"{prefix}{int(n)}", r)
+
+
+REPSTATS_CONDITIONS = {
+    "top_ngram_char_frac_below",
+    "dup_ngram_char_frac_below",
+    "dup_line_frac_below",
+    "dup_line_char_frac_below",
+    "dup_para_frac_below",
+    "dup_para_char_frac_below",
+}
+
+_cond("top_ngram_char_frac_below", 2, 2)(
+    lambda ctx, n, r: _rep_ngram_cond(ctx, "top", n, r, (2, 3, 4))
+)
+_cond("dup_ngram_char_frac_below", 2, 2)(
+    lambda ctx, n, r: _rep_ngram_cond(ctx, "dup", n, r, (5, 6, 7, 8, 9, 10))
+)
+_cond("dup_line_frac_below", 1, 1)(
+    lambda ctx, r: _rep_cond(ctx, "dup_line_frac", r)
+)
+_cond("dup_line_char_frac_below", 1, 1)(
+    lambda ctx, r: _rep_cond(ctx, "dup_line_char_frac", r)
+)
+_cond("dup_para_frac_below", 1, 1)(
+    lambda ctx, r: _rep_cond(ctx, "dup_para_frac", r)
+)
+_cond("dup_para_char_frac_below", 1, 1)(
+    lambda ctx, r: _rep_cond(ctx, "dup_para_char_frac", r)
+)
+
 _cond("ellipsis_line_ratio_below", 1, 1)(
     lambda ctx, r: X.ellipsis_line_ratio(ctx.text) < float(r)
 )

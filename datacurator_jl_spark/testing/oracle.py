@@ -89,6 +89,44 @@ def _max_word_length(t: str) -> int:
     return max((len(x) for x in w), default=0)
 
 
+def _rep_stats(t: str) -> dict[str, float]:
+    """Mirror of functions/rep_stats.rep_stats_doc (pinned semantics in
+    that module's docstring): sequential per-document counters, the way
+    a per-row visitor would compute them."""
+    from collections import Counter
+
+    nc = len(t)
+    toks = re.findall(r"\S+", t.lower(), flags=_A)
+    out: dict[str, float] = {}
+    for n in range(2, 11):
+        grams = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        best = 0
+        tot = 0
+        for g, k in grams.items():
+            if k >= 2:
+                charlen = sum(len(w) for w in g) + n - 1
+                best = max(best, k * charlen)
+                tot += (k - 1) * charlen
+        if n <= 4:
+            out[f"top{n}"] = min(1.0, best / nc) if nc else 0.0
+        else:
+            out[f"dup{n}"] = min(1.0, tot / nc) if nc else 0.0
+    for key, delim in (("line", "\n"), ("para", "\n\n")):
+        parts = [p for p in t.split(delim) if p != ""]
+        if parts and nc:
+            counts = Counter(parts)
+            out[f"dup_{key}_frac"] = (len(parts) - len(counts)) / len(parts)
+            out[f"dup_{key}_char_frac"] = (
+                sum((k - 1) * len(p) for p, k in counts.items()) / nc
+            )
+        else:
+            out[f"dup_{key}_frac"] = 0.0
+            out[f"dup_{key}_char_frac"] = 0.0
+    return out
+
+
 def _eval_condition(expr, row) -> bool | None:
     """Returns the condition truth value; None models SQL null."""
     t = row["text"]
@@ -151,6 +189,17 @@ def _eval_condition(expr, row) -> bool | None:
         return _distinct_word_ratio(t) > 1.0 - float(args[0])
     if name == "line_repetition_below":
         return _distinct_line_ratio(t) > 1.0 - float(args[0])
+    if name == "top_ngram_char_frac_below":
+        return _rep_stats(t)[f"top{int(args[0])}"] < float(args[1])
+    if name == "dup_ngram_char_frac_below":
+        return _rep_stats(t)[f"dup{int(args[0])}"] < float(args[1])
+    if name in (
+        "dup_line_frac_below",
+        "dup_line_char_frac_below",
+        "dup_para_frac_below",
+        "dup_para_char_frac_below",
+    ):
+        return _rep_stats(t)[name.removesuffix("_below")] < float(args[0])
     if name == "lang_is":
         return _lang_id(t) == args[0]
     if name == "contains_pii":
