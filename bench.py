@@ -61,6 +61,10 @@ HEADLINE = [
     "d16_hash_sample",
     "e05_srp_near_dup_pairs",
     "v05_domain_quota",
+    # round-3 ops
+    "d21_repetition_stats",
+    "d22_boilerplate_lines",
+    "d23_decontaminate",
 ]
 
 

@@ -401,6 +401,29 @@ class Pipeline:
                     "an unbounded stream has no row count"
                 )
             row_count = df.count()
+        # optional boilerplate pre-pass ([global] remove_boilerplate = N):
+        # strip corpus-wide repeated lines BEFORE dedup and the rules —
+        # shared chrome inflates near-dup similarity and quality scores.
+        # Checkpointed like the dedup survivor set: the line-frequency
+        # aggregate must not re-run per downstream action.
+        if spec.remove_boilerplate and spec.text_col in df.columns:
+            from datacurator_jl_spark.operators.boilerplate import (
+                remove_boilerplate_lines,
+            )
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "remove_boilerplate is batch-only (the line frequency "
+                    "is a global corpus aggregate)"
+                )
+            cols = df.columns
+            df = remove_boilerplate_lines(
+                df, spec.name_col, spec.text_col,
+                min_docs=spec.remove_boilerplate,
+            ).select(*cols)
+            df = df.localCheckpoint(eager=False)
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
         # duplicate bytes — the standard curation-pipeline stage order

@@ -1620,6 +1620,100 @@ def d21(spark, sf):
     )
 
 
+@_q(
+    "d22_boilerplate_lines",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'HDR ' || source || chr(10) || text || chr(10) ||
+             'FOOTER shared across the corpus' AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(str_split(t, chr(10))) AS line,
+             unnest(range(1, len(str_split(t, chr(10)))+1)) AS pos
+      FROM base
+    ),
+    boiler AS (
+      SELECT line FROM l WHERE line <> ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (SELECT doc_id, pos, line FROM l ANTI JOIN boiler USING (line)),
+    re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS nkept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, re.clean_text,
+           (len(str_split(b.t, chr(10))) - coalesce(re.nkept, 0))::INT AS n_removed
+    FROM base b LEFT JOIN re USING (doc_id)
+    """,
+)
+def d22(spark, sf):
+    """Cross-document boilerplate line removal (RefinedWeb-style): every
+    line occurring in >= 3 distinct docs is removed corpus-wide. The
+    parquet docs are single-line, so both engines inject the same
+    synthetic chrome — a per-source header and a corpus-wide footer —
+    which the operator must then strip back out (headers of sources with
+    >= 3 docs and the footer go; rarer headers stay). One line-frequency
+    shuffle + a broadcast anti-join + one reassembly aggregate
+    (operators/boilerplate.py scale notes)."""
+    from datacurator_jl_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    d = _t(spark, sf, "documents")
+    t2 = F.concat(
+        F.lit("HDR "), F.col("source"), F.lit("\n"), F.col("text"),
+        F.lit("\nFOOTER shared across the corpus"),
+    )
+    out = remove_boilerplate_lines(
+        d.select("doc_id", t2.alias("text")),
+        "doc_id", "text", min_docs=3, out_col="clean_text",
+    )
+    return out.select("doc_id", "clean_text", "n_removed")
+
+
+@_q(
+    "d23_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS gram
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 41 <> 0),
+    h AS (SELECT doc_id, count(*) AS hits FROM dg JOIN bench USING (gram)
+          GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(h.hits, 0)::INT AS hits,
+           coalesce(h.hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id)
+    WHERE d.doc_id % 41 <> 0
+    """,
+)
+def d23(spark, sf):
+    """Benchmark decontamination (GPT-3-appendix-C-style n-gram overlap):
+    docs with doc_id % 41 == 0 act as the held-out benchmark; every other
+    doc is scored by its distinct word-3-grams shared with the benchmark
+    set. Benchmark grams are broadcast; the corpus side never shuffles
+    except the per-doc match count (operators/decontam.py scale notes).
+    n=3 at test scale (the synthetic vocab makes real 8-grams never
+    collide); production uses n=8..13 via the same operator."""
+    from datacurator_jl_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    rest = d.filter(F.col("doc_id") % 41 != 0)
+    out = decontaminate(rest, "doc_id", "text", bench, "text", n=3)
+    return out.select("doc_id", "hits", "contaminated")
+
+
 @_q("d18_condition_columns", _d18_sql())
 def d18(spark, sf):
     """Registry conditions compiled EXACTLY as the engine compiles them

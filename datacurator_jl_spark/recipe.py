@@ -88,6 +88,13 @@ class RecipeSpec:
     # checkpoint) | 'reliable' (Spark checkpoint dir) | a directory path
     # (persisted parquet signature tables) — operators/dedup._materialize
     dedup_materialize: str = "local"
+    # optional cross-document boilerplate pre-pass: remove every line
+    # occurring in >= N distinct docs (operators/boilerplate.py) BEFORE
+    # dedup and the rule chain — shared chrome inflates near-dup
+    # similarity and quality scores, so it goes first. A doc whose every
+    # line is boilerplate becomes null text (normally dropped by a
+    # has_text rule).
+    remove_boilerplate: int | None = None
 
     @property
     def rules(self) -> list[Rule]:
@@ -109,6 +116,7 @@ _GLOBAL_KEYS = {
     "file_lists",
     "dedup",
     "dedup_materialize",
+    "remove_boilerplate",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -143,6 +151,14 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     )
     if spec.dedup not in (None, "exact", "near"):
         raise RecipeError(f"dedup must be 'exact' or 'near', got {spec.dedup!r}")
+    rb = g.get("remove_boilerplate")
+    if rb is not None:
+        if isinstance(rb, bool) or not isinstance(rb, int) or rb < 2:
+            raise RecipeError(
+                f"remove_boilerplate must be an integer >= 2 (the min "
+                f"distinct-doc count making a line boilerplate), got {rb!r}"
+            )
+        spec.remove_boilerplate = rb
     # a typo'd policy keyword must not silently become an output
     # directory: anything that is not a keyword must look like a path
     if spec.dedup_materialize not in ("local", "reliable") and (

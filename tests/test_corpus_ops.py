@@ -1,0 +1,211 @@
+"""Cross-document corpus hygiene ops: boilerplate line removal
+(operators/boilerplate.py) and benchmark decontamination
+(operators/decontam.py) — pinned edge semantics + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.operators.boilerplate import (
+    boilerplate_lines,
+    remove_boilerplate_lines,
+)
+from datacurator_jl_spark.operators.decontam import (
+    decontaminate,
+    word_ngrams,
+)
+
+
+@pytest.fixture()
+def bp_df(spark):
+    rows = [
+        (1, "COOKIE BANNER\nreal content one\n\nCOOKIE FOOT"),
+        (2, "COOKIE BANNER\nreal content two\nCOOKIE FOOT"),
+        (3, "COOKIE BANNER\nrare header\nCOOKIE FOOT"),
+        (4, "COOKIE BANNER"),          # every line removed -> null
+        (5, ""),                        # single empty line, kept
+        (6, None),                      # null text -> null out
+        (7, "rare header\nunique tail"),  # 'rare header' only in 2 docs
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_boilerplate_set(bp_df):
+    got = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(bp_df, "id", "text", min_docs=3).collect()
+    }
+    # BANNER in 4 docs, FOOT in 3; 'rare header' only 2 -> not boilerplate
+    assert got == {"COOKIE BANNER": 4, "COOKIE FOOT": 3}
+
+
+def test_remove_boilerplate_semantics(bp_df):
+    out = {
+        r["id"]: (r["clean"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            bp_df, "id", "text", min_docs=3, out_col="clean"
+        ).collect()
+    }
+    # empty interior line is preserved; order kept
+    assert out[1] == ("real content one\n", 2)
+    assert out[2] == ("real content two", 2)
+    assert out[3] == ("rare header", 2)
+    assert out[4] == (None, 1)   # all lines removed -> null, not ''
+    assert out[5] == ("", 0)     # empty text survives untouched
+    assert out[6] == (None, None)  # null text -> null out, null count
+    assert out[7] == ("rare header\nunique tail", 0)
+
+
+def test_remove_boilerplate_inplace_replaces_text(bp_df):
+    out = remove_boilerplate_lines(bp_df, "id", "text", min_docs=3)
+    assert set(out.columns) == {"id", "text", "n_removed"}
+    row = {r["id"]: r["text"] for r in out.collect()}
+    assert row[2] == "real content two"
+
+
+def test_boilerplate_anti_join_is_broadcast(bp_df):
+    plan = (
+        remove_boilerplate_lines(bp_df, "id", "text", min_docs=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("one",), (None,), ("  x \t y  ",)], "text string"
+    )
+    got = [r[0] for r in df.select(word_ngrams(F.col("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # fewer than n tokens
+    assert got[2] == []  # null text
+    df2 = spark.createDataFrame([("  x \t y  ",)], "text string")
+    assert df2.select(word_ngrams(F.col("text"), 2)).first()[0] == ["x y"]
+
+
+def test_decontaminate_hits_and_drop(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+            (2, "completely novel text here"),
+            (3, None),
+            (4, "too short"),
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN cat sat")], "id long, text string"
+    )
+    out = {
+        r["id"]: (r["hits"], r["contaminated"])
+        for r in decontaminate(docs, "id", "text", bench, n=3).collect()
+    }
+    assert out[1] == (1, True)  # lowercased 'the quick brown' matches
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # null text never contaminated
+    assert out[4] == (0, False)  # < n tokens
+    kept = decontaminate(docs, "id", "text", bench, n=3, drop=True)
+    assert set(kept.columns) == {"id", "text"}
+    assert {r["id"] for r in kept.collect()} == {2, 3, 4}
+
+
+def test_decontaminate_duplicate_grams_count_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab cd ab cd ab cd")], "id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "ab cd xx")], "id long, text string")
+    # 'ab cd' appears 3x in the doc but hits counts DISTINCT shared grams
+    row = decontaminate(docs, "id", "text", bench, n=2).first()
+    assert row["hits"] == 1
+
+
+def test_recipe_boilerplate_prepass(spark):
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            # act_on_success=false: the drop fires when has_text FAILS
+            "global": {"act_on_success": False, "remove_boilerplate": 3},
+            "any": {"conditions": ["has_text"], "actions": ["drop"]},
+        }
+    )
+    rows = [
+        ("u1", "AD\ncontent one"),
+        ("u2", "AD\ncontent two"),
+        ("u3", "AD\ncontent three"),
+        ("u4", "AD"),  # becomes null text -> has_text fails -> dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {
+        r["url"]: (r["dc_kept"], r["scrubbed_text"])
+        for r in Pipeline(spec).apply(df).df.collect()
+    }
+    assert out["u1"] == (True, "content one")
+    assert out["u2"] == (True, "content two")
+    assert out["u3"] == (True, "content three")
+    assert out["u4"][0] is False
+
+
+def test_recipe_boilerplate_validation():
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    for bad in (1, 0, -3, True, "many", 2.5):
+        with pytest.raises(RecipeError, match="remove_boilerplate"):
+            parse_recipe(
+                {
+                    "global": {"remove_boilerplate": bad},
+                    "any": {"conditions": ["always"], "actions": ["keep"]},
+                }
+            )
+
+
+def test_word_ngrams_arrow_matches_native(spark):
+    from datacurator_jl_spark.operators.decontam import word_ngrams_arrow
+
+    texts = [
+        "a b c d e", "one", None, "", "  x \t y \x0b z ",
+        "rep rep rep rep", "Mixed CASE mixed case",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 5):
+        rows = df.select(
+            word_ngrams(F.col("text"), n).alias("nat"),
+            word_ngrams_arrow(F.col("text"), n).alias("arr"),
+            word_ngrams_arrow(F.col("text"), n, distinct=True).alias("arrd"),
+        ).collect()
+        for r in rows:
+            assert r["nat"] == r["arr"]
+            assert sorted(set(r["nat"])) == sorted(r["arrd"])
+
+
+def test_decontaminate_native_impl_matches_arrow(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "novel words only here", None, "the quick"]
+        )],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "THE QUICK BROWN cat")], "id long, text string"
+    )
+    a = {r["id"]: r["hits"] for r in
+         decontaminate(docs, "id", "text", bench, n=3).collect()}
+    b = {r["id"]: r["hits"] for r in
+         decontaminate(docs, "id", "text", bench, n=3, impl="native").collect()}
+    assert a == b
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    bench = spark.createDataFrame([(9, "a b")], "id long, text string")
+    plan = (
+        decontaminate(docs, "id", "text", bench, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
