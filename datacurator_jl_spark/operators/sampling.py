@@ -1,0 +1,142 @@
+"""Deterministic corpus selection: stratified per-group sampling and
+token-budget selection.
+
+Training-data pipelines do not take "a random 10%": they take a
+REPRODUCIBLE subcorpus — the same rows on every retry, resume, and
+engine (the property hash_sample pins for the global case,
+operators/dataframe_ops.py:85). This module adds the two selection
+shapes hash_sample cannot express:
+
+- ``stratified_hash_sample``: an EXACT per-group fraction (e.g. the
+  same share of every domain), not just an expected one — hash-bucket
+  filters drift per group at small group sizes.
+- ``token_budget_sample``: greedy prefix selection under a weight
+  budget ("the best documents until 10B tokens"), the standard way a
+  training mix is filled.
+
+Both are pure functions of the data (portable md5-derived `_h32` order
+hashes, pinned tie-breaks), so the DuckDB oracles reproduce the exact
+row sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.operators.dedup import _h32
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "dc",
+) -> DataFrame:
+    """Keep EXACTLY ``ceil(fraction * n_g)`` rows of every group g,
+    chosen by portable key-hash order (tie-broken by the key itself) —
+    deterministic, engine-stable, restart-stable.
+
+    Scale shape: one window shuffle partitioned by the group (bounded
+    per-group state: row_number needs no buffering beyond the running
+    count) plus a broadcast of the per-group counts. Mega-groups make
+    mega window partitions — the same caveat as any per-domain window;
+    salt-split upstream if a single group exceeds an executor.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    h = _h32(F.col(key_col).cast("string"), f"#{salt}")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(counts), group_col)
+        .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    weight_col: str,
+    budget: float,
+    order_by: str,
+    id_col: str,
+    descending: bool = True,
+    materialize: str = "local",
+) -> DataFrame:
+    """Greedy prefix under a budget: order rows by ``order_by`` (score,
+    DESC by default, nulls last, tie-broken by ``id_col``) and keep every
+    row whose INCLUSIVE running ``weight_col`` sum is <= budget. Null
+    weights count as 0.
+
+    Scale shape — the TeraSort pattern, no single-partition window:
+    1. ``repartitionByRange`` on the order key (distributed sample-based
+       range exchange) + ``sortWithinPartitions`` -> globally ordered
+       partition ranges.
+    2. materialize ONCE (policy as in operators/dedup._materialize:
+       'local' = localCheckpoint, 'reliable' = the session checkpoint
+       dir) so partition identity is pinned across the two passes. Only
+       checkpoint policies are accepted: a parquet round-trip does not
+       preserve the partition<->range correspondence the prefix offsets
+       depend on.
+    3. per-partition totals (tiny: one row per partition) -> prefix
+       offsets on the driver side of a broadcast.
+    4. running sum per partition (window partitioned by the pinned
+       partition id — bounded by partition size, never global) + offset.
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    if materialize not in ("local", "reliable"):
+        raise ValueError(
+            "token_budget_sample materialize must be 'local' or "
+            "'reliable' (checkpoints preserve the partition<->range "
+            f"correspondence; a parquet round-trip does not), got "
+            f"{materialize!r}"
+        )
+    oc = (
+        F.col(order_by).desc_nulls_last()
+        if descending
+        else F.col(order_by).asc_nulls_last()
+    )
+    order = [oc, F.col(id_col)]
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    s = _materialize(s, materialize)
+
+    # prefix offsets from the per-partition totals — a DELIBERATE
+    # two-phase scalar collect (one row per partition, like
+    # mode_filter's band bounds): the alternative is a single-partition
+    # window, which drags every total through one task and warns
+    totals = sorted(
+        s.groupBy("_pid").agg(F.sum(w).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc = 0.0
+    off_rows = []
+    for r in totals:
+        off_rows.append((int(r["_pid"]), float(acc)))
+        acc += r["_t"] or 0.0
+    offsets = df.sparkSession.createDataFrame(
+        off_rows, "_pid int, _off double"
+    )
+
+    run_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        s.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_off") + F.sum(w).over(run_w))
+        .filter(F.col("_cum") <= float(budget))
+        .drop("_pid", "_off", "_cum")
+    )
+    return out

@@ -1714,6 +1714,73 @@ def d23(spark, sf):
     return out.select("doc_id", "hits", "contaminated")
 
 
+@_q(
+    "d24_stratified_sample",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#corpus_v1'), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+    WHERE rn <= ceil(0.2 * n)
+    """,
+)
+def d24(spark, sf):
+    """Exact stratified sampling: ceil(20%) of EVERY source, selected by
+    portable key-hash order — reproducible training-mix shares per
+    domain (hash-bucket filters only hit the fraction in expectation;
+    this is exact per group). One bounded per-group window + a broadcast
+    of group counts (operators/sampling.py)."""
+    from datacurator_jl_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _t(spark, sf, "documents"), "source", "doc_id", 0.2,
+        salt="corpus_v1",
+    ).select("doc_id", "source")
+
+
+@_q(
+    "d25_token_budget",
+    r"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             sum(toks) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w
+    )
+    SELECT doc_id, toks::INT AS toks FROM c WHERE cum <= 15000
+    """,
+)
+def d25(spark, sf):
+    """Token-budget selection: biggest documents first (n_chars desc,
+    doc_id tiebreak) until the inclusive running token count reaches the
+    budget — the 'fill a 10B-token training mix reproducibly' op. The
+    Spark side is the TeraSort-shaped two-pass prefix sum
+    (range-partition + per-partition window + broadcast offsets, no
+    single-partition global window); the oracle states it as one
+    sequential cumulative window. Integer weights make the running sums
+    bit-exact across both."""
+    from datacurator_jl_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf, "documents").withColumn(
+        "toks", X.token_count(F.col("text")).cast("int")
+    )
+    return token_budget_sample(
+        d, "toks", 15000, order_by="n_chars", id_col="doc_id"
+    ).select("doc_id", "toks")
+
+
 @_q("d18_condition_columns", _d18_sql())
 def d18(spark, sf):
     """Registry conditions compiled EXACTLY as the engine compiles them

@@ -1,0 +1,141 @@
+"""Deterministic selection ops (operators/sampling.py): exact stratified
+per-group sampling and token-budget prefix selection — pinned semantics,
+python-reference identity, determinism, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.operators.sampling import (
+    stratified_hash_sample,
+    token_budget_sample,
+)
+
+
+@pytest.fixture()
+def grouped_df(spark):
+    rows = [(f"d{i:03d}", f"g{i % 3}") for i in range(100)]
+    return spark.createDataFrame(rows, "id string, grp string")
+
+
+def test_stratified_exact_counts(grouped_df):
+    # groups: g0 34 rows, g1/g2 33 rows
+    out = stratified_hash_sample(grouped_df, "grp", "id", 0.2)
+    got = {r["grp"]: r["cnt"] for r in out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {"g0": math.ceil(0.2 * 34), "g1": 7, "g2": 7}
+
+
+def test_stratified_deterministic_and_restart_stable(grouped_df):
+    a = {r["id"] for r in stratified_hash_sample(grouped_df, "grp", "id", 0.3).collect()}
+    b = {
+        r["id"]
+        for r in stratified_hash_sample(
+            grouped_df.repartition(7), "grp", "id", 0.3
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # a different salt selects a different subcorpus
+    c = {r["id"] for r in stratified_hash_sample(grouped_df, "grp", "id", 0.3, salt="v2").collect()}
+    assert a != c
+
+
+def test_stratified_edges(grouped_df):
+    assert stratified_hash_sample(grouped_df, "grp", "id", 0.0).count() == 0
+    assert stratified_hash_sample(grouped_df, "grp", "id", 1.0).count() == 100
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_hash_sample(grouped_df, "grp", "id", 1.5)
+
+
+def _budget_reference(rows, budget):
+    """Sequential greedy reference: rows = [(id, score, weight)]."""
+    order = sorted(rows, key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]))
+    # nulls last under desc: sort key above puts None at the end
+    out, cum = [], 0
+    for rid, _s, wgt in order:
+        cum += wgt or 0
+        if cum <= budget:
+            out.append(rid)
+    return set(out)
+
+
+def test_token_budget_matches_sequential_reference(spark):
+    rows = [
+        ("a", 10, 5), ("b", 10, 5), ("c", 9, 100), ("d", 8, 3),
+        ("e", None, 1), ("f", 7, None), ("g", 7, 2),
+    ]
+    df = spark.createDataFrame(rows, "id string, score int, w int")
+    for budget in (0, 5, 10, 13, 113, 1000):
+        got = {
+            r["id"]
+            for r in token_budget_sample(
+                df, "w", budget, order_by="score", id_col="id"
+            ).collect()
+        }
+        assert got == _budget_reference(rows, budget), f"budget={budget}"
+
+
+def test_token_budget_boundary_inclusive(spark):
+    df = spark.createDataFrame(
+        [("a", 3, 10), ("b", 2, 10), ("c", 1, 10)], "id string, score int, w int"
+    )
+    got = {
+        r["id"]
+        for r in token_budget_sample(df, "w", 20, "score", "id").collect()
+    }
+    assert got == {"a", "b"}  # cum of b is exactly 20 -> admitted
+
+
+def test_token_budget_stable_under_input_partitioning(spark):
+    rows = [(f"d{i:03d}", (i * 37) % 50, (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id string, score int, w int")
+    a = {r["id"] for r in token_budget_sample(df, "w", 200, "score", "id").collect()}
+    b = {
+        r["id"]
+        for r in token_budget_sample(
+            df.repartition(11), "w", 200, "score", "id"
+        ).collect()
+    }
+    assert a == b == _budget_reference(rows, 200)
+
+
+def test_token_budget_reliable_materialize(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [("a", 2, 5), ("b", 1, 5)], "id string, score int, w int"
+    )
+    got = {
+        r["id"]
+        for r in token_budget_sample(
+            df, "w", 5, "score", "id", materialize="reliable"
+        ).collect()
+    }
+    assert got == {"a"}
+
+
+def test_token_budget_rejects_parquet_materialize(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "id string, score int, w int")
+    with pytest.raises(ValueError, match="materialize"):
+        token_budget_sample(df, "w", 10, "score", "id", materialize="/tmp/x")
+
+
+def test_token_budget_plan_never_single_partition(spark):
+    """The global order comes from a distributed range exchange before the
+    checkpoint (which truncates the visible lineage to ExistingRDD); what
+    the FINAL plan must show is that no stage collapses to one partition
+    and the running-sum window is partitioned by the pinned partition id."""
+    df = spark.createDataFrame(
+        [(f"d{i}", i, 1) for i in range(50)], "id string, score int, w int"
+    )
+    out = token_budget_sample(df, "w", 10, "score", "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "[_pid" in plan
+    # and the pre-checkpoint exchange really is a range partitioning
+    pre = (
+        df.repartitionByRange(8, F.col("score").desc_nulls_last(), F.col("id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in pre.lower()
