@@ -1781,6 +1781,69 @@ def d25(spark, sf):
     ).select("doc_id", "toks")
 
 
+@_q(
+    "d26_paragraph_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'NAV chrome shared by every doc' || chr(10) || chr(10) ||
+             text || chr(10) || chr(10) || 'ABOUT ' || source AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(str_split(t, chr(10)||chr(10))) AS para,
+             unnest(range(1, len(str_split(t, chr(10)||chr(10)))+1)) AS pos
+      FROM base
+    ),
+    k AS (
+      SELECT doc_id, pos, para,
+             CASE WHEN para = '' THEN 1
+                  ELSE row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, pos)
+             END AS rn
+      FROM p
+    ),
+    re AS (
+      SELECT doc_id,
+             string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS nkept
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id, re.clean_text,
+           (len(str_split(b.t, chr(10)||chr(10)))
+            - coalesce(re.nkept, 0))::INT AS n_removed
+    FROM base b LEFT JOIN re USING (doc_id)
+    """,
+)
+def d26(spark, sf):
+    """C4-style paragraph-level exact dedup: every duplicate paragraph
+    occurrence is removed EXCEPT the globally first by (doc_id, pos) —
+    one copy always survives (contrast d22 boilerplate, which removes
+    threshold-crossing lines everywhere). The single-line parquet docs
+    get the same synthetic chrome in both engines — a corpus-wide nav
+    paragraph (survives only in the min doc) and a per-source ABOUT
+    paragraph (survives once per source); exact-dup doc texts (the d01
+    corpus property) dedup to their first doc too. Winner selection is
+    a map-side-combinable min(struct) aggregate, not a per-paragraph
+    window — a viral paragraph collapses per input partition before the
+    exchange (operators/paragraph_dedup.py scale notes)."""
+    from datacurator_jl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV chrome shared by every doc\n\n"),
+            F.col("text"),
+            F.lit("\n\nABOUT "),
+            F.col("source"),
+        ).alias("t"),
+    )
+    return dedup_paragraphs(d, "doc_id", "t", out_col="clean_text").select(
+        "doc_id", "clean_text", "n_removed"
+    )
+
+
 @_q("d18_condition_columns", _d18_sql())
 def d18(spark, sf):
     """Registry conditions compiled EXACTLY as the engine compiles them

@@ -209,3 +209,91 @@ def test_decontaminate_probe_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---- paragraph-level exact dedup (operators/paragraph_dedup.py) ----
+
+from datacurator_jl_spark.operators.paragraph_dedup import (  # noqa: E402
+    dedup_paragraphs,
+    duplicated_paragraphs,
+)
+
+
+@pytest.fixture()
+def para_df(spark):
+    rows = [
+        (1, "SHARED LEDE\n\nunique one\n\nSHARED LEDE"),  # within-doc repeat
+        (2, "SHARED LEDE\n\nunique two"),
+        (3, "unique three\n\nSHARED LEDE"),
+        (4, "SHARED LEDE"),        # all paragraphs removed -> null
+        (5, "a\n\n\n\nb"),         # empty middle paragraph preserved
+        (6, None),                 # null text -> null out
+        (7, ""),                   # single empty paragraph, kept
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_duplicated_paragraphs_set(para_df):
+    got = {
+        r["paragraph"]: (r["n_occurrences"], r["first_id"], r["first_pos"])
+        for r in duplicated_paragraphs(para_df, "id", "text").collect()
+    }
+    # 5 occurrences (2 in doc 1 + docs 2/3/4); first is doc 1 pos 0
+    assert got == {"SHARED LEDE": (5, 1, 0)}
+
+
+def test_dedup_paragraphs_semantics(para_df):
+    out = {
+        r["id"]: (r["clean"], r["n_removed"])
+        for r in dedup_paragraphs(
+            para_df, "id", "text", out_col="clean"
+        ).collect()
+    }
+    # doc 1 keeps the FIRST occurrence only (within-doc repeat removed)
+    assert out[1] == ("SHARED LEDE\n\nunique one", 1)
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("unique three", 1)
+    assert out[4] == (None, 1)       # every paragraph removed -> null
+    assert out[5] == ("a\n\n\n\nb", 0)  # empty paragraph never deduped
+    assert out[6] == (None, None)
+    assert out[7] == ("", 0)
+
+
+def test_dedup_paragraphs_stable_under_partitioning(para_df):
+    a = sorted(
+        dedup_paragraphs(para_df, "id", "text").collect(),
+        key=lambda r: r["id"],
+    )
+    b = sorted(
+        dedup_paragraphs(para_df.repartition(5), "id", "text").collect(),
+        key=lambda r: r["id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    # sep is literal, not regex: '.' must not split on every char
+    df = spark.createDataFrame([(1, "x.y"), (2, "x.y")], "id long, text string")
+    out = {
+        r["id"]: r["text"]
+        for r in dedup_paragraphs(df, "id", "text", sep=".").collect()
+    }
+    assert out == {1: "x.y", 2: None}  # 'x' and 'y' both dedup to doc 1
+
+
+def test_dedup_paragraphs_winner_is_aggregate_not_window(para_df):
+    """Winner selection must be a (partial-combinable) hash aggregate, not
+    a per-paragraph row_number window — a viral paragraph would drag every
+    copy through one window task."""
+    plan = (
+        dedup_paragraphs(para_df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+    wins = [l for l in plan.splitlines() if _re.search(r"\bWindow\b", l)]
+    # the only allowed window-free plan: reassembly is SortAggregate/
+    # ObjectHashAggregate, winner is HashAggregate with a partial pass
+    assert not wins, wins
+    assert "partial_min" in plan or "partial min" in plan.lower()
