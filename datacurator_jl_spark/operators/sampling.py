@@ -27,6 +27,26 @@ from pyspark.sql import functions as F
 from datacurator_jl_spark.operators.dedup import _h32
 
 
+def _ranked_with_counts(
+    df: DataFrame, group_col: str, key_col: str, salt: str
+) -> DataFrame:
+    """Rows + ``_rn`` (1-based portable-hash rank within the group,
+    tie-broken by the key) + ``_n`` (group size, broadcast-joined).
+
+    Scale shape: one window shuffle partitioned by the group (bounded
+    per-group state: row_number needs no buffering beyond the running
+    count) plus a broadcast of the per-group counts. Mega-groups make
+    mega window partitions — the same caveat as any per-domain window;
+    salt-split upstream if a single group exceeds an executor.
+    """
+    h = _h32(F.col(key_col).cast("string"), f"#{salt}")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    return df.withColumn("_rn", F.row_number().over(w)).join(
+        F.broadcast(counts), group_col
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     group_col: str,
@@ -36,23 +56,63 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Keep EXACTLY ``ceil(fraction * n_g)`` rows of every group g,
     chosen by portable key-hash order (tie-broken by the key itself) —
-    deterministic, engine-stable, restart-stable.
-
-    Scale shape: one window shuffle partitioned by the group (bounded
-    per-group state: row_number needs no buffering beyond the running
-    count) plus a broadcast of the per-group counts. Mega-groups make
-    mega window partitions — the same caveat as any per-domain window;
-    salt-split upstream if a single group exceeds an executor.
+    deterministic, engine-stable, restart-stable. Scale shape: see
+    ``_ranked_with_counts``.
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    h = _h32(F.col(key_col).cast("string"), f"#{salt}")
-    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    ranked = df.withColumn("_rn", F.row_number().over(w))
     return (
-        ranked.join(F.broadcast(counts), group_col)
+        _ranked_with_counts(df, group_col, key_col, salt)
         .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
+        .drop("_rn", "_n")
+    )
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int | None = None,
+    alpha: float | None = None,
+    scale: float = 1.0,
+    salt: str = "dc",
+) -> DataFrame:
+    """Cap every group at a target size, keeping the first ``target_g``
+    rows by portable hash order — the head-domain suppressor:
+
+    - ``cap=K``: at most K rows per group (the RefinedWeb-style
+      per-domain cap — one spam domain can no longer be 10% of the
+      corpus).
+    - ``alpha=a, scale=s``: ``target_g = ceil(s * n_g**a)`` — a concave
+      cap, the deterministic analogue of temperature/alpha mixture
+      reweighting (``p_g ∝ n_g**a``): head groups are compressed, tail
+      groups kept whole, with no cross-group normalisation term so each
+      group's target is a pure function of its own size (exactly
+      reproducible across engines — no float-sum ordering hazard).
+      ``alpha=0.5`` is computed via ``sqrt``, which IEEE-754 requires
+      to be correctly rounded, so Spark and DuckDB agree bit-exactly;
+      other alphas go through ``pow`` whose last-ulp rounding is
+      platform-dependent — avoid targets that land within an ulp of an
+      integer, or stick to 0.5.
+
+    Exactly one of ``cap`` / ``alpha`` must be given. Scale shape: see
+    ``_ranked_with_counts``.
+    """
+    if (cap is None) == (alpha is None):
+        raise ValueError("give exactly one of cap= or alpha=")
+    if cap is not None:
+        if cap < 0:
+            raise ValueError(f"cap must be >= 0, got {cap}")
+        target = F.lit(int(cap))
+    else:
+        if alpha < 0 or alpha > 1:
+            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        n = F.col("_n").cast("double")
+        grown = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+        target = F.ceil(F.lit(float(scale)) * grown)
+    return (
+        _ranked_with_counts(df, group_col, key_col, salt)
+        .filter(F.col("_rn") <= target)
         .drop("_rn", "_n")
     )
 

@@ -1745,6 +1745,38 @@ def d24(spark, sf):
 
 
 @_q(
+    "d27_domain_cap",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#corpus_v1'), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+    WHERE rn <= ceil(2.0 * sqrt(n::DOUBLE))
+    """,
+)
+def d27(spark, sf):
+    """Concave per-domain cap (deterministic temperature rebalancing):
+    every source keeps at most ceil(2*sqrt(n)) docs, chosen by portable
+    hash order — head domains compressed, tail domains whole, each
+    group's target a pure function of its own size so both engines
+    agree bit-exactly (sqrt is IEEE-correctly-rounded; no cross-group
+    float-sum normalisation). Same bounded per-group window + broadcast
+    counts as d24 (operators/sampling.py)."""
+    from datacurator_jl_spark.operators.sampling import group_cap_sample
+
+    return group_cap_sample(
+        _t(spark, sf, "documents"), "source", "doc_id",
+        alpha=0.5, scale=2.0, salt="corpus_v1",
+    ).select("doc_id", "source")
+
+
+@_q(
     "d25_token_budget",
     r"""
     WITH w AS (

@@ -139,3 +139,54 @@ def test_token_budget_plan_never_single_partition(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in pre.lower()
+
+# ---- group_cap_sample (per-domain cap / concave rebalancing) ----
+
+from datacurator_jl_spark.operators.sampling import group_cap_sample  # noqa: E402
+
+
+def test_group_cap_constant(grouped_df):
+    out = group_cap_sample(grouped_df, "grp", "id", cap=5)
+    got = {r["grp"]: r["c"] for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert got == {"g0": 5, "g1": 5, "g2": 5}
+    # cap above the group size keeps everything
+    assert group_cap_sample(grouped_df, "grp", "id", cap=1000).count() == 100
+    assert group_cap_sample(grouped_df, "grp", "id", cap=0).count() == 0
+
+
+def test_group_cap_concave(spark):
+    # group sizes 4, 100 -> targets ceil(2*sqrt(n)) = 4, 20:
+    # the tail group is kept whole, the head compressed 5x
+    rows = [(f"a{i}", "tail") for i in range(4)] + [
+        (f"b{i}", "head") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    out = group_cap_sample(df, "grp", "id", alpha=0.5, scale=2.0)
+    got = {r["grp"]: r["c"] for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert got == {"tail": 4, "head": 20}
+
+
+def test_group_cap_deterministic(grouped_df):
+    a = {r["id"] for r in group_cap_sample(grouped_df, "grp", "id", cap=7).collect()}
+    b = {
+        r["id"]
+        for r in group_cap_sample(
+            grouped_df.repartition(9), "grp", "id", cap=7
+        ).collect()
+    }
+    assert a == b and len(a) == 21
+    # the capped set is a PREFIX of the stratified hash order: the same
+    # salt selects nested subcorpora as the cap grows
+    c = {r["id"] for r in group_cap_sample(grouped_df, "grp", "id", cap=3).collect()}
+    assert c < a
+
+
+def test_group_cap_validation(grouped_df):
+    with pytest.raises(ValueError, match="exactly one"):
+        group_cap_sample(grouped_df, "grp", "id")
+    with pytest.raises(ValueError, match="exactly one"):
+        group_cap_sample(grouped_df, "grp", "id", cap=3, alpha=0.5)
+    with pytest.raises(ValueError, match="cap"):
+        group_cap_sample(grouped_df, "grp", "id", cap=-1)
+    with pytest.raises(ValueError, match="alpha"):
+        group_cap_sample(grouped_df, "grp", "id", alpha=1.5)
