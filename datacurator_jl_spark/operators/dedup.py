@@ -132,6 +132,34 @@ def minhash_signature(
     return out
 
 
+def _band_buckets(
+    sig: DataFrame, k: int, bands: int, max_bucket: int | None = None
+) -> DataFrame:
+    """Explode a signature table (``doc``, ``mh0..mh{k-1}``, plus any
+    passthrough columns, which are carried) into (doc, band, key, ...)
+    LSH bucket rows; ``max_bucket`` drops degenerate buckets (window
+    count — the skew guard)."""
+    rows = k // bands
+    extra = [c for c in sig.columns if c != "doc" and not c.startswith("mh")]
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("key")).alias(f"b{b}")
+        )
+    buckets = sig.select(
+        "doc", *extra, F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", *extra, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket:
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    return buckets
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -160,23 +188,12 @@ def lsh_candidate_pairs(
     # semantics are: no signature -> no candidacy. Filter before the
     # band explode (also kills the worst-case degenerate bucket).
     sig = sig.filter(F.col("mh0").isNotNull())
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("key")).alias(f"b{b}")
-        )
-    buckets = (
-        sig.select(F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _band_buckets(
+        sig.select(F.col(id_col).alias("doc"), *[f"mh{i}" for i in range(k)]),
+        k,
+        bands,
+        max_bucket=max_bucket,
     )
-    if max_bucket:
-        w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
     # materialize the bucket frame once — the self-join would otherwise
     # compute the signature UDF + explode on BOTH branches
     buckets = _materialize(buckets, materialize)
@@ -270,6 +287,17 @@ def near_dup_components(
         .withColumn("comp", F.col("doc")),
         materialize,
     )
+    return _propagate_min_labels(edges, labels, max_iter, materialize)
+
+
+def _propagate_min_labels(
+    edges: DataFrame, labels: DataFrame, max_iter: int, materialize: str
+) -> DataFrame:
+    """Iterative min-label propagation to fixpoint over ``edges``
+    (src, dst — both directions present) starting from ``labels``
+    (doc, comp). ``comp`` may be any orderable type incl. a struct —
+    the incremental path uses (rank, id) structs so existing-corpus
+    docs always win a mixed component."""
     # per-ROUND label frames are loop scratch, not restartable artifacts:
     # under a path policy they would leak one parquet dir per round, so
     # they stay on localCheckpoint unless the policy is 'reliable' (where
@@ -303,7 +331,7 @@ def near_dup_components(
         # partially-converged labels would silently keep non-representative
         # survivors (chain-shaped components with diameter > max_iter)
         warnings.warn(
-            f"near_dup_components did not reach a fixpoint in {max_iter} "
+            f"min-label propagation did not reach a fixpoint in {max_iter} "
             "rounds; returned labels are PARTIAL (some components carry "
             "more than one label). Raise max_iter for chain-shaped graphs.",
             RuntimeWarning,
@@ -327,6 +355,103 @@ def drop_near_dupes(
     )
     reps = comps.filter(F.col("doc") == F.col("comp")).select("doc")
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
+
+
+def signature_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The persistable dedup state: (doc, mh0..mh{k-1}) for every doc
+    WITH a signature (token-less docs have none and can never be
+    near-dup candidates — the pinned NULL-never-joins semantics). Write
+    this table (parquet/Iceberg) after each ingest; the next ingest
+    dedups against it via ``incremental_near_dup_survivors`` without
+    re-signing or re-clustering the accumulated corpus."""
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k)
+    return sig.filter(F.col("mh0").isNotNull()).select(
+        F.col(id_col).alias("doc"), *[f"mh{i}" for i in range(k)]
+    )
+
+
+def incremental_near_dup_survivors(
+    new_df: DataFrame,
+    base_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    max_iter: int = 25,
+    materialize: str = "local",
+) -> DataFrame:
+    """Dedup an ingest batch against an already-curated corpus: keep the
+    new docs that are near-duplicates of NEITHER a base doc NOR a
+    surviving earlier new doc (component-min among the new).
+
+    This is the 100-TB ingest posture: the accumulated corpus is
+    represented only by its persisted signature table (``signature_table``
+    output — k bigints per doc, ~1000x smaller than the text), so each
+    ingest costs O(|batch| + |corpus| band keys) with NO re-shingling of
+    the corpus text and NO re-clustering of base-base pairs (their
+    components were already resolved when those docs were admitted;
+    base-base edges are explicitly excluded from the join).
+
+    Winner semantics, pinned: labels are (rank, id) structs with base
+    rank 0 < new rank 1, so min-label propagation makes any component
+    containing a base doc base-rooted — a new doc survives iff its
+    component label is (1, its own id). Base docs always survive (they
+    are already in the corpus and are not returned).
+    """
+    new_sigs = signature_table(new_df, id_col, text_col, k)
+    tagged = base_sigs.select(
+        "doc", *[f"mh{i}" for i in range(k)], F.lit(True).alias("is_base")
+    ).unionByName(
+        new_sigs.select(
+            "doc", *[f"mh{i}" for i in range(k)], F.lit(False).alias("is_base")
+        )
+    )
+    buckets = _materialize(
+        _band_buckets(tagged, k, bands, max_bucket=max_bucket), materialize
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(
+            (F.col("a.doc") < F.col("b.doc"))
+            & ~(F.col("a.is_base") & F.col("b.is_base"))
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ),
+        materialize,
+    )
+    # labels start from EVERY new doc (not just the signed ones): a
+    # token-less doc has no signature, hence no edges, hence survives —
+    # the pinned "no signature -> no candidacy" semantics
+    labels = _materialize(
+        base_sigs.select(
+            "doc",
+            F.struct(F.lit(0).alias("rank"), F.col("doc").alias("id")).alias("comp"),
+        ).unionByName(
+            new_df.select(F.col(id_col).alias("doc"))
+            .distinct()
+            .select(
+                "doc",
+                F.struct(F.lit(1).alias("rank"), F.col("doc").alias("id")).alias(
+                    "comp"
+                ),
+            )
+        ),
+        materialize,
+    )
+    labels = _propagate_min_labels(edges, labels, max_iter, materialize)
+    survivors = labels.filter(
+        (F.col("comp.rank") == 1) & (F.col("comp.id") == F.col("doc"))
+    ).select("doc")
+    return new_df.join(survivors, new_df[id_col] == survivors.doc, "left_semi")
 
 
 def ngram_jaccard_pairs(

@@ -1189,6 +1189,62 @@ def d15(spark, sf):
     ).select("doc_id", "source")
 
 
+_D28_EDGES = f"""
+    sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+       AND (
+           (a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+           (a.mh4 = b.mh4 AND a.mh5 = b.mh5 AND a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    lab(doc, comp) AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id
+                  ELSE doc_id + 1000000000000000 END
+      FROM documents
+      UNION
+      SELECT e.src, l.comp FROM lab l JOIN edges e ON e.dst = l.doc
+    )
+"""
+
+
+@_q(
+    "d28_incremental_dedup",
+    "WITH RECURSIVE " + _D28_EDGES + """
+    , comp AS (SELECT doc, min(comp) AS comp FROM lab GROUP BY doc)
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN comp c ON c.doc = d.doc_id
+    WHERE d.doc_id % 2 = 1 AND c.comp = d.doc_id + 1000000000000000
+    """,
+)
+def d28(spark, sf):
+    """Incremental ingest dedup: even-id docs play the already-curated
+    corpus (represented ONLY by its persisted minhash signature table —
+    no text re-shingling, base-base edges excluded), odd-id docs are the
+    new batch; a new doc survives iff its component contains no base doc
+    and it is the component-min new doc. The Spark side labels with
+    (rank, id) structs so base always wins; the oracle encodes the same
+    order as doc_id + 10^15 for new docs in a recursive reachability
+    CTE. Same 2x4 banding as d15 (operators/dedup.py:
+    incremental_near_dup_survivors scale notes)."""
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base_sigs = DD.signature_table(base, "doc_id", "text", k=8)
+    return DD.incremental_near_dup_survivors(
+        new, base_sigs, "doc_id", "text", k=8, bands=2
+    ).select("doc_id", "source")
+
+
 @_q(
     "d16_hash_sample",
     """

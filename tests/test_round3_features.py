@@ -356,3 +356,95 @@ def test_has_n_rows_asserts_input_cardinality(spark):
     # 2 survive the exact-dedup pre-pass
     assert out.count() == 2
     assert {r.dc_rule_id for r in out.collect()} == {"any:0:has_n_rows"}
+
+
+# --- incremental ingest dedup vs a persisted signature table ------------------
+
+
+@pytest.fixture()
+def ingest_frames(spark):
+    base = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (4, "an entirely different base document about spark"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),  # dup of base 2
+            (13, "a genuinely novel document with fresh words"),   # unique
+            (15, "repeated new content inside one batch only"),
+            (17, "repeated new content inside one batch only"),    # dup of 15
+            (19, "   \t\n"),                                       # token-less
+        ],
+        "doc_id long, text string",
+    )
+    return base, new
+
+
+def test_incremental_survivors_semantics(ingest_frames):
+    base, new = ingest_frames
+    sigs = DD.signature_table(base, "doc_id", "text")
+    got = {
+        r["doc_id"]
+        for r in DD.incremental_near_dup_survivors(
+            new, sigs, "doc_id", "text"
+        ).collect()
+    }
+    # 11 is a near-dup of base 2 -> dropped; 15 beats 17 (component-min
+    # among the new); token-less 19 has no signature -> no candidacy,
+    # survives; base ids never appear in the output
+    assert got == {13, 15, 19}
+
+
+def test_incremental_base_always_wins_regardless_of_id_order(spark):
+    # the NEW doc has the SMALLER id: min-label on raw ids would crown it;
+    # the (rank, id) struct labels must still root the component at base
+    base = spark.createDataFrame(
+        [(100, "shared duplicate text across ingests")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "shared duplicate text across ingests")], "doc_id long, text string"
+    )
+    sigs = DD.signature_table(base, "doc_id", "text")
+    assert DD.incremental_near_dup_survivors(new, sigs, "doc_id", "text").count() == 0
+
+
+def test_incremental_preserves_new_columns(ingest_frames):
+    base, new = ingest_frames
+    sigs = DD.signature_table(base, "doc_id", "text")
+    out = DD.incremental_near_dup_survivors(
+        new.withColumn("extra", F.lit("x")), sigs, "doc_id", "text"
+    )
+    assert out.columns == ["doc_id", "text", "extra"]
+
+
+def test_signature_table_shape(ingest_frames):
+    base, new = ingest_frames
+    sigs = DD.signature_table(new, "doc_id", "text", k=4)
+    assert sigs.columns == ["doc", "mh0", "mh1", "mh2", "mh3"]
+    # token-less doc 19 is excluded: no signature, nothing to persist
+    assert {r["doc"] for r in sigs.select("doc").collect()} == {11, 13, 15, 17}
+
+
+def test_incremental_second_batch_against_updated_sigs(ingest_frames):
+    """The ingest loop contract: sigs(t+1) = sigs(t) UNION sigs(survivors)."""
+    base, new = ingest_frames
+    sigs = DD.signature_table(base, "doc_id", "text")
+    kept = DD.incremental_near_dup_survivors(new, sigs, "doc_id", "text")
+    sigs2 = sigs.unionByName(DD.signature_table(kept, "doc_id", "text"))
+    batch2 = new.sparkSession.createDataFrame(
+        [
+            (21, "repeated new content inside one batch only"),  # dup of kept 15
+            (23, "second wave bringing something completely new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in DD.incremental_near_dup_survivors(
+            batch2, sigs2, "doc_id", "text"
+        ).collect()
+    }
+    assert got == {23}
