@@ -65,6 +65,11 @@ HEADLINE = [
     "d21_repetition_stats",
     "d22_boilerplate_lines",
     "d23_decontaminate",
+    "d24_stratified_sample",
+    "d25_token_budget",
+    "d26_paragraph_dedup",
+    "d27_domain_cap",
+    "d28_incremental_dedup",
 ]
 
 

@@ -101,6 +101,36 @@ def hash_sample(
     return df.filter(bucket < int(round(fraction * 10_000)))
 
 
+def blocklist_filter(
+    df: DataFrame, col: str, listed, keep_listed: bool = False
+) -> DataFrame:
+    """Remove (default) or keep-only rows whose ``col`` value appears in
+    ``listed`` — the domain/URL blocklist (or allowlist) filter.
+
+    ``listed`` is either a one-column DataFrame (the corpus-scale path:
+    a broadcast anti/semi join — a UDF-free plan that AQE can also
+    demote to shuffle join if the list outgrows the broadcast
+    threshold) or a Python iterable of values (plan-embedded ``isin``,
+    right for small inline lists). Null values never match a list, so
+    they are kept under blocklist semantics and dropped under allowlist
+    semantics — SQL IN null handling.
+    """
+    if isinstance(listed, DataFrame):
+        if len(listed.columns) != 1:
+            raise ValueError(
+                f"blocklist DataFrame must have exactly one column, "
+                f"got {listed.columns}"
+            )
+        key = listed.columns[0]
+        how = "left_semi" if keep_listed else "left_anti"
+        return df.join(
+            F.broadcast(listed), df[col] == listed[key], how
+        )
+    vals = list(dict.fromkeys(listed))  # dedup, keep caller order + types
+    hit = F.col(col).isin(vals)
+    return df.filter(hit if keep_listed else ~F.coalesce(hit, F.lit(False)))
+
+
 def extract_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Projection (reference rewrites the CSV; we just select)."""
     return df.select(*_known(df, columns))

@@ -1246,6 +1246,32 @@ def d28(spark, sf):
 
 
 @_q(
+    "d29_blocklist",
+    """
+    SELECT d.doc_id, d.source FROM documents d
+    ANTI JOIN (VALUES ('src1'), ('src7'), ('src12'), ('not-a-source'))
+      AS b(domain) ON d.source = b.domain
+    """,
+)
+def d29(spark, sf):
+    """Domain blocklist filtering (RefinedWeb/C4 both start here): drop
+    every doc whose source is on the list. Exercises the corpus-scale
+    path — a one-column blocklist DataFrame broadcast into a left-anti
+    join (no plan-embedded literal list, no UDF); the inline-isin form
+    is the recipe-surface twin (name_not_in_list condition, pytest).
+    Null sources never match a list and are kept, SQL IN semantics
+    (operators/dataframe_ops.blocklist_filter)."""
+    from datacurator_jl_spark.operators.dataframe_ops import blocklist_filter
+
+    blocked = spark.createDataFrame(
+        [("src1",), ("src7",), ("src12",), ("not-a-source",)], "domain string"
+    )
+    return blocklist_filter(
+        _t(spark, sf, "documents"), "source", blocked
+    ).select("doc_id", "source")
+
+
+@_q(
     "d16_hash_sample",
     """
     SELECT doc_id, source FROM documents

@@ -127,6 +127,22 @@ _cond("has_upper", 0, 0)(lambda ctx: P.has_upper(ctx.name))
 _cond("has_whitespace", 0, 0)(lambda ctx: P.has_whitespace(ctx.name))
 _cond("is_hidden", 0, 0)(lambda ctx: P.is_hidden(ctx.name))
 _cond("not_hidden", 0, 0)(lambda ctx: P.not_hidden(ctx.name))
+# -- list membership on the name column (domain allow/blocklists). The
+#    inline form compiles to an In expression (codegen hash set) — right
+#    for the recipe surface's dozens-to-thousands of domains; a
+#    corpus-scale list (millions of URLs) belongs in
+#    dataframe_ops.blocklist_filter's broadcast anti-join instead. Null
+#    name -> null condition (failed), matching SQL IN semantics.
+_cond("name_in_list", 1, 1)(
+    lambda ctx, vals: ctx.name.isin(
+        sorted(str(v) for v in _name_list(vals, "name_in_list"))
+    )
+)
+_cond("name_not_in_list", 1, 1)(
+    lambda ctx, vals: ~ctx.name.isin(
+        sorted(str(v) for v in _name_list(vals, "name_not_in_list"))
+    )
+)
 _cond("file_extension_one_of", 1, 1)(
     lambda ctx, exts: P.file_extension_one_of(ctx.name, list(exts))
 )

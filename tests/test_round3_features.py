@@ -448,3 +448,78 @@ def test_incremental_second_batch_against_updated_sigs(ingest_frames):
         ).collect()
     }
     assert got == {23}
+
+
+# --- blocklist filtering (operator + recipe condition) ------------------------
+
+
+from datacurator_jl_spark.operators.dataframe_ops import blocklist_filter  # noqa: E402
+from datacurator_jl_spark.registry import RuleContext, compile_condition  # noqa: E402
+
+
+@pytest.fixture()
+def bl_df(spark):
+    rows = [
+        (1, "spam.com", "x"), (2, "good.org", "y"),
+        (3, None, "z"), (4, "ads.net", "w"),
+    ]
+    return spark.createDataFrame(rows, "id long, domain string, text string")
+
+
+def test_blocklist_filter_inline_and_df_paths_agree(bl_df, spark):
+    blocked_vals = ["spam.com", "ads.net", "unused.io"]
+    inline = {r["id"] for r in blocklist_filter(bl_df, "domain", blocked_vals).collect()}
+    bdf = spark.createDataFrame([(v,) for v in blocked_vals], "d string")
+    joined = {r["id"] for r in blocklist_filter(bl_df, "domain", bdf).collect()}
+    # null domain never matches a blocklist -> kept on BOTH paths
+    assert inline == joined == {2, 3}
+
+
+def test_allowlist_drops_nulls(bl_df, spark):
+    allowed = spark.createDataFrame([("good.org",), ("spam.com",)], "d string")
+    got = {
+        r["id"]
+        for r in blocklist_filter(bl_df, "domain", allowed, keep_listed=True).collect()
+    }
+    assert got == {1, 2}  # null domain matches nothing -> dropped
+    inline = {
+        r["id"]
+        for r in blocklist_filter(
+            bl_df, "domain", ["good.org", "spam.com"], keep_listed=True
+        ).collect()
+    }
+    assert inline == got
+
+
+def test_blocklist_df_join_is_broadcast(bl_df, spark):
+    bdf = spark.createDataFrame([("spam.com",)], "d string")
+    plan = (
+        blocklist_filter(bl_df, "domain", bdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_blocklist_df_must_be_single_column(bl_df, spark):
+    two = spark.createDataFrame([("a", "b")], "x string, y string")
+    with pytest.raises(ValueError, match="one column"):
+        blocklist_filter(bl_df, "domain", two)
+
+
+def test_name_in_list_conditions(bl_df):
+    ctx = RuleContext(name_col="domain", text_col="text")
+    blocked = compile_condition(["name_in_list", ["spam.com", "ads.net"]], ctx)
+    out = bl_df.withColumn("hit", blocked).collect()
+    got = {r["id"]: r["hit"] for r in out}
+    assert got == {1: True, 2: False, 3: None, 4: True}  # null name -> null
+    ok = compile_condition(["name_not_in_list", ["spam.com", "ads.net"]], ctx)
+    got2 = {r["id"]: r["ok"] for r in bl_df.withColumn("ok", ok).collect()}
+    assert got2 == {1: False, 2: True, 3: None, 4: False}
+
+
+def test_name_in_list_rejects_bare_string(bl_df):
+    from datacurator_jl_spark.recipe import RecipeError
+
+    ctx = RuleContext(name_col="domain", text_col="text")
+    with pytest.raises(RecipeError, match="LIST"):
+        bl_df.withColumn("c", compile_condition(["name_in_list", "spam.com"], ctx))
