@@ -1272,6 +1272,45 @@ def d29(spark, sf):
 
 
 @_q(
+    "d30_classifier_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS tok
+      FROM documents
+    ),
+    wt AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('w' ||
+                 ((('0x' || substr(md5(tok || '#qw1'), 1, 8))::BIGINT) % 65536)::VARCHAR
+                 || '#qw1'), 1, 8))::BIGINT % 2001) - 1000 AS w
+      FROM toks
+    ),
+    sc AS (
+      SELECT doc_id, sum(w) / (1000.0 * count(*)) AS cls_score
+      FROM wt GROUP BY doc_id
+    )
+    SELECT d.doc_id, sc.cls_score FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def d30(spark, sf):
+    """Hashed linear classifier score (FineWeb-Edu-style learned filter
+    plumbing): tokens -> md5 bucket -> integer weight, score =
+    sum / (1000.0 * n_tokens). Integer weights make the per-doc sum
+    exact and order-free, and the single final double division is
+    bit-identical across Spark/DuckDB/Python — the cross-engine trick
+    that lets a learned-scoring path be oracle-checked at all. Runs the
+    Arrow hot path (one vectorized stage, per-worker LRU weight cache);
+    the native HOF twin and the DC_QUALITY_MODEL json seam are pinned
+    in pytest (functions/classifier.py)."""
+    from datacurator_jl_spark.functions.classifier import linear_score_arrow
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", linear_score_arrow(F.col("text")).alias("cls_score")
+    )
+
+
+@_q(
     "d16_hash_sample",
     """
     SELECT doc_id, source FROM documents

@@ -294,6 +294,22 @@ _cond("quality_above", 1, 1)(
 )
 _cond("contains_pii", 0, 0)(lambda ctx: S.contains_pii(ctx.text))
 _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
+# learned-filter seam: hashed linear classifier score (FineWeb-Edu-style).
+# Stand-in weights unless DC_QUALITY_MODEL points at a json model —
+# the same explicit-path > env > stand-in contract as the langid/
+# perplexity stages. Null text / zero tokens -> null (condition fails).
+_cond("classifier_score_above", 1, 1)(
+    lambda ctx, thr: _classifier_score(ctx.text) > float(thr)
+)
+_cond("classifier_score_below", 1, 1)(
+    lambda ctx, thr: _classifier_score(ctx.text) < float(thr)
+)
+
+
+def _classifier_score(text: Column) -> Column:
+    from datacurator_jl_spark.functions.classifier import linear_score
+
+    return linear_score(text)
 
 
 # -- table-shape assertions (reference has_n_columns/has_columns_named/

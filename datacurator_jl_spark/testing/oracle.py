@@ -202,6 +202,13 @@ def _eval_condition(expr, row) -> bool | None:
         return _rep_stats(t)[name.removesuffix("_below")] < float(args[0])
     if name == "lang_is":
         return _lang_id(t) == args[0]
+    if name in ("classifier_score_above", "classifier_score_below"):
+        from datacurator_jl_spark.functions.classifier import classifier_score_py
+
+        s = classifier_score_py(t)
+        if s is None:
+            return None
+        return s > float(args[0]) if name.endswith("above") else s < float(args[0])
     if name == "contains_pii":
         pats = "|".join(f"({p})" for _n, p, _r in SCRUB_RULES)
         return re.search(pats, t, flags=_A) is not None
