@@ -357,6 +357,65 @@ def drop_near_dupes(
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    max_block: int | None = 100_000,
+    materialize: str = "local",
+) -> DataFrame:
+    """Asymmetric near-dup: word-set containment
+    ``C(a,b) = |A ∩ B| / min(|A|, |B|)`` for pairs within a block.
+
+    Catches what Jaccard structurally misses — truncated crawls,
+    excerpt pages, expanded re-publications: a 10% excerpt of a page
+    has J ≈ 0.1 (invisible to ``ngram_jaccard_pairs`` at any sane
+    threshold) but C = 1.0. Because the asymmetry is the point, there
+    is NO size-ratio prefilter (Jaccard's ``t·|b| ≤ |a|`` pruning
+    argument does not hold for containment) and no LSH prefilter
+    (minhash estimates Jaccard; a small-in-large pair is exactly the
+    candidate LSH recall loses). Scale therefore rests on the blocked
+    join + ``max_block`` skew cap alone — pick block keys accordingly
+    (domain, near-dup component, or simhash prefix).
+
+    Shares the hashed-word-set shuffle payload and the
+    materialize-once policy with ``ngram_jaccard_pairs``. Output:
+    (id_a, id_b, containment rounded to 6dp) with id_a < id_b,
+    containment >= threshold; token-less docs never pair (min size 0).
+    """
+    from datacurator_jl_spark.functions.arrow_hash import hashed_wordset_arrow
+
+    prep = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        hashed_wordset_arrow(F.col(text_col)).alias("ws"),
+    )
+    if max_block:
+        w = Window.partitionBy("blk")
+        prep = (
+            prep.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+    prep = _materialize(prep, materialize)
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    mn = F.least(F.size(F.col("a.ws")), F.size(F.col("b.ws")))
+    cont = F.when(mn > 0, inter.cast("double") / mn).otherwise(F.lit(0.0))
+    return (
+        prep.alias("a")
+        .join(prep.alias("b"), F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def signature_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -541,6 +541,35 @@ def d08(spark, sf):
 
 
 @_q(
+    "d31_ngram_containment",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 least(len(a.ws), len(b.ws)), 6) AS containment
+    FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE least(len(a.ws), len(b.ws)) > 0
+      AND round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                least(len(a.ws), len(b.ws)), 6) >= 0.8
+    """,
+)
+def d31(spark, sf):
+    """Asymmetric containment near-dup |A∩B|/min(|A|,|B|), blocked by
+    source: the truncated-crawl/excerpt detector — a 10% excerpt has
+    Jaccard ~0.1 (invisible to d08) but containment 1.0. No size-ratio
+    or LSH prefilter applies (the asymmetry IS the signal), so scale
+    rests on the block cap (operators/dedup.ngram_containment_pairs)."""
+    return DD.ngram_containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", "source", threshold=0.8
+    )
+
+
+@_q(
     "d09_scrub",
     """
     SELECT doc_id,

@@ -523,3 +523,40 @@ def test_name_in_list_rejects_bare_string(bl_df):
     ctx = RuleContext(name_col="domain", text_col="text")
     with pytest.raises(RecipeError, match="LIST"):
         bl_df.withColumn("c", compile_condition(["name_in_list", "spam.com"], ctx))
+
+
+# --- containment near-dup (truncated/excerpt detector) ------------------------
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    full = " ".join(f"w{i}" for i in range(100))
+    excerpt = " ".join(f"w{i}" for i in range(10))  # strict 10% subset
+    df = spark.createDataFrame(
+        [(1, full, "blk"), (2, excerpt, "blk"), (3, "unrelated text", "blk")],
+        "id long, text string, blk string",
+    )
+    cont = DD.ngram_containment_pairs(df, "id", "text", "blk", threshold=0.9)
+    got = [(r["id_a"], r["id_b"], r["containment"]) for r in cont.collect()]
+    assert got == [(1, 2, 1.0)]
+    # Jaccard at any useful threshold misses it (J = 10/100 = 0.1)
+    jac = DD.ngram_jaccard_pairs(df, "id", "text", "blk", threshold=0.5)
+    assert jac.count() == 0
+
+
+def test_containment_tokenless_docs_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "", "b"), (2, "   ", "b"), (3, None, "b"), (4, "x", "b")],
+        "id long, text string, blk string",
+    )
+    assert DD.ngram_containment_pairs(df, "id", "text", "blk").count() == 0
+
+
+def test_containment_block_cap(spark):
+    rows = [(i, "common words here", "mega") for i in range(10)] + [
+        (100, "common words here", "ok"),
+        (101, "common words here", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, blk string")
+    out = DD.ngram_containment_pairs(df, "id", "text", "blk", max_block=5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(100, 101)}  # the mega block is capped away entirely
