@@ -158,6 +158,15 @@ def _eval_condition(expr, row) -> bool | None:
         return False
     if name == "has_text":
         return t is not None and re.search(r"\S", t, flags=_A) is not None
+    # name-column conditions: evaluated BEFORE the null-text early
+    # return (a null-text row still has a name). Null name -> null, SQL
+    # IN semantics.
+    if name in ("name_in_list", "name_not_in_list"):
+        nm = row["url"]
+        if nm is None:
+            return None
+        hit = nm in {str(v) for v in args[0]}
+        return hit if name == "name_in_list" else not hit
     if t is None:
         return None  # null text -> null condition, like the Spark plan
     if name == "min_length":

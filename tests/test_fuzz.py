@@ -88,3 +88,48 @@ def test_fuzz_recipe_validation_never_crashes_unexpectedly(cond, action):
         parse_recipe(cfg)
     except RecipeError:
         pass  # clean, typed compile-time rejection is the contract
+
+
+# round-3 surfaces: classifier + name-list conditions through the same
+# engine-vs-oracle exact-agreement harness
+_R3_SPEC = parse_recipe(
+    {
+        "global": {"act_on_success": True},
+        "any": {
+            "conditions": [
+                ["name_in_list", ["u1", "u4", "u9"]],
+                ["classifier_score_above", 0.02],
+                ["classifier_score_below", -0.3],
+            ],
+            "actions": ["drop", "keep", "drop"],
+        },
+    }
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS)
+def test_fuzz_classifier_and_listing_conditions(spark, texts):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(len(texts))], "text": texts}
+    )
+    df = spark.createDataFrame(
+        pdf.astype({"text": "object"}), "url string, text string"
+    )
+    got = (
+        Pipeline(_R3_SPEC)
+        .apply(df)
+        .df.select("url", "dc_kept", "dc_rule_id")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = oracle_labels(pdf, _R3_SPEC).sort_values("url").reset_index(drop=True)
+    assert list(got["dc_kept"]) == list(exp["keep"])
+    assert list(got["dc_rule_id"]) == list(exp["rule_id"])
