@@ -70,6 +70,9 @@ HEADLINE = [
     "d26_paragraph_dedup",
     "d27_domain_cap",
     "d28_incremental_dedup",
+    "d29_blocklist",
+    "d30_classifier_score",
+    "d31_ngram_containment",
 ]
 
 

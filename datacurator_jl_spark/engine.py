@@ -401,6 +401,16 @@ class Pipeline:
                     "an unbounded stream has no row count"
                 )
             row_count = df.count()
+        # optional blocklist pre-pass ([global] blocklist = [...]): the
+        # cheapest stage — a plain pushdown-friendly filter on the name
+        # column, so blocked domains never pay for any later stage.
+        # Streaming-safe (no global state).
+        if spec.blocklist and spec.name_col in df.columns:
+            from datacurator_jl_spark.operators.dataframe_ops import (
+                blocklist_filter,
+            )
+
+            df = blocklist_filter(df, spec.name_col, spec.blocklist)
         # optional boilerplate pre-pass ([global] remove_boilerplate = N):
         # strip corpus-wide repeated lines BEFORE dedup and the rules —
         # shared chrome inflates near-dup similarity and quality scores.
@@ -423,6 +433,25 @@ class Pipeline:
                 df, spec.name_col, spec.text_col,
                 min_docs=spec.remove_boilerplate,
             ).select(*cols)
+            df = df.localCheckpoint(eager=False)
+        # optional C4-style paragraph dedup ([global] paragraph_dedup):
+        # after boilerplate (chrome lines removed first so they don't
+        # masquerade as content paragraphs), before doc-level dedup
+        # (paragraph-stripped texts may collapse into exact doc dupes)
+        if spec.paragraph_dedup and spec.text_col in df.columns:
+            from datacurator_jl_spark.operators.paragraph_dedup import (
+                dedup_paragraphs,
+            )
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "paragraph_dedup is batch-only (the winner per "
+                    "paragraph is a global corpus aggregate)"
+                )
+            cols = df.columns
+            df = dedup_paragraphs(df, spec.name_col, spec.text_col).select(*cols)
             df = df.localCheckpoint(eager=False)
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
@@ -463,6 +492,25 @@ class Pipeline:
                     df = df.localCheckpoint(eager=False)
                 else:
                     df = _materialize(df, spec.dedup_materialize)
+        # optional per-domain cap ([global] domain_cap = N): AFTER dedup
+        # (cap the deduplicated corpus, not raw dup counts) — at most N
+        # docs per domain by portable hash order
+        if spec.domain_cap and spec.domain_cap_col in df.columns:
+            from datacurator_jl_spark.operators.sampling import group_cap_sample
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "domain_cap is batch-only (per-domain ranking needs "
+                    "the whole corpus; streaming: use "
+                    "streaming.domain_quota_stream)"
+                )
+            cols = df.columns
+            df = group_cap_sample(
+                df, spec.domain_cap_col, spec.name_col, cap=spec.domain_cap
+            ).select(*cols)
+            df = df.localCheckpoint(eager=False)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps
         # the projections separate (CollapseProject refuses to inline a

@@ -95,6 +95,19 @@ class RecipeSpec:
     # line is boilerplate becomes null text (normally dropped by a
     # has_text rule).
     remove_boilerplate: int | None = None
+    # optional name-column blocklist pre-pass: drop rows whose name is in
+    # the list BEFORE everything else (the cheapest stage — a plain
+    # filter, streaming-safe). Corpus-scale lists belong in
+    # dataframe_ops.blocklist_filter's DataFrame form instead.
+    blocklist: list[str] = field(default_factory=list)
+    # optional C4-style paragraph dedup pre-pass: duplicate paragraphs
+    # removed corpus-wide (globally first occurrence survives), AFTER
+    # boilerplate removal and BEFORE doc-level dedup
+    paragraph_dedup: bool = False
+    # optional per-domain cap AFTER dedup: at most N docs per
+    # ``domain_cap_col`` value, chosen by portable hash order
+    domain_cap: int | None = None
+    domain_cap_col: str = "source"
 
     @property
     def rules(self) -> list[Rule]:
@@ -117,6 +130,10 @@ _GLOBAL_KEYS = {
     "dedup",
     "dedup_materialize",
     "remove_boilerplate",
+    "blocklist",
+    "paragraph_dedup",
+    "domain_cap",
+    "domain_cap_col",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -151,6 +168,31 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     )
     if spec.dedup not in (None, "exact", "near"):
         raise RecipeError(f"dedup must be 'exact' or 'near', got {spec.dedup!r}")
+    bl = g.get("blocklist", [])
+    if (
+        isinstance(bl, str)
+        or not isinstance(bl, (list, tuple))
+        or not all(isinstance(x, str) for x in bl)
+    ):
+        raise RecipeError(
+            f"blocklist must be a list of name strings, got {bl!r}"
+        )
+    spec.blocklist = list(bl)
+    pdd = g.get("paragraph_dedup", False)
+    if not isinstance(pdd, bool):
+        raise RecipeError(
+            f"paragraph_dedup must be a boolean, got {pdd!r}"
+        )
+    spec.paragraph_dedup = pdd
+    dc = g.get("domain_cap")
+    if dc is not None:
+        if isinstance(dc, bool) or not isinstance(dc, int) or dc < 1:
+            raise RecipeError(
+                f"domain_cap must be an integer >= 1 (max docs kept per "
+                f"domain), got {dc!r}"
+            )
+        spec.domain_cap = dc
+    spec.domain_cap_col = str(g.get("domain_cap_col", "source"))
     rb = g.get("remove_boilerplate")
     if rb is not None:
         if isinstance(rb, bool) or not isinstance(rb, int) or rb < 2:

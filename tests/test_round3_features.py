@@ -560,3 +560,79 @@ def test_containment_block_cap(spark):
     out = DD.ngram_containment_pairs(df, "id", "text", "blk", max_block=5)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(100, 101)}  # the mega block is capped away entirely
+
+
+# --- recipe-surface pre-passes: blocklist / paragraph_dedup / domain_cap ------
+
+
+def test_recipe_full_prepass_chain(spark):
+    rows = [
+        # blocked domain
+        ("http://spam.com/a", "spam.com", "anything at all"),
+        # two docs sharing a paragraph; the copy survives in u1 only
+        ("http://a.org/1", "a.org", "SHARED PARA\n\nunique alpha"),
+        ("http://a.org/2", "a.org", "SHARED PARA\n\nunique beta"),
+        # three unique docs in one domain -> domain_cap=2 keeps two
+        ("http://b.net/1", "b.net", "first b document standing alone"),
+        ("http://b.net/2", "b.net", "second b document standing alone"),
+        ("http://b.net/3", "b.net", "third b document standing alone"),
+    ]
+    df = spark.createDataFrame(rows, "url string, source string, text string")
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "blocklist": ["http://spam.com/a"],
+                "paragraph_dedup": True,
+                "domain_cap": 2,
+            },
+            "any": {"conditions": ["has_text"], "actions": ["keep"]},
+        }
+    )
+    out = Pipeline(spec).apply(df).df
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert "http://spam.com/a" not in got
+    assert got["http://a.org/1"] == "SHARED PARA\n\nunique alpha"
+    assert got["http://a.org/2"] == "unique beta"
+    assert sum(1 for u in got if "b.net" in u) == 2
+    assert len(got) == 4  # 2 a.org + 2 b.net
+
+
+def test_recipe_paragraph_dedup_then_exact_dedup(spark):
+    """A whole-doc exact dup IS a paragraph dup: with both passes on,
+    the paragraph pass nulls the loser's text first (globally-first
+    occurrence survives), and the exact pass then sees distinct
+    (text, null) rows — pinned cascade order."""
+    rows = [
+        ("u1", "same doc text"),
+        ("u2", "same doc text"),
+        ("u3", "another doc"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "paragraph_dedup": True,
+                       "dedup": "exact"},
+            "any": {"conditions": ["has_text"], "actions": ["keep"]},
+        }
+    )
+    out = {r["url"]: r["text"] for r in Pipeline(spec).apply(df).df.collect()}
+    assert out["u1"] == "same doc text" and out["u3"] == "another doc"
+    # u2 lost its only paragraph -> null text -> fails has_text ->
+    # no rule fires -> default_keep with null text
+    assert out["u2"] is None
+
+
+def test_recipe_prepass_validation():
+    with pytest.raises(Exception, match="blocklist"):
+        parse_recipe({"global": {"blocklist": "spam.com"}, "any": {
+            "conditions": ["always"], "actions": ["keep"]}})
+    with pytest.raises(Exception, match="paragraph_dedup"):
+        parse_recipe({"global": {"paragraph_dedup": 1}, "any": {
+            "conditions": ["always"], "actions": ["keep"]}})
+    with pytest.raises(Exception, match="domain_cap"):
+        parse_recipe({"global": {"domain_cap": 0}, "any": {
+            "conditions": ["always"], "actions": ["keep"]}})
+    with pytest.raises(Exception, match="domain_cap"):
+        parse_recipe({"global": {"domain_cap": True}, "any": {
+            "conditions": ["always"], "actions": ["keep"]}})
