@@ -117,6 +117,41 @@ def group_cap_sample(
     )
 
 
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+    descending: bool = True,
+    materialize: str = "local",
+) -> DataFrame:
+    """Keep exactly ``ceil(fraction * N)`` rows with the best scores —
+    the FineWeb-Edu selection step ("top 30% by classifier score") as an
+    exact global top-k with NO single-partition stage: rank = the
+    running count of the token-budget machinery with unit weights
+    (range exchange + per-partition prefix + broadcast offsets). Order:
+    ``score_col`` (desc by default, nulls last), tie-broken by
+    ``id_col`` — deterministic and engine-stable. Costs one extra
+    metadata-cheap ``count()`` to turn the fraction into k.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    import math
+
+    k = math.ceil(fraction * df.count())
+    if k == 0:
+        return df.limit(0)
+    return token_budget_sample(
+        df.withColumn("_tf_one", F.lit(1)),
+        "_tf_one",
+        k,
+        order_by=score_col,
+        id_col=id_col,
+        descending=descending,
+        materialize=materialize,
+    ).drop("_tf_one")
+
+
 def token_budget_sample(
     df: DataFrame,
     weight_col: str,

@@ -1339,6 +1339,43 @@ def d30(spark, sf):
     )
 
 
+def _d33_sql() -> str:
+    from datacurator_jl_spark.functions.urls import canonical_url_sql
+
+    messy = (
+        "'HTTP://WWW.' || upper(source) || '.COM:80/Docs/' || doc_id || "
+        "'/?utm_source=feed&utm_campaign=x&id=' || doc_id || "
+        "'&fbclid=abc#section-' || (doc_id % 7)"
+    )
+    return f"SELECT doc_id, {canonical_url_sql(messy)} AS canon FROM documents"
+
+
+@_q("d33_canonical_url", _d33_sql())
+def d33(spark, sf):
+    """URL canonicalization (the normalizer URL-keyed dedup/caps stand
+    on): lowercase scheme+host, default ports stripped, fragments and
+    utm_*/gclid/fbclid/msclkid params dropped, separators healed,
+    trailing slash removed — one pinned pass sequence in conservative
+    regex syntax shared by Java/RE2/Python (functions/urls.py). Both
+    engines build the same messy URL from doc fields and must emit the
+    identical canonical form."""
+    from datacurator_jl_spark.functions.urls import canonical_url
+
+    messy = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".COM:80/Docs/"),
+        F.col("doc_id"),
+        F.lit("/?utm_source=feed&utm_campaign=x&id="),
+        F.col("doc_id"),
+        F.lit("&fbclid=abc#section-"),
+        F.col("doc_id") % 7,
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id", canonical_url(messy).alias("canon")
+    )
+
+
 @_q(
     "d16_hash_sample",
     """
@@ -1924,6 +1961,32 @@ def d27(spark, sf):
         _t(spark, sf, "documents"), "source", "doc_id",
         alpha=0.5, scale=2.0, salt="corpus_v1",
     ).select("doc_id", "source")
+
+
+@_q(
+    "d32_top_fraction",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM r WHERE rn <= ceil(0.3 * n)
+    """,
+)
+def d32(spark, sf):
+    """Exact global top-fraction ('keep the best 30%' — the FineWeb-Edu
+    selection step): ceil(0.3*N) rows by (n_chars desc, doc_id),
+    computed with the unit-weight token-budget machinery (range exchange
+    + per-partition prefix counts + broadcast offsets) so no stage sees
+    a single partition; the oracle states it as one global window
+    (operators/sampling.top_fraction)."""
+    from datacurator_jl_spark.operators.sampling import top_fraction
+
+    return top_fraction(
+        _t(spark, sf, "documents"), "n_chars", 0.3, "doc_id"
+    ).select("doc_id", "n_chars")
 
 
 @_q(

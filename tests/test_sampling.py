@@ -190,3 +190,40 @@ def test_group_cap_validation(grouped_df):
         group_cap_sample(grouped_df, "grp", "id", cap=-1)
     with pytest.raises(ValueError, match="alpha"):
         group_cap_sample(grouped_df, "grp", "id", alpha=1.5)
+
+
+# ---- top_fraction (exact global top-k by fraction) ----
+
+from datacurator_jl_spark.operators.sampling import top_fraction  # noqa: E402
+
+
+def test_top_fraction_exact_count_and_members(spark):
+    rows = [(f"d{i:03d}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, score int")
+    got = {r["id"] for r in top_fraction(df, "score", 0.25, "id").collect()}
+    assert got == {f"d{i:03d}" for i in range(75, 100)}  # top 25 scores
+    asc = {
+        r["id"]
+        for r in top_fraction(df, "score", 0.1, "id", descending=False).collect()
+    }
+    assert asc == {f"d{i:03d}" for i in range(10)}
+
+
+def test_top_fraction_edges(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "id string, score int")
+    assert top_fraction(df, "score", 0.0, "id").count() == 0
+    assert top_fraction(df, "score", 1.0, "id").count() == 2
+    # ceil: 0.01 of 2 rows -> 1 row (the max score)
+    one = top_fraction(df, "score", 0.01, "id").collect()
+    assert [r["id"] for r in one] == ["b"]
+    with pytest.raises(ValueError, match="fraction"):
+        top_fraction(df, "score", -0.5, "id")
+
+
+def test_top_fraction_tie_break_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", None), ("d", 1)], "id string, score int"
+    )
+    # ceil(0.5*4)=2: both fives, tie broken by id; null scores last
+    got = {r["id"] for r in top_fraction(df, "score", 0.5, "id").collect()}
+    assert got == {"a", "b"}
