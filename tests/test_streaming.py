@@ -118,3 +118,65 @@ def test_domain_quota_stateful_operator(spark, docs_dir):
     assert counts and all(v <= 5 for v in counts.values())
     # the Zipf-head mega-domains must be capped exactly at the quota
     assert counts["bigsite.com"] == 5
+
+
+def test_round3_conditions_stream_matches_batch(spark, tmp_path_factory):
+    """blocklist pre-pass (streaming-safe) + classifier/name-list
+    conditions over readStream produce the batch path's labels; the
+    batch-only pre-passes reject streams with guidance."""
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    path = str(tmp_path_factory.mktemp("r3s") / "docs")
+    rows = [
+        ("u1", "wholesome educational words " * 5),
+        ("u2", ""),
+        ("u3", "more plain text content here"),
+        ("u-blocked", "never seen"),
+    ]
+    spark.createDataFrame(rows, "url string, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "blocklist": ["u-blocked"]},
+            "any": {
+                "conditions": [
+                    ["name_in_list", ["u3"]],
+                    ["classifier_score_above", -1.0],
+                ],
+                "actions": ["drop", "keep"],
+            },
+        }
+    )
+    sdf = Pipeline(spec).apply(
+        spark.readStream.schema("url string, text string").parquet(path)
+    ).df
+    _run_stream_to_memory(sdf.select("url", "dc_kept", "dc_rule_id"), "r3stream")
+    got = {
+        r.url: (r.dc_kept, r.dc_rule_id)
+        for r in spark.sql("select * from r3stream").collect()
+    }
+    exp = {
+        r.url: (r.dc_kept, r.dc_rule_id)
+        for r in Pipeline(spec)
+        .apply(spark.read.parquet(path))
+        .df.select("url", "dc_kept", "dc_rule_id")
+        .collect()
+    }
+    assert got == exp and "u-blocked" not in got and len(got) == 3
+    # batch-only pre-passes reject streams with a typed error
+    for g in (
+        {"paragraph_dedup": True},
+        {"domain_cap": 2, "domain_cap_col": "url"},
+        {"dedup": "exact"},
+    ):
+        s2 = parse_recipe(
+            {
+                "global": {"act_on_success": True, **g},
+                "any": {"conditions": ["always"], "actions": ["keep"]},
+            }
+        )
+        with pytest.raises(RecipeError):
+            Pipeline(s2).apply(
+                spark.readStream.schema("url string, text string").parquet(path)
+            )
