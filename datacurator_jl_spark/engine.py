@@ -61,6 +61,7 @@ from datacurator_jl_spark.registry import (
 WORDS_COL = "_dc_words"
 STATS_COL = "_dc_stats"
 REP_COL = "_dc_rep"
+CLS_COL = "_dc_cls"
 DECISION_COL = "_dc_decision"
 KEPT_COL = "dc_kept"
 RULE_COL = "dc_rule_id"
@@ -361,6 +362,7 @@ class Pipeline:
             words_col=WORDS_COL if WORDS_COL in df.columns else None,
             stats_col=STATS_COL if STATS_COL in df.columns else None,
             rep_col=REP_COL if REP_COL in df.columns else None,
+            cls_col=CLS_COL if CLS_COL in df.columns else None,
             row_count=row_count,
         )
 
@@ -552,6 +554,25 @@ class Pipeline:
                 )
 
                 df = df.withColumn(REP_COL, rep_stats_arrow(tcol))
+            # Classifier score (functions/classifier.py): pre-projected
+            # once iff a classifier rule exists — every scoring rule then
+            # reads ONE Arrow stage's column instead of re-running the
+            # UDF per condition/filter reference.
+            from datacurator_jl_spark.registry import CLASSIFIER_CONDITIONS
+
+            if self._uses_condition_from(CLASSIFIER_CONDITIONS):
+                from datacurator_jl_spark.functions.classifier import (
+                    linear_score,
+                )
+
+                # struct-wrapped like _dc_stats: CollapseProject inlines
+                # a bare non-cheap double alias into every reference
+                # (re-extracting the UDF once per use), but leaves
+                # GetStructField reads on the pre-projection — one Arrow
+                # stage regardless of rule count (pinned in test_plans)
+                df = df.withColumn(
+                    CLS_COL, F.struct(linear_score(tcol).alias("score"))
+                )
         ctx = self._ctx(df, row_count=row_count)
         compiled_levels: dict[int, list[_CompiledRule]] = {
             lvl: [_compile_rule(r, ctx, spec.act_on_success) for r in rules]

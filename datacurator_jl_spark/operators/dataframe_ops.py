@@ -128,7 +128,11 @@ def blocklist_filter(
         )
     vals = list(dict.fromkeys(listed))  # dedup, keep caller order + types
     hit = F.col(col).isin(vals)
-    return df.filter(hit if keep_listed else ~F.coalesce(hit, F.lit(False)))
+    # null-keep spelled as IsNull OR Not(In): both translate to parquet
+    # scan filters (PushedFilters, pinned in test_plans) — a
+    # NOT coalesce(...) wrapper would evaluate post-scan instead
+    keep = hit if keep_listed else (F.col(col).isNull() | ~hit)
+    return df.filter(keep)
 
 
 def extract_columns(df: DataFrame, columns: list[str]) -> DataFrame:

@@ -46,6 +46,9 @@ class RuleContext:
     # shared repetition-stats struct (functions/rep_stats.py), pre-
     # projected by the engine iff a repetition condition is used
     rep_col: str | None = None
+    # shared classifier score (functions/classifier.py), pre-projected
+    # by the engine iff a classifier condition is used
+    cls_col: str | None = None
     # input cardinality, computed ONCE by the engine (parquet metadata
     # count) iff the recipe uses a row-count condition
     row_count: int | None = None
@@ -298,18 +301,27 @@ _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
 # Stand-in weights unless DC_QUALITY_MODEL points at a json model —
 # the same explicit-path > env > stand-in contract as the langid/
 # perplexity stages. Null text / zero tokens -> null (condition fails).
+# Reads the engine's pre-projected ``_dc_cls`` column when provided
+# (ONE Arrow stage no matter how many rules score); standalone
+# compile_condition falls back to scoring inline.
+CLASSIFIER_CONDITIONS = {"classifier_score_above", "classifier_score_below"}
+
 _cond("classifier_score_above", 1, 1)(
-    lambda ctx, thr: _classifier_score(ctx.text) > float(thr)
+    lambda ctx, thr: _classifier_score(ctx) > float(thr)
 )
 _cond("classifier_score_below", 1, 1)(
-    lambda ctx, thr: _classifier_score(ctx.text) < float(thr)
+    lambda ctx, thr: _classifier_score(ctx) < float(thr)
 )
 
 
-def _classifier_score(text: Column) -> Column:
+def _classifier_score(ctx: "RuleContext") -> Column:
+    if ctx.cls_col is not None:
+        # single-field struct read — the GetStructField access pattern
+        # that keeps CollapseProject from inlining the UDF per reference
+        return F.col(ctx.cls_col).getField("score")
     from datacurator_jl_spark.functions.classifier import linear_score
 
-    return linear_score(text)
+    return linear_score(ctx.text)
 
 
 # -- table-shape assertions (reference has_n_columns/has_columns_named/

@@ -225,6 +225,23 @@ def write_outputs(result, output_dir: str, input_path: str | None = None) -> dic
         paths[name] = os.path.join(output_dir, name)
         return paths[name]
 
+    # Fork-write pattern: kept/, drop_log/, lineage/ and the counters all
+    # consume the SAME decision-projected frame. Unpersisted, each write
+    # re-runs the whole pipeline — and a filter on a projected column
+    # (dc_kept) is pushed back through the projection, re-extracting any
+    # Arrow stage into the filter as well (2 UDF passes per write, ~4+
+    # total). DISK_ONLY persist = one compute, N local-disk reads; freed
+    # in the finally.
+    from pyspark import StorageLevel
+
+    result.df.persist(StorageLevel.DISK_ONLY)
+    try:
+        return _write_outputs_inner(result, output_dir, input_path, p, paths)
+    finally:
+        result.df.unpersist()
+
+
+def _write_outputs_inner(result, output_dir, input_path, p, paths):
     result.kept().write.mode("overwrite").parquet(p("kept"))
     result.dropped().write.mode("overwrite").parquet(p("drop_log"))
     result.lineage().write.mode("overwrite").parquet(p("lineage"))

@@ -91,3 +91,59 @@ def test_bucketed_join_has_no_shuffle(spark, docs_df, tmp_path):
         assert joined.count() == docs_df.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_classifier_is_single_arrow_stage_no_shuffle(spark):
+    """One scoring projection = one ArrowEvalPython, no shuffle. (A
+    filter referencing the UDF output would re-extract the UDF into a
+    second stage — which is why the ENGINE pre-projects `_dc_cls`; see
+    the companion test.)"""
+    from datacurator_jl_spark.functions.classifier import linear_score_arrow
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    out = df.select(linear_score_arrow(F.col("text")).alias("s"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+
+
+def test_engine_classifier_rules_share_one_arrow_stage(spark):
+    """TWO classifier rules read the single struct-wrapped pre-projected
+    `_dc_cls` column: exactly one ArrowEvalPython in the decision-frame
+    plan, and `_dc_cls` is not in the output. (Filtering res.df on
+    dc_kept re-extracts the UDF into the pushed-down filter — which is
+    why write_outputs persists res.df ONCE and filters from disk.)"""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [
+                    ["classifier_score_below", -0.5],
+                    ["classifier_score_above", -0.5],
+                ],
+                "actions": ["drop", "keep"],
+            },
+        }
+    )
+    df = spark.createDataFrame([("u1", "some words here")], "url string, text string")
+    out = Pipeline(spec).apply(df).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "_dc_cls" not in out.columns
+
+
+def test_blocklist_isin_pushes_to_scan(spark, tmp_path):
+    """The inline blocklist compiles to a scan-pushable In/Not filter —
+    blocked domains are skipped at the parquet reader, not post-scan."""
+    from datacurator_jl_spark.operators.dataframe_ops import blocklist_filter
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [("a.com", 1), ("b.com", 2)], "domain string, v int"
+    ).write.parquet(p)
+    out = blocklist_filter(spark.read.parquet(p), "domain", ["a.com", "c.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Or(IsNull(domain),Not(In(domain" in plan, plan
