@@ -1377,6 +1377,58 @@ def d33(spark, sf):
 
 
 @_q(
+    "d34_corpus_report",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+           sum(coalesce(len(text), 0))::BIGINT AS total_chars,
+           sum(coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')), 0))::BIGINT
+               AS total_tokens,
+           round(sum(coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')), 0))::DOUBLE
+                 / greatest(count(text), 1), 6) AS mean_tokens,
+           round(1.0 - count(DISTINCT text)::DOUBLE / greatest(count(text), 1), 6)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def d34(spark, sf):
+    """Per-source curation dashboard: doc/null counts, char+token
+    totals, mean tokens, exact-dup rate — ONE hash aggregate with
+    map-side partial combine (operators/report.corpus_report)."""
+    from datacurator_jl_spark.operators.report import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"), "source", "text")
+
+
+@_q(
+    "d35_top_terms",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+')) AS term
+      FROM documents
+    ),
+    c AS (SELECT source, term, count(*) AS n FROM t GROUP BY source, term),
+    r AS (
+      SELECT source, term, n,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+      FROM c
+    )
+    SELECT source, term, n, rank FROM r WHERE rank <= 5
+    """,
+)
+def d35(spark, sf):
+    """Top-5 terms per source (vocab inspection): token unnest -> one
+    partial-combinable count aggregate (Zipf-head terms collapse per
+    input partition) -> top-k window over the SMALL aggregated term
+    table, deterministic tie-break (operators/report.top_terms)."""
+    from datacurator_jl_spark.operators.report import top_terms
+
+    return top_terms(_t(spark, sf, "documents"), "text", 5, group_col="source")
+
+
+@_q(
     "d16_hash_sample",
     """
     SELECT doc_id, source FROM documents

@@ -357,3 +357,46 @@ def test_near_dup_components_string_ids_converge(spark):
         for r in near_dup_components(df, "doc_id", "text", k=8, bands=8).collect()
     }
     assert comps == {"a0": "a0", "m1": "a0", "z9": "a0"}
+
+
+# ---- corpus analysis reports (operators/report.py) ----
+
+
+def test_corpus_report_edges(spark):
+    from datacurator_jl_spark.operators.report import corpus_report
+
+    rows = [
+        ("a", "x y z"), ("a", "x y z"), ("a", None),
+        ("b", ""),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {r["src"]: r.asDict() for r in corpus_report(df, "src", "text").collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["n_null_text"], a["total_tokens"]) == (3, 1, 6)
+    assert a["dup_rate"] == 0.5  # 2 non-null texts, 1 distinct
+    b = got["b"]
+    assert (b["total_tokens"], b["dup_rate"], b["mean_tokens"]) == (0, 0.0, 0.0)
+
+
+def test_top_terms_semantics(spark):
+    from datacurator_jl_spark.operators.report import top_terms
+
+    df = spark.createDataFrame(
+        [("The the apple",), ("banana apple THE",), (None,)], "text string"
+    )
+    got = [
+        (r["term"], r["n"], r["rank"])
+        for r in top_terms(df, "text", 2).orderBy("rank").collect()
+    ]
+    # 'the' x3 (case-folded), then 'apple' x2; ties impossible here
+    assert got == [("the", 3, 1), ("apple", 2, 2)]
+    with pytest.raises(ValueError, match="k"):
+        top_terms(df, "text", 0)
+
+
+def test_top_terms_tie_break_deterministic(spark):
+    from datacurator_jl_spark.operators.report import top_terms
+
+    df = spark.createDataFrame([("b a",), ("a b",)], "text string")
+    got = [(r["term"], r["rank"]) for r in top_terms(df, "text", 2).orderBy("rank").collect()]
+    assert got == [("a", 1), ("b", 2)]  # equal counts -> term order
