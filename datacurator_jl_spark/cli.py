@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", "-i", help="input parquet path (overrides recipe inputdirectory)")
     ap.add_argument("--output", "-o", help="output directory (overrides recipe outputdirectory)")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
+    ap.add_argument(
+        "--report",
+        metavar="GROUP_COL",
+        help="also write outdir/report_input/ and report_kept/ — the "
+        "per-GROUP_COL corpus dashboard (docs, tokens, dup rate) before "
+        "and after curation — and print both",
+    )
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -65,6 +72,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.verbose:
             print(result.counters().toPandas().to_string(index=False))
         write_outputs(result, output_dir, input_path=input_path)
+        if args.report:
+            from datacurator_jl_spark.operators.report import corpus_report
+
+            if args.report not in df.columns:
+                print(
+                    f"report error: column {args.report!r} not in input "
+                    f"(have {df.columns})",
+                    file=sys.stderr,
+                )
+                return 1
+            for label, frame in (
+                ("input", df),
+                ("kept", spark.read.parquet(os.path.join(output_dir, "kept"))),
+            ):
+                rep = corpus_report(frame, args.report, spec.text_col)
+                rep.write.mode("overwrite").parquet(
+                    os.path.join(output_dir, f"report_{label}")
+                )
+                print(f"-- corpus report ({label}) by {args.report} --")
+                print(rep.orderBy(args.report).toPandas().to_string(index=False))
         print(f"done: output at {output_dir} ({'quit' if quit_requested else 'proceed'})")
         return 2 if quit_requested else 0
     finally:

@@ -1428,6 +1428,21 @@ def d35(spark, sf):
     return top_terms(_t(spark, sf, "documents"), "text", 5, group_col="source")
 
 
+@_q("d36_compression_ratio")  # no oracle_sql: SQL has no DEFLATE —
+# the driver records the rows-only check (the honest classification for
+# a non-SQL-expressible op); bit-identity vs the per-row Python twin is
+# pinned in pytest instead (test_classifier-style battery).
+def d36(spark, sf):
+    """zlib compression ratio (repetition/entropy proxy, Gopher-family):
+    one Arrow-batched narrow projection, no shuffle; empty/null text ->
+    null (functions/compress.py)."""
+    from datacurator_jl_spark.functions.compress import compression_ratio_arrow
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", compression_ratio_arrow(F.col("text")).alias("comp_ratio")
+    )
+
+
 @_q(
     "d16_hash_sample",
     """

@@ -306,6 +306,20 @@ _cond("contains_toxicity", 0, 0)(lambda ctx: S.contains_toxicity(ctx.text))
 # compile_condition falls back to scoring inline.
 CLASSIFIER_CONDITIONS = {"classifier_score_above", "classifier_score_below"}
 
+# zlib compression-ratio band-pass (functions/compress.py): repetition/
+# entropy proxy. Null/empty text -> null ratio -> condition fails.
+_cond("compression_ratio_between", 1, 1)(
+    lambda ctx, lohi: _compress_between(ctx, lohi)
+)
+
+
+def _compress_between(ctx: "RuleContext", lohi) -> Column:
+    from datacurator_jl_spark.functions.compress import compression_ratio_arrow
+
+    lo, hi = lohi
+    r = compression_ratio_arrow(ctx.text)
+    return (r > float(lo)) & (r < float(hi))
+
 _cond("classifier_score_above", 1, 1)(
     lambda ctx, thr: _classifier_score(ctx) > float(thr)
 )

@@ -211,6 +211,14 @@ def _eval_condition(expr, row) -> bool | None:
         return _rep_stats(t)[name.removesuffix("_below")] < float(args[0])
     if name == "lang_is":
         return _lang_id(t) == args[0]
+    if name == "compression_ratio_between":
+        from datacurator_jl_spark.functions.compress import compression_ratio_py
+
+        r = compression_ratio_py(t)
+        if r is None:
+            return None
+        lo, hi = args[0]
+        return float(lo) < r < float(hi)
     if name in ("classifier_score_above", "classifier_score_below"):
         from datacurator_jl_spark.functions.classifier import classifier_score_py
 

@@ -128,3 +128,58 @@ def test_classifier_condition_in_recipe(spark):
     kept_spark = set(out["url"])
     kept_ora = set(ora[ora["keep"]]["url"])
     assert kept_spark == kept_ora
+
+
+# ---- compression ratio (functions/compress.py) ----
+
+
+def test_compression_ratio_arrow_matches_python(spark):
+    from datacurator_jl_spark.functions.compress import (
+        compression_ratio_arrow,
+        compression_ratio_py,
+    )
+
+    rows = [
+        (1, "abc " * 200),                      # highly repetitive -> low
+        (2, "The quick brown fox jumps over the lazy dog."),
+        (3, ""),                                # empty -> null
+        (4, None),                              # null -> null
+        (5, "naïve café — unicode bytes"),      # utf-8 BYTE lengths
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", compression_ratio_arrow(F.col("text")).alias("c")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == compression_ratio_py(t), (i, got[i])
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1 < got[2]  # repetition compresses far below prose
+
+
+def test_compression_condition_in_recipe(spark):
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+    from datacurator_jl_spark.testing.oracle import oracle_labels
+
+    rows = [
+        ("u1", "abc " * 300),   # too repetitive -> outside band
+        ("u2", "plain prose with a reasonable mix of words and letters"),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [["compression_ratio_between", [0.3, 1.1]]],
+                "actions": ["keep"],
+            },
+        }
+    )
+    out = Pipeline(spec).apply(df).df.toPandas().sort_values("url")
+    ora = oracle_labels(df.toPandas(), spec).sort_values("url")
+    assert list(out["dc_kept"]) == list(ora["keep"])
+    assert list(out["dc_rule_id"]) == list(ora["rule_id"])
