@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", "-o", help="output directory (overrides recipe outputdirectory)")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
     ap.add_argument(
+        "--input-format",
+        choices=["parquet", "csv", "json", "text"],
+        help="input format (default: inferred from the path extension; "
+        "csv/json small corpora are schema-inferred — pin a schema via "
+        "a parquet convert for anything big)",
+    )
+    ap.add_argument(
         "--report",
         metavar="GROUP_COL",
         help="also write outdir/report_input/ and report_kept/ — the "
@@ -58,7 +65,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("datacurator-cli", cores=args.cores)
     try:
-        df = spark.read.parquet(input_path)
+        from datacurator_jl_spark.sources.tables import load_corpus
+
+        df = load_corpus(
+            spark, input_path, fmt=args.input_format, with_lineage=False
+        )
         result = Pipeline(spec).apply(df)
         if args.verbose:
             result.df.explain("formatted")

@@ -47,6 +47,51 @@ def load_table(
     return df
 
 
+def load_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    with_lineage: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Format-dispatched corpus reader — the source twin of
+    ``sinks.save_content`` (reference ``load_content`` type dispatch,
+    src/DataCurator.jl:1270-1296): extension infers the format
+    (.csv -> csv with header, .json/.jsonl -> JSON lines, .txt -> text
+    with one document per line in a ``text`` column, anything else ->
+    parquet); ``fmt=`` overrides. ``dc_source`` lineage column appended
+    by default (the reference's ``dc_filename``).
+
+    Scale note: pass ``schema`` for csv/json of any size — inference
+    (the small-corpus default here) costs an extra full scan and types
+    drift between files; a pinned schema also keeps pushdown exact.
+    """
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = {"jsonl": "json", "txt": "text"}.get(ext, ext) or "parquet"
+        if fmt not in ("csv", "json", "text", "parquet"):
+            fmt = "parquet"
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "csv":
+        df = reader.option("header", "true").option(
+            "inferSchema", "true" if schema is None else "false"
+        ).csv(path)
+    elif fmt == "json":
+        df = reader.json(path)
+    elif fmt == "text":
+        df = reader.text(path).withColumnRenamed("value", "text")
+    else:
+        df = reader.parquet(path)
+    if with_lineage:
+        df = df.withColumn("dc_source", F.input_file_name())
+    return df
+
+
 def load_jdbc(
     spark: SparkSession,
     url: str,

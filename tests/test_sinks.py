@@ -82,3 +82,41 @@ def test_save_content_format_dispatch(spark, tmp_path):
     assert spark.read.json(str(tmp_path / "t.json")).count() == 2
     assert spark.read.parquet(str(tmp_path / "t.parquet")).count() == 2
     assert {r.value for r in spark.read.text(str(tmp_path / "t.txt")).collect()} == {"a", "b"}
+
+
+def test_save_content_load_corpus_round_trip(spark, tmp_path):
+    """load_corpus is the source twin of save_content: csv and json
+    written corpora read back value-identical; .txt reads one doc per
+    line into a `text` column; lineage column optional."""
+    from datacurator_jl_spark.sinks import save_content
+    from datacurator_jl_spark.sources.tables import load_corpus
+
+    df = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "id long, text string"
+    )
+    for ext in ("csv", "json"):
+        p = str(tmp_path / f"docs.{ext}")
+        save_content(df, p)
+        back = load_corpus(spark, p, with_lineage=False)
+        got = sorted((int(r["id"]), r["text"]) for r in back.collect())
+        assert got == [(1, "alpha text"), (2, "beta text")], ext
+    # text: one doc per line, single `text` column + dc_source lineage
+    t = str(tmp_path / "docs.txt")
+    save_content(df.select("text"), t)
+    back = load_corpus(spark, t)
+    assert set(back.columns) == {"text", "dc_source"}
+    assert {r["text"] for r in back.collect()} == {"alpha text", "beta text"}
+    assert all(r["dc_source"] for r in back.select("dc_source").collect())
+
+
+def test_load_corpus_format_override_and_parquet_default(spark, tmp_path):
+    from datacurator_jl_spark.sources.tables import load_corpus
+
+    p = str(tmp_path / "plain_dir")
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    df.write.parquet(p)
+    assert load_corpus(spark, p, with_lineage=False).count() == 1  # no ext -> parquet
+    j = str(tmp_path / "data.weird")
+    df.write.json(j)
+    got = load_corpus(spark, j, fmt="json", with_lineage=False)
+    assert {r["text"] for r in got.collect()} == {"x"}
