@@ -73,6 +73,12 @@ HEADLINE = [
     "d29_blocklist",
     "d30_classifier_score",
     "d31_ngram_containment",
+    "d32_top_fraction",
+    "d33_canonical_url",
+    "d34_corpus_report",
+    "d35_top_terms",
+    "d36_compression_ratio",
+    "d37_estimated_jaccard",
 ]
 
 

@@ -357,6 +357,50 @@ def drop_near_dupes(
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
 
 
+def estimate_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    materialize: str = "local",
+) -> DataFrame:
+    """LSH candidates scored by the MINHASH ESTIMATE — the 100-TB
+    similarity path that never rejoins the text: est_jaccard(a, b) =
+    (#equal minhash lanes) / k, an unbiased estimator of the true
+    word-set Jaccard (variance J(1-J)/k; raise k for tighter bands).
+
+    Exact ``ngram_jaccard_pairs`` hydrates hashed word SETS onto every
+    candidate pair (payload ~ doc vocabulary); this hydrates k bigints
+    — constant per doc — so the scoring join stays narrow at any corpus
+    size. Output: (id_a, id_b, est_jaccard rounded to 6dp) with
+    est_jaccard >= threshold; candidate recall is LSH's (banding
+    misses below-band-threshold pairs by design).
+    """
+    sig = _materialize(
+        signature_table(df, id_col, text_col, k), materialize
+    )
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, k, bands, max_bucket, materialize=materialize
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    eq = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int") for i in range(k)
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.doc"))
+        .join(b, pairs.id_b == F.col("b.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(eq.cast("double") / k, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= float(threshold))
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -745,6 +745,39 @@ def d12(spark, sf):
     )
 
 
+_D37_EQ = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@_q(
+    "d37_estimated_jaccard",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(f'{_sql_minhash_nt(i)} AS mh{i}' for i in range(8))}
+      FROM documents
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(({_D37_EQ})::DOUBLE / 8, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR
+         (a.mh2 = b.mh2 AND a.mh3 = b.mh3) OR
+         (a.mh4 = b.mh4 AND a.mh5 = b.mh5) OR
+         (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+    WHERE ({_D37_EQ})::DOUBLE / 8 >= 0.5
+    """,
+)
+def d37(spark, sf):
+    """LSH candidates scored by the minhash ESTIMATE (equal lanes / k):
+    the 100-TB similarity path — the scoring join hydrates k bigints
+    per doc, never the text or word sets
+    (operators/dedup.estimate_jaccard_pairs)."""
+    return DD.estimate_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", k=8, bands=4,
+        threshold=0.5,
+    )
+
+
 @_q(
     "q14_skew_safe_counts",
     """

@@ -636,3 +636,43 @@ def test_recipe_prepass_validation():
     with pytest.raises(Exception, match="domain_cap"):
         parse_recipe({"global": {"domain_cap": True}, "any": {
             "conditions": ["always"], "actions": ["keep"]}})
+
+
+# --- minhash Jaccard estimation over LSH candidates ---------------------------
+
+
+def test_estimate_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared words in this document body"),
+            (2, "shared words in this document body"),
+            (3, "completely different content nothing alike"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in DD.estimate_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.9
+        ).collect()
+    ]
+    assert got == [(1, 2, 1.0)]  # identical word sets -> all lanes equal
+
+
+def test_estimate_jaccard_threshold_prunes(spark):
+    # docs sharing SOME lanes (band collision) but not all: the estimate
+    # lands strictly below 1 and a high threshold prunes the pair
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    loose = DD.estimate_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+    rows = loose.collect()
+    if rows:  # pair surfaces only if >=1 band collides (data-dependent)
+        est = rows[0]["est_jaccard"]
+        assert 0.0 < est <= 1.0
+        strict = DD.estimate_jaccard_pairs(df, "doc_id", "text", threshold=est + 0.01)
+        assert strict.count() == 0
