@@ -196,3 +196,67 @@ def domain_quota_batch(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    sig_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+):
+    """Streaming ingest dedup: each micro-batch is near-deduped against
+    the PERSISTED signature table of everything admitted so far
+    (operators/dedup.incremental_near_dup_survivors), survivors are
+    appended to ``out_dir`` and their signatures to ``sig_dir`` — the
+    standing-corpus ingest posture as a stream.
+
+    ``foreachBatch`` is the right tier here (not a stateful operator):
+    the dedup state is the signature TABLE — k bigints per admitted doc,
+    shared with batch jobs, restartable, inspectable — not per-key
+    operator state, and the LSH join against it is a batch join per
+    micro-batch. Exactly-once batch handling comes from the streaming
+    checkpoint (a replayed batch re-runs against the pre-batch signature
+    table only if the sink writes are idempotent per epoch — parquet
+    append is at-least-once, so replays can duplicate survivors;
+    production uses an Iceberg/Delta transactional sink keyed by
+    batch_id, which this mirrors). Within a micro-batch the same
+    component semantics as the batch op apply (min-id new doc wins);
+    ACROSS micro-batches admission order decides, like every streaming
+    dedup. Returns the StreamingQuery.
+    """
+    import os
+
+    from datacurator_jl_spark.operators.dedup import (
+        incremental_near_dup_survivors,
+        signature_table,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        has_sigs = os.path.isdir(sig_dir) and any(
+            n.endswith(".parquet") for n in os.listdir(sig_dir)
+        )
+        if has_sigs:
+            base = spark.read.parquet(sig_dir)
+        else:
+            # first batch: empty base with the RIGHT id type, derived
+            # from the batch itself
+            base = signature_table(batch.limit(0), id_col, text_col, k)
+        kept = incremental_near_dup_survivors(
+            batch, base, id_col, text_col, k=k, bands=bands
+        ).localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_dir)
+        signature_table(kept, id_col, text_col, k).write.mode("append").parquet(
+            sig_dir
+        )
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

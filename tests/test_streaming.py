@@ -180,3 +180,49 @@ def test_round3_conditions_stream_matches_batch(spark, tmp_path_factory):
             Pipeline(s2).apply(
                 spark.readStream.schema("url string, text string").parquet(path)
             )
+
+
+def test_incremental_dedup_stream(spark, tmp_path_factory):
+    """Micro-batches dedup against the accumulating persisted signature
+    table: batch-2 dups of batch-1 survivors are dropped even though the
+    batches never coexist in memory."""
+    from datacurator_jl_spark.streaming.stream import incremental_dedup_stream
+
+    root = tmp_path_factory.mktemp("incstream")
+    src, sig, out, ckpt = (str(root / n) for n in ("src", "sig", "out", "ckpt"))
+    import os
+
+    os.makedirs(src)
+    b1 = [
+        ("u1", "the very first unique document body"),
+        ("u2", "the very first unique document body"),  # intra-batch dup
+        ("u3", "a second distinct piece of content"),
+    ]
+    spark.createDataFrame(b1, "url string, text string").write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = spark.readStream.schema("url string, text string").parquet(
+        src + "/*"
+    )
+    q = incremental_dedup_stream(stream, sig, out, ckpt)
+    q.awaitTermination(120)
+    kept1 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {"u1", "u3"}
+    # batch 2: a dup of an ADMITTED doc, and a fresh one
+    b2 = [
+        ("u4", "the very first unique document body"),  # dup of admitted u1
+        ("u5", "entirely new third subject matter"),
+    ]
+    spark.createDataFrame(b2, "url string, text string").write.parquet(
+        os.path.join(src, "b2")
+    )
+    q2 = incremental_dedup_stream(
+        spark.readStream.schema("url string, text string").parquet(src + "/*"),
+        sig, out, ckpt,
+    )
+    q2.awaitTermination(120)
+    kept = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"u1", "u3", "u5"}
+    # the signature table now carries exactly the admitted docs
+    sigs = {r["doc"] for r in spark.read.parquet(sig).collect()}
+    assert sigs == {"u1", "u3", "u5"}
