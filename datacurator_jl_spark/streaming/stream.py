@@ -218,15 +218,19 @@ def incremental_dedup_stream(
     the dedup state is the signature TABLE — k bigints per admitted doc,
     shared with batch jobs, restartable, inspectable — not per-key
     operator state, and the LSH join against it is a batch join per
-    micro-batch. Exactly-once batch handling comes from the streaming
-    checkpoint (a replayed batch re-runs against the pre-batch signature
-    table only if the sink writes are idempotent per epoch — parquet
-    append is at-least-once, so replays can duplicate survivors;
-    production uses an Iceberg/Delta transactional sink keyed by
-    batch_id, which this mirrors). Within a micro-batch the same
-    component semantics as the batch op apply (min-id new doc wins);
-    ACROSS micro-batches admission order decides, like every streaming
-    dedup. Returns the StreamingQuery.
+    micro-batch. Replay safety: both sinks write into a
+    ``_batch_id=N`` partition with DYNAMIC partition overwrite, so a
+    replayed epoch overwrites its own partition instead of appending
+    duplicates — idempotent per epoch, the parquet analogue of an
+    Iceberg/Delta transactional batch-id sink. (A replayed epoch also
+    re-reads a signature table that already contains its own prior
+    write; self-pairs are excluded by ``a.doc < b.doc`` never matching
+    doc==doc, and a true duplicate of the replayed doc under a
+    DIFFERENT id would have been dropped in the first run — so the
+    overwrite converges to the same survivor set.) Within a micro-batch
+    the same component semantics as the batch op apply (min-id new doc
+    wins); ACROSS micro-batches admission order decides, like every
+    streaming dedup. Returns the StreamingQuery.
     """
     import os
 
@@ -237,8 +241,9 @@ def incremental_dedup_stream(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        has_sigs = os.path.isdir(sig_dir) and any(
-            n.endswith(".parquet") for n in os.listdir(sig_dir)
+        has_sigs = os.path.isdir(sig_dir) and (
+            os.path.exists(os.path.join(sig_dir, "_SUCCESS"))
+            or any(n.startswith("_batch_id=") for n in os.listdir(sig_dir))
         )
         if has_sigs:
             base = spark.read.parquet(sig_dir)
@@ -249,10 +254,19 @@ def incremental_dedup_stream(
         kept = incremental_near_dup_survivors(
             batch, base, id_col, text_col, k=k, bands=bands
         ).localCheckpoint(eager=True)
-        kept.write.mode("append").parquet(out_dir)
-        signature_table(kept, id_col, text_col, k).write.mode("append").parquet(
-            sig_dir
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.withColumn("_batch_id", F.lit(int(batch_id))).write.mode(
+                "overwrite"
+            ).partitionBy("_batch_id").parquet(out_dir)
+            signature_table(kept, id_col, text_col, k).withColumn(
+                "_batch_id", F.lit(int(batch_id))
+            ).write.mode("overwrite").partitionBy("_batch_id").parquet(sig_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
     return (
         docs.writeStream.foreachBatch(step)

@@ -226,3 +226,26 @@ def test_incremental_dedup_stream(spark, tmp_path_factory):
     # the signature table now carries exactly the admitted docs
     sigs = {r["doc"] for r in spark.read.parquet(sig).collect()}
     assert sigs == {"u1", "u3", "u5"}
+
+
+def test_incremental_dedup_stream_epoch_replay_is_idempotent(spark, tmp_path_factory):
+    """Replaying an epoch (fresh checkpoint over the same source)
+    overwrites its own _batch_id partition instead of appending
+    duplicate survivors."""
+    from datacurator_jl_spark.streaming.stream import incremental_dedup_stream
+
+    root = tmp_path_factory.mktemp("increplay")
+    src, sig, out = (str(root / n) for n in ("src", "sig", "out"))
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("u1", "replay me once"), ("u2", "replay me once")],
+        "url string, text string",
+    ).write.parquet(os.path.join(src, "b1"))
+    for attempt in ("ckpt_a", "ckpt_b"):  # second run = simulated replay
+        q = incremental_dedup_stream(
+            spark.readStream.schema("url string, text string").parquet(src + "/*"),
+            sig, out, str(root / attempt),
+        )
+        q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [r["url"] for r in rows] == ["u1"]  # exactly once, not twice
