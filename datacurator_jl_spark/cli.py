@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         "per-GROUP_COL corpus dashboard (docs, tokens, dup rate) before "
         "and after curation — and print both",
     )
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="validate the recipe (parse + eager compile-time checks) "
+        "and exit without starting Spark — the reference's "
+        "validate-only mode",
+    )
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
 
@@ -53,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     except (RecipeError, OSError) as e:
         print(f"recipe error: {e}", file=sys.stderr)
         return 1
+    if args.check:
+        nrules = sum(len(rs) for rs in spec.levels.values())
+        print(f"recipe ok: {nrules} rule(s), {len(spec.levels)} level(s)")
+        return 0
 
     input_path = args.input or spec.inputdirectory
     output_dir = args.output or spec.outputdirectory
