@@ -232,8 +232,6 @@ def incremental_dedup_stream(
     wins); ACROSS micro-batches admission order decides, like every
     streaming dedup. Returns the StreamingQuery.
     """
-    import os
-
     from datacurator_jl_spark.operators.dedup import (
         incremental_near_dup_survivors,
         signature_table,
@@ -241,15 +239,15 @@ def incremental_dedup_stream(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        has_sigs = os.path.isdir(sig_dir) and (
-            os.path.exists(os.path.join(sig_dir, "_SUCCESS"))
-            or any(n.startswith("_batch_id=") for n in os.listdir(sig_dir))
-        )
-        if has_sigs:
-            base = spark.read.parquet(sig_dir)
-        else:
-            # first batch: empty base with the RIGHT id type, derived
-            # from the batch itself
+        # FS-agnostic bootstrap (sig_dir is S3/HDFS in production, so no
+        # os.path probing): try the read; an empty/missing table falls
+        # back to an empty base with the RIGHT id type, derived from the
+        # batch itself
+        try:
+            base = spark.read.parquet(sig_dir).select(
+                "doc", *[f"mh{i}" for i in range(k)]
+            )
+        except Exception:
             base = signature_table(batch.limit(0), id_col, text_col, k)
         kept = incremental_near_dup_survivors(
             batch, base, id_col, text_col, k=k, bands=bands
