@@ -81,6 +81,15 @@ def main(argv: list[str] | None = None) -> int:
         df = load_corpus(
             spark, input_path, fmt=args.input_format, with_lineage=False
         )
+        if args.report and args.report not in df.columns:
+            # fail BEFORE the (possibly hours-long) pipeline runs — a
+            # typo'd report column must not waste the whole job
+            print(
+                f"report error: column {args.report!r} not in input "
+                f"(have {df.columns})",
+                file=sys.stderr,
+            )
+            return 1
         result = Pipeline(spec).apply(df)
         if args.verbose:
             result.df.explain("formatted")
@@ -97,13 +106,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.report:
             from datacurator_jl_spark.operators.report import corpus_report
 
-            if args.report not in df.columns:
-                print(
-                    f"report error: column {args.report!r} not in input "
-                    f"(have {df.columns})",
-                    file=sys.stderr,
-                )
-                return 1
             for label, frame in (
                 ("input", df),
                 ("kept", spark.read.parquet(os.path.join(output_dir, "kept"))),

@@ -62,6 +62,7 @@ WORDS_COL = "_dc_words"
 STATS_COL = "_dc_stats"
 REP_COL = "_dc_rep"
 CLS_COL = "_dc_cls"
+COMP_COL = "_dc_comp"
 DECISION_COL = "_dc_decision"
 KEPT_COL = "dc_kept"
 RULE_COL = "dc_rule_id"
@@ -363,6 +364,7 @@ class Pipeline:
             stats_col=STATS_COL if STATS_COL in df.columns else None,
             rep_col=REP_COL if REP_COL in df.columns else None,
             cls_col=CLS_COL if CLS_COL in df.columns else None,
+            comp_col=COMP_COL if COMP_COL in df.columns else None,
             row_count=row_count,
         )
 
@@ -572,6 +574,17 @@ class Pipeline:
                 # stage regardless of rule count (pinned in test_plans)
                 df = df.withColumn(
                     CLS_COL, F.struct(linear_score(tcol).alias("score"))
+                )
+            from datacurator_jl_spark.registry import COMPRESSION_CONDITIONS
+
+            if self._uses_condition_from(COMPRESSION_CONDITIONS):
+                from datacurator_jl_spark.functions.compress import (
+                    compression_ratio_arrow,
+                )
+
+                df = df.withColumn(
+                    COMP_COL,
+                    F.struct(compression_ratio_arrow(tcol).alias("ratio")),
                 )
         ctx = self._ctx(df, row_count=row_count)
         compiled_levels: dict[int, list[_CompiledRule]] = {

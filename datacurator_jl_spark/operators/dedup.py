@@ -139,6 +139,12 @@ def _band_buckets(
     passthrough columns, which are carried) into (doc, band, key, ...)
     LSH bucket rows; ``max_bucket`` drops degenerate buckets (window
     count — the skew guard)."""
+    if bands < 1 or k % bands:
+        raise ValueError(
+            f"k must be a positive multiple of bands (k={k}, "
+            f"bands={bands}) — anything else silently drops signature "
+            "lanes and changes the LSH scheme"
+        )
     rows = k // bands
     extra = [c for c in sig.columns if c != "doc" and not c.startswith("mh")]
     band_cols = []
@@ -379,11 +385,23 @@ def estimate_jaccard_pairs(
     est_jaccard >= threshold; candidate recall is LSH's (banding
     misses below-band-threshold pairs by design).
     """
+    # ONE signature pass: band the materialized signature table directly
+    # (lsh_candidate_pairs would re-derive its own signature from the
+    # raw text — doubling the dominant md5-minhash cost)
     sig = _materialize(
         signature_table(df, id_col, text_col, k), materialize
     )
-    pairs = lsh_candidate_pairs(
-        df, id_col, text_col, k, bands, max_bucket, materialize=materialize
+    buckets = _materialize(
+        _band_buckets(sig.select("doc", *[f"mh{i}" for i in range(k)]),
+                      k, bands, max_bucket=max_bucket),
+        materialize,
+    )
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    pairs = (
+        ba.join(bb, ["band", "key"])
+        .filter(F.col("ba.doc") < F.col("bb.doc"))
+        .select(F.col("ba.doc").alias("id_a"), F.col("bb.doc").alias("id_b"))
+        .distinct()
     )
     a, b = sig.alias("a"), sig.alias("b")
     eq = sum(

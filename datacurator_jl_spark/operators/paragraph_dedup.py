@@ -89,11 +89,34 @@ def dedup_paragraphs(
     sep: str = "\n\n",
     out_col: str | None = None,
     count_col: str = "n_removed",
+    validate_ids: bool = True,
 ) -> DataFrame:
     """All original columns, plus ``out_col`` (default: text_col replaced
     in place) with duplicate paragraph occurrences removed — the globally
-    first occurrence survives — and ``count_col`` = removed count."""
+    first occurrence survives — and ``count_col`` = removed count.
+
+    ``id_col`` must be unique: reassembly groups by it, so duplicate ids
+    would silently merge distinct rows' paragraphs into one interleaved
+    franken-text attached to every copy. ``validate_ids`` (default on)
+    spends one cheap id-only aggregate to raise instead — disable only
+    when uniqueness is guaranteed upstream (e.g. right after a key-dedup
+    pass).
+    """
     out_col = out_col or text_col
+    if validate_ids:
+        dup = (
+            df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"dedup_paragraphs: id_col {id_col!r} is not unique "
+                f"(e.g. {dup[0][0]!r}) — reassembly would merge distinct "
+                "rows' paragraphs; dedupe ids first"
+            )
     paras = _paragraphs(df, id_col, text_col, sep)
     winners = (
         paras.filter(F.col(_PARA) != "")

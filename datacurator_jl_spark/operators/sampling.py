@@ -41,9 +41,17 @@ def _ranked_with_counts(
     """
     h = _h32(F.col(key_col).cast("string"), f"#{salt}")
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    # NULL is a group like any other (window partitions and groupBy both
+    # treat it as one) — the count join must be NULL-SAFE, or every
+    # null-group row silently vanishes from the sample (an equi-join
+    # never matches NULL==NULL)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    return df.withColumn("_rn", F.row_number().over(w)).join(
-        F.broadcast(counts), group_col
+    cg = f"_grp_{group_col}"
+    counts = counts.withColumnRenamed(group_col, cg)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(counts), F.col(group_col).eqNullSafe(F.col(cg)))
+        .drop(cg)
     )
 
 

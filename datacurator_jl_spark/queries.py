@@ -2013,7 +2013,8 @@ def d23(spark, sf):
                         doc_id) AS rn
       FROM documents
     )
-    SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+    SELECT r.doc_id, r.source FROM r
+    JOIN c ON r.source IS NOT DISTINCT FROM c.source
     WHERE rn <= ceil(0.2 * n)
     """,
 )
@@ -2043,7 +2044,8 @@ def d24(spark, sf):
                         doc_id) AS rn
       FROM documents
     )
-    SELECT r.doc_id, r.source FROM r JOIN c USING (source)
+    SELECT r.doc_id, r.source FROM r
+    JOIN c ON r.source IS NOT DISTINCT FROM c.source
     WHERE rn <= ceil(2.0 * sqrt(n::DOUBLE))
     """,
 )

@@ -49,6 +49,8 @@ class RuleContext:
     # shared classifier score (functions/classifier.py), pre-projected
     # by the engine iff a classifier condition is used
     cls_col: str | None = None
+    # shared compression-ratio struct (functions/compress.py), same deal
+    comp_col: str | None = None
     # input cardinality, computed ONCE by the engine (parquet metadata
     # count) iff the recipe uses a row-count condition
     row_count: int | None = None
@@ -308,16 +310,25 @@ CLASSIFIER_CONDITIONS = {"classifier_score_above", "classifier_score_below"}
 
 # zlib compression-ratio band-pass (functions/compress.py): repetition/
 # entropy proxy. Null/empty text -> null ratio -> condition fails.
+# Shares the engine's pre-projected ``_dc_comp`` struct when provided —
+# same single-Arrow-stage discipline as _dc_cls/_dc_rep.
+COMPRESSION_CONDITIONS = {"compression_ratio_between"}
+
 _cond("compression_ratio_between", 1, 1)(
     lambda ctx, lohi: _compress_between(ctx, lohi)
 )
 
 
 def _compress_between(ctx: "RuleContext", lohi) -> Column:
-    from datacurator_jl_spark.functions.compress import compression_ratio_arrow
-
     lo, hi = lohi
-    r = compression_ratio_arrow(ctx.text)
+    if ctx.comp_col is not None:
+        r = F.col(ctx.comp_col).getField("ratio")
+    else:
+        from datacurator_jl_spark.functions.compress import (
+            compression_ratio_arrow,
+        )
+
+        r = compression_ratio_arrow(ctx.text)
     return (r > float(lo)) & (r < float(hi))
 
 _cond("classifier_score_above", 1, 1)(

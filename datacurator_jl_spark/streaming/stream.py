@@ -240,15 +240,22 @@ def incremental_dedup_stream(
     def step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # FS-agnostic bootstrap (sig_dir is S3/HDFS in production, so no
-        # os.path probing): try the read; an empty/missing table falls
-        # back to an empty base with the RIGHT id type, derived from the
-        # batch itself
+        # os.path probing): ONLY a missing-path read falls back to the
+        # empty base — any other failure (transient S3 error, schema/k
+        # mismatch with the persisted table) must raise, or the batch
+        # would be admitted wholesale against an empty corpus: silent,
+        # permanent duplicate contamination
+        from pyspark.errors import AnalysisException
+
         try:
-            base = spark.read.parquet(sig_dir).select(
-                "doc", *[f"mh{i}" for i in range(k)]
-            )
-        except Exception:
+            raw = spark.read.parquet(sig_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             base = signature_table(batch.limit(0), id_col, text_col, k)
+        else:
+            # raises if the persisted table was written with a smaller k
+            base = raw.select("doc", *[f"mh{i}" for i in range(k)])
         kept = incremental_near_dup_survivors(
             batch, base, id_col, text_col, k=k, bands=bands
         ).localCheckpoint(eager=True)

@@ -676,3 +676,50 @@ def test_estimate_jaccard_threshold_prunes(spark):
         assert 0.0 < est <= 1.0
         strict = DD.estimate_jaccard_pairs(df, "doc_id", "text", threshold=est + 0.01)
         assert strict.count() == 0
+
+
+# --- review-pass guards (round-3 self-review) ---------------------------------
+
+
+def test_band_buckets_rejects_non_divisible_bands(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sigs = DD.signature_table(df, "doc_id", "text", k=8)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        DD.incremental_near_dup_survivors(df, sigs, "doc_id", "text", k=8, bands=3)
+
+
+def test_paragraph_dedup_rejects_duplicate_ids(spark):
+    from datacurator_jl_spark.operators.paragraph_dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "A\n\nB"), (1, "C\n\nD"), (2, "E")], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        dedup_paragraphs(df, "id", "text")
+    # opt-out for callers that guarantee uniqueness upstream
+    assert dedup_paragraphs(
+        df.dropDuplicates(["id"]), "id", "text", validate_ids=False
+    ).count() == 2
+
+
+def test_compression_rules_share_one_arrow_stage(spark):
+    """TWO compression band rules read the single pre-projected _dc_comp
+    struct: exactly one zlib Arrow stage in the decision-frame plan."""
+    rows = [("u1", "plain words " * 10)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [
+                    ["compression_ratio_between", [0.0, 0.05]],
+                    ["compression_ratio_between", [0.05, 2.0]],
+                ],
+                "actions": ["drop", "keep"],
+            },
+        }
+    )
+    out = Pipeline(spec).apply(df).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "_dc_comp" not in out.columns

@@ -227,3 +227,18 @@ def test_top_fraction_tie_break_and_nulls(spark):
     # ceil(0.5*4)=2: both fives, tie broken by id; null scores last
     got = {r["id"] for r in top_fraction(df, "score", 0.5, "id").collect()}
     assert got == {"a", "b"}
+
+
+def test_null_group_rows_survive(spark):
+    """NULL is a group like any other: fraction=1.0 / a generous cap
+    must return EVERY row, including null-group ones (regression: the
+    count equi-join silently dropped them)."""
+    rows = [("a", "g1"), ("b", None), ("c", None), ("d", "g1")]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    assert stratified_hash_sample(df, "grp", "id", 1.0).count() == 4
+    assert group_cap_sample(df, "grp", "id", cap=10).count() == 4
+    # and the null group is CAPPED like any other
+    got = {r["id"] for r in group_cap_sample(df, "grp", "id", cap=1).collect()}
+    assert len(got) == 2  # one per group (g1, NULL)
+    half = stratified_hash_sample(df, "grp", "id", 0.5)
+    assert half.count() == 2  # ceil(0.5*2) from each of the two groups
