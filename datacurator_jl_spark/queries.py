@@ -1372,6 +1372,73 @@ def d30(spark, sf):
     )
 
 
+@_q(
+    "d38_normalized_dedup",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text),
+                                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id FROM r WHERE rn = 1
+    """,
+)
+def d38(spark, sf):
+    """CCNet-style normalized exact dedup: casefold + whitespace-run
+    collapse + trim BEFORE hashing, so near-identical re-encodings
+    ('Hello  World' vs 'hello world\\n') collapse without paying for
+    minhash. Pure composition of the pinned normalize_whitespace
+    transform and drop_exact_dupes; the DuckDB twin spells the
+    whitespace class explicitly per the RE2 rule."""
+    from datacurator_jl_spark.functions.transforms import normalize_whitespace
+
+    d = _t(spark, sf, "documents").withColumn(
+        "_norm", normalize_whitespace(F.lower(F.col("text")))
+    )
+    return DD.drop_exact_dupes(d, "doc_id", "_norm").select("doc_id")
+
+
+def _d39_sql() -> str:
+    from datacurator_jl_spark.functions.urls import canonical_url_sql
+
+    messy = (
+        "'HTTP://Host' || (doc_id % 40)::VARCHAR || "
+        "'.COM:80/page/' || (doc_id % 100)::VARCHAR || '?utm_source=x'"
+    )
+    return f"""
+    WITH c AS (SELECT doc_id, {canonical_url_sql(messy)} AS canon FROM documents),
+    r AS (
+      SELECT doc_id, canon,
+             row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM c
+    )
+    SELECT doc_id, canon FROM r WHERE rn = 1
+    """
+
+
+@_q("d39_url_dedup", _d39_sql())
+def d39(spark, sf):
+    """URL-keyed dedup over CANONICAL forms: the same page crawled as
+    HTTP://Host.COM:80/...?utm_source=x and http://host.com/... is one
+    key. Both engines synthesize colliding messy URLs from doc fields
+    (40 hosts x 100 pages -> heavy collision), canonicalize, and keep
+    the min-id winner — composition of canonical_url + drop_exact_dupes."""
+    from datacurator_jl_spark.functions.urls import canonical_url
+
+    messy = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".COM:80/page/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?utm_source=x"),
+    )
+    d = _t(spark, sf, "documents").withColumn("canon", canonical_url(messy))
+    return DD.drop_exact_dupes(d, "doc_id", "canon").select("doc_id", "canon")
+
+
 def _d33_sql() -> str:
     from datacurator_jl_spark.functions.urls import canonical_url_sql
 
