@@ -133,3 +133,30 @@ def test_fuzz_classifier_and_listing_conditions(spark, texts):
     exp = oracle_labels(pdf, _R3_SPEC).sort_values("url").reset_index(drop=True)
     assert list(got["dc_kept"]) == list(exp["keep"])
     assert list(got["dc_rule_id"]) == list(exp["rule_id"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    key=st.sampled_from(
+        [
+            "dedup", "dedup_materialize", "remove_boilerplate",
+            "blocklist", "paragraph_dedup", "domain_cap", "domain_cap_col",
+        ]
+    ),
+    val=st.one_of(
+        st.none(), st.booleans(), st.integers(-5, 5), st.floats(allow_nan=False),
+        st.text(max_size=5), st.lists(st.text(max_size=3), max_size=3),
+        st.dictionaries(st.text(max_size=3), st.integers(), max_size=2),
+    ),
+)
+def test_fuzz_global_prepass_keys_never_crash_unexpectedly(key, val):
+    """Junk values for every [global] pre-pass key either parse or get a
+    typed RecipeError — never an unhandled crash."""
+    cfg = {
+        "global": {key: val},
+        "any": {"conditions": ["always"], "actions": ["keep"]},
+    }
+    try:
+        parse_recipe(cfg)
+    except RecipeError:
+        pass
