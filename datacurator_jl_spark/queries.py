@@ -1375,13 +1375,19 @@ def d30(spark, sf):
 @_q(
     "d38_normalized_dedup",
     """
-    WITH r AS (
+    WITH v AS (
+      SELECT doc_id, text AS t FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  ' || chr(10)
+      FROM documents
+    ),
+    r AS (
       SELECT doc_id,
              row_number() OVER (
-               PARTITION BY md5(trim(regexp_replace(lower(text),
+               PARTITION BY md5(trim(regexp_replace(lower(t),
                                  '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))
                ORDER BY doc_id) AS rn
-      FROM documents
+      FROM v
     )
     SELECT doc_id FROM r WHERE rn = 1
     """,
@@ -1389,15 +1395,24 @@ def d30(spark, sf):
 def d38(spark, sf):
     """CCNet-style normalized exact dedup: casefold + whitespace-run
     collapse + trim BEFORE hashing, so near-identical re-encodings
-    ('Hello  World' vs 'hello world\\n') collapse without paying for
-    minhash. Pure composition of the pinned normalize_whitespace
-    transform and drop_exact_dupes; the DuckDB twin spells the
-    whitespace class explicitly per the RE2 rule."""
+    collapse without paying for minhash. Both engines UNION an
+    uppercased, whitespace-padded VARIANT of every doc (id + 10^6), so
+    every pair MUST collapse to its min-id original: raw exact dedup
+    would keep all 2n rows, and a broken lower()/collapse step makes
+    the twins disagree (the oracle is discriminating, not vacuous).
+    Composition of the pinned normalize_whitespace transform and
+    drop_exact_dupes; the DuckDB twin spells the whitespace class
+    explicitly per the RE2 rule."""
     from datacurator_jl_spark.functions.transforms import normalize_whitespace
 
-    d = _t(spark, sf, "documents").withColumn(
-        "_norm", normalize_whitespace(F.lower(F.col("text")))
+    docs = _t(spark, sf, "documents")
+    v = docs.select("doc_id", F.col("text").alias("_t")).unionAll(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("  \n")).alias("_t"),
+        )
     )
+    d = v.withColumn("_norm", normalize_whitespace(F.lower(F.col("_t"))))
     return DD.drop_exact_dupes(d, "doc_id", "_norm").select("doc_id")
 
 

@@ -192,7 +192,15 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
                 f"domain), got {dc!r}"
             )
         spec.domain_cap = dc
-    spec.domain_cap_col = str(g.get("domain_cap_col", "source"))
+    dcc = g.get("domain_cap_col", "source")
+    if not isinstance(dcc, str):
+        # a str() coercion here would defer the failure to Spark's
+        # analyzer with a nonsense column name — eager validation is the
+        # recipe contract
+        raise RecipeError(
+            f"domain_cap_col must be a column-name string, got {dcc!r}"
+        )
+    spec.domain_cap_col = dcc
     rb = g.get("remove_boilerplate")
     if rb is not None:
         if isinstance(rb, bool) or not isinstance(rb, int) or rb < 2:

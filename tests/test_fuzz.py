@@ -157,6 +157,16 @@ def test_fuzz_global_prepass_keys_never_crash_unexpectedly(key, val):
         "any": {"conditions": ["always"], "actions": ["keep"]},
     }
     try:
-        parse_recipe(cfg)
+        spec = parse_recipe(cfg)
     except RecipeError:
-        pass
+        return
+    # a parse that SUCCEEDS must have produced a sane spec — silent
+    # coercion of junk into nonsense values defers failure to runtime
+    assert isinstance(spec.domain_cap_col, str)
+    assert spec.domain_cap is None or (
+        isinstance(spec.domain_cap, int) and spec.domain_cap >= 1
+    )
+    assert isinstance(spec.blocklist, list)
+    assert isinstance(spec.paragraph_dedup, bool)
+    assert spec.dedup in (None, "exact", "near")
+
