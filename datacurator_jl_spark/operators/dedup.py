@@ -478,6 +478,62 @@ def ngram_containment_pairs(
     )
 
 
+def drop_contained_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    max_block: int | None = 100_000,
+    materialize: str = "local",
+) -> DataFrame:
+    """Keep-set for containment dedup: drop every doc that is the
+    SMALLER side (fewer distinct words; tie -> larger id) of any
+    qualifying containment pair — the excerpt/truncation loser. The
+    rule is non-iterative on purpose: an excerpt of a dropped doc is
+    still redundant with whatever superseded it, so victimhood does not
+    need the winner to survive (chains A⊂B⊂C drop A and B in one pass).
+
+    Same scale posture as ``ngram_containment_pairs`` (blocked join +
+    ``max_block``); the victim set is distinct ids only, applied as a
+    left-anti join.
+    """
+    from datacurator_jl_spark.functions.arrow_hash import hashed_wordset_arrow
+
+    prep = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        hashed_wordset_arrow(F.col(text_col)).alias("ws"),
+    )
+    if max_block:
+        w = Window.partitionBy("blk")
+        prep = (
+            prep.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+    prep = _materialize(prep, materialize)
+    na, nb = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    mn = F.least(na, nb)
+    cont = F.round(
+        F.when(mn > 0, inter.cast("double") / mn).otherwise(F.lit(0.0)), 6
+    )
+    victims = (
+        prep.alias("a")
+        .join(prep.alias("b"), F.col("a.blk") == F.col("b.blk"))
+        .filter((F.col("a.id") < F.col("b.id")) & (cont >= float(threshold)))
+        .select(
+            F.when(na < nb, F.col("a.id"))
+            .when(nb < na, F.col("b.id"))
+            .otherwise(F.greatest(F.col("a.id"), F.col("b.id")))
+            .alias("victim")
+        )
+        .distinct()
+    )
+    return df.join(victims, df[id_col] == victims.victim, "left_anti")
+
+
 def signature_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -570,6 +570,41 @@ def d31(spark, sf):
 
 
 @_q(
+    "d40_contained_survivors",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
+      FROM documents
+    ),
+    victims AS (
+      SELECT DISTINCT CASE
+               WHEN len(a.ws) < len(b.ws) THEN a.doc_id
+               WHEN len(b.ws) < len(a.ws) THEN b.doc_id
+               ELSE greatest(a.doc_id, b.doc_id) END AS victim
+      FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE least(len(a.ws), len(b.ws)) > 0
+        AND round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                  least(len(a.ws), len(b.ws)), 6) >= 0.8
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    ANTI JOIN victims v ON d.doc_id = v.victim
+    """,
+)
+def d40(spark, sf):
+    """Containment-dedup keep-set: every doc that is the smaller side
+    (fewer distinct words; tie -> larger id) of a >=0.8-containment
+    pair is dropped — the excerpt/truncation loser. Non-iterative by
+    design (an excerpt of a dropped doc is still redundant); one
+    blocked pair join + a distinct victim set + a left-anti join
+    (operators/dedup.drop_contained_docs)."""
+    return DD.drop_contained_docs(
+        _t(spark, sf, "documents"), "doc_id", "text", "source", threshold=0.8
+    ).select("doc_id", "source")
+
+
+@_q(
     "d09_scrub",
     """
     SELECT doc_id,

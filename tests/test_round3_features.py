@@ -723,3 +723,37 @@ def test_compression_rules_share_one_arrow_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "_dc_comp" not in out.columns
+
+
+def test_drop_contained_docs_semantics(spark):
+    full = " ".join(f"w{i}" for i in range(100))
+    mid = " ".join(f"w{i}" for i in range(50))     # contained in full
+    tiny = " ".join(f"w{i}" for i in range(10))    # contained in both
+    df = spark.createDataFrame(
+        [
+            (1, full, "b"), (2, mid, "b"), (3, tiny, "b"),
+            (4, "unrelated other words entirely", "b"),
+            (5, full, "b"),  # identical to 1: tie on size -> larger id drops
+        ],
+        "id long, text string, blk string",
+    )
+    got = {
+        r["id"]
+        for r in DD.drop_contained_docs(df, "id", "text", "blk", 0.9).collect()
+    }
+    # chain: tiny and mid both victims (non-iterative), 5 loses the tie
+    assert got == {1, 4}
+
+
+def test_drop_contained_docs_blockwise_and_tokenless(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e", "x"), (2, "a b", "y"),  # different blocks: no pair
+            (3, "", "x"), (4, None, "x"),            # token-less never victims
+        ],
+        "id long, text string, blk string",
+    )
+    got = {
+        r["id"] for r in DD.drop_contained_docs(df, "id", "text", "blk").collect()
+    }
+    assert got == {1, 2, 3, 4}
