@@ -79,6 +79,9 @@ HEADLINE = [
     "d35_top_terms",
     "d36_compression_ratio",
     "d37_estimated_jaccard",
+    "d38_normalized_dedup",
+    "d39_url_dedup",
+    "d40_contained_survivors",
 ]
 
 
