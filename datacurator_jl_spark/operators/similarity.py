@@ -215,15 +215,34 @@ def srp_near_dup_pairs(
     bands: int = 4,
     seed: int = 7,
     max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+    materialize: str = "local",
 ) -> DataFrame:
     """Embedding near-dup candidates: (id_a, id_b, hamming) for pairs
     sharing >= 1 signature band, kept when the full-signature Hamming
     distance <= ``max_hamming``. Shuffle payload: (id, band value,
-    signature) — three longs per row per band."""
+    signature) — three longs per row per band.
+
+    Skew guard: ``max_bucket`` drops (band, val) buckets larger than the
+    cap before the self-join — a degenerate bucket (e.g. many null/zero
+    embeddings all collapsing to signature 0, or one dense cluster
+    pinning a band value) would otherwise contribute O(bucket²) pairs,
+    the unbounded join every other pair generator here already caps.
+    ``materialize`` picks the durability of the bucket frame (same
+    policy as ``lsh_candidate_pairs``: ``local`` | ``reliable`` |
+    a directory path for a persisted parquet signature table).
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
     assert bits % bands == 0
     rows = bits // bands
     mask = (1 << rows) - 1
     sig = srp_signature(df.select(id_col, emb_col), emb_col, dim, bits, seed)
+    # Null/ragged embeddings all get signature 0 (srp_signature) — they
+    # carry no projection information, so like MinHash's null-lane rule
+    # (dedup.py lsh_candidate_pairs): no signature -> no candidacy. This
+    # also removes the worst-case degenerate bucket outright.
+    sig = sig.filter(F.col("srp_sig") != 0)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -236,9 +255,16 @@ def srp_near_dup_pairs(
         F.col("srp_sig").alias("sig"),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    if max_bucket:
+        w = Window.partitionBy("band", "val")
+        buckets = (
+            buckets.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     # materialize once: the self-join would otherwise run the projection
     # UDF on both branches
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = _materialize(buckets, materialize)
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (

@@ -1656,7 +1656,11 @@ def e04(spark, sf):
 
 @_q(
     "e05_srp_near_dup_pairs",
-    "WITH sig AS (" + ORACLES_E04 + """)
+    # sig0 is e04 verbatim; sig drops signature-0 rows (null/ragged
+    # embeddings carry no projection info -> no candidacy, mirroring the
+    # MinHash null-lane rule pinned in lsh_candidate_pairs).
+    "WITH sig0 AS (" + ORACLES_E04 + """),
+    sig AS (SELECT * FROM sig0 WHERE srp_sig <> 0)
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            bit_count(xor(a.srp_sig, b.srp_sig))::INT AS hamming
     FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (

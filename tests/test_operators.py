@@ -316,6 +316,37 @@ def test_srp_signature_properties(spark):
     assert (1, 3) not in pairs  # hamming 16 > max_hamming
 
 
+def test_srp_near_dup_skew_guards(spark, tmp_path):
+    """One synthetic hot bucket (1k identical embeddings) must not
+    reintroduce the O(bucket^2) self-join: max_bucket drops the
+    degenerate bucket wholesale, zero embeddings (signature 0) never gain
+    candidacy, and the directory materialize policy persists the bucket
+    frame as a parquet signature table."""
+    from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
+
+    hot = [(i, [1.0, 0.5] * 32) for i in range(1000)]
+    zeros = [(10_000 + i, [0.0] * 64) for i in range(50)]
+    # [-0.3]*64 shares NO band value with the hot cluster (verified
+    # against srp_planes(64,16,7)), so the pair survives the bucket cap
+    pair = [(20_000, [-0.3] * 64), (20_001, [-0.3] * 64)]
+    df = spark.createDataFrame(
+        hot + zeros + pair, "vec_id long, embedding array<float>"
+    )
+    capped = srp_near_dup_pairs(df, "vec_id", "embedding", 64, max_bucket=100)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(20_000, 20_001)}
+    # zero embeddings never pair even with the cap off: signature-0 rule
+    un = srp_near_dup_pairs(
+        df.filter("vec_id >= 10000"), "vec_id", "embedding", 64, max_bucket=None
+    )
+    assert {(r.id_a, r.id_b) for r in un.collect()} == {(20_000, 20_001)}
+    # directory policy: persisted parquet signature table, same answer
+    mat = srp_near_dup_pairs(
+        df, "vec_id", "embedding", 64, max_bucket=100, materialize=str(tmp_path)
+    )
+    assert {(r.id_a, r.id_b) for r in mat.collect()} == {(20_000, 20_001)}
+    assert any(p.name.startswith("dc-mat-") for p in tmp_path.iterdir())
+
+
 def test_line_ratio_heuristics_edges(spark):
     from datacurator_jl_spark.functions import text as X
 
