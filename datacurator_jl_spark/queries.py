@@ -2333,3 +2333,36 @@ def d18(spark, sf):
         compile_condition(["lang_confident", 2], ctx).alias("lang_ok"),
         compile_condition("contains_pii", ctx).alias("has_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample ordering. The driver checks a 50-query sample of this
+# registry, apparently in insertion order — so queries that have never
+# appeared in a driver CORRECTNESS run are surfaced FIRST, ahead of the
+# long-green round-1/2 suite. Round-3 VERDICT "Next round" item 2.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # never driver-checked (local-replica green only, rounds 2-3)
+    "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
+    "d21_repetition_stats", "d22_boilerplate_lines",
+    "d23_decontaminate", "d24_stratified_sample",
+    "d25_token_budget", "d26_paragraph_dedup",
+    "d27_domain_cap", "d32_top_fraction",
+    # driver-green only in round 2 (round 3's sample missed them)
+    "d16_hash_sample", "d17_line_ratios", "d18_condition_columns",
+    "e04_srp_signature", "e05_srp_near_dup_pairs",
+    "q17_name_predicates", "q18_hierarchical_levels", "v05_domain_quota",
+]
+
+
+def _reorder(d: dict) -> dict:
+    missing = [k for k in _DRIVER_PRIORITY if k not in QUERIES]
+    if missing:  # typo guard: priority list must track the registry
+        raise KeyError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
+QUERIES = _reorder(QUERIES)
+ORACLES = _reorder(ORACLES)
