@@ -405,11 +405,28 @@ class Pipeline:
                     "an unbounded stream has no row count"
                 )
             row_count = df.count()
+        # [global] pre-passes fail BEFORE any data is processed when the
+        # column they are configured to run on is absent — a typo'd
+        # domain_cap_col passes eager recipe *type* validation, and a
+        # silent no-op here would ship an uncapped/unfiltered corpus
+        # (the fail-before-data recipe contract).
+        def _need(prepass: str, *cols_needed: str) -> None:
+            missing = [c for c in cols_needed if c not in df.columns]
+            if missing:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    f"[global] {prepass} is configured but column(s) "
+                    f"{missing} are absent from the input "
+                    f"(input has: {df.columns})"
+                )
+
         # optional blocklist pre-pass ([global] blocklist = [...]): the
         # cheapest stage — a plain pushdown-friendly filter on the name
         # column, so blocked domains never pay for any later stage.
         # Streaming-safe (no global state).
-        if spec.blocklist and spec.name_col in df.columns:
+        if spec.blocklist:
+            _need("blocklist", spec.name_col)
             from datacurator_jl_spark.operators.dataframe_ops import (
                 blocklist_filter,
             )
@@ -420,7 +437,8 @@ class Pipeline:
         # shared chrome inflates near-dup similarity and quality scores.
         # Checkpointed like the dedup survivor set: the line-frequency
         # aggregate must not re-run per downstream action.
-        if spec.remove_boilerplate and spec.text_col in df.columns:
+        if spec.remove_boilerplate:
+            _need("remove_boilerplate", spec.name_col, spec.text_col)
             from datacurator_jl_spark.operators.boilerplate import (
                 remove_boilerplate_lines,
             )
@@ -442,7 +460,8 @@ class Pipeline:
         # after boilerplate (chrome lines removed first so they don't
         # masquerade as content paragraphs), before doc-level dedup
         # (paragraph-stripped texts may collapse into exact doc dupes)
-        if spec.paragraph_dedup and spec.text_col in df.columns:
+        if spec.paragraph_dedup:
+            _need("paragraph_dedup", spec.name_col, spec.text_col)
             from datacurator_jl_spark.operators.paragraph_dedup import (
                 dedup_paragraphs,
             )
@@ -460,7 +479,8 @@ class Pipeline:
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
         # duplicate bytes — the standard curation-pipeline stage order
-        if spec.dedup and spec.text_col in df.columns:
+        if spec.dedup:
+            _need("dedup", spec.name_col, spec.text_col)
             from datacurator_jl_spark.operators.dedup import (
                 drop_exact_dupes,
                 drop_near_dupes,
@@ -499,7 +519,8 @@ class Pipeline:
         # optional per-domain cap ([global] domain_cap = N): AFTER dedup
         # (cap the deduplicated corpus, not raw dup counts) — at most N
         # docs per domain by portable hash order
-        if spec.domain_cap and spec.domain_cap_col in df.columns:
+        if spec.domain_cap:
+            _need("domain_cap", spec.domain_cap_col, spec.name_col)
             from datacurator_jl_spark.operators.sampling import group_cap_sample
 
             if df.isStreaming:

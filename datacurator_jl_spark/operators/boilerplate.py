@@ -65,11 +65,24 @@ def remove_boilerplate_lines(
     min_docs: int = 3,
     out_col: str | None = None,
     count_col: str = "n_removed",
+    validate_ids: bool = True,
 ) -> DataFrame:
     """All original columns, plus ``out_col`` (default: text_col
     replaced in place) with boilerplate lines removed and ``count_col``
-    = number of removed lines (null for null text)."""
+    = number of removed lines (null for null text).
+
+    ``id_col`` must be unique: reassembly groups by it, so duplicate ids
+    would silently merge distinct rows' lines into one interleaved text
+    attached to every copy (with a negative removed-count as the only
+    tell). ``validate_ids`` (default on) spends one cheap id-only probe
+    to raise instead — the same guard as dedup_paragraphs."""
     out_col = out_col or text_col
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(df, id_col, "remove_boilerplate_lines")
     boiler = boilerplate_lines(df, id_col, text_col, min_docs).select(
         F.col("line").alias(_LINE)
     )

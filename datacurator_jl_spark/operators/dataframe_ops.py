@@ -35,6 +35,27 @@ AGG_FNS = {
 }
 
 
+def validate_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """Raise when ``id_col`` is not unique — shared guard for every
+    operator whose groupBy-reassembly or left-join would silently merge
+    or multiply rows under duplicate ids (dedup_paragraphs,
+    remove_boilerplate_lines, decontaminate). One cheap id-only
+    aggregate with an early-out LIMIT 1."""
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{op}: id_col {id_col!r} is not unique (e.g. {dup[0][0]!r}) "
+            "— dedupe ids first, or pass validate_ids=False only when "
+            "uniqueness is guaranteed upstream"
+        )
+
+
 def _known(df: DataFrame, cols: list[str]) -> list[str]:
     """Reference warns + no-ops on unknown columns (src/DataCurator.jl:2035-2040)."""
     known = [c for c in cols if c in df.columns]

@@ -111,12 +111,35 @@ def decontaminate(
     n: int = 8,
     drop: bool = False,
     impl: str = "arrow",
+    hits_col: str = "hits",
+    flag_col: str = "contaminated",
+    validate_ids: bool = True,
 ) -> DataFrame:
-    """All original columns plus ``hits`` (int, distinct shared n-grams)
-    and ``contaminated`` (bool). With ``drop=True``, contaminated rows
-    are removed instead (no marker columns added). ``impl='native'``
+    """All original columns plus ``hits_col`` (int, distinct shared
+    n-grams) and ``flag_col`` (bool). With ``drop=True``, contaminated
+    rows are removed instead (no marker columns added). ``impl='native'``
     switches to the interpreted HOF gram builder (pinned-identical,
-    for cross-checking)."""
+    for cross-checking).
+
+    The marker column names are parameters and COLLIDING with an
+    existing input column raises (silently clobbering a user's ``hits``
+    column would corrupt their data). ``id_col`` must be unique — the
+    hit counts come back through a left join on it, so duplicate ids
+    would multiply rows; ``validate_ids`` (default on) probes and
+    raises, same guard as dedup_paragraphs."""
+    if not drop:
+        clash = [c for c in (hits_col, flag_col) if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"decontaminate: output column(s) {clash} already exist "
+                "in the input — pass hits_col=/flag_col= to rename"
+            )
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(df, id_col, "decontaminate")
     bench = F.broadcast(
         benchmark_ngrams(bench_df, bench_text_col or text_col, n, impl)
     )
@@ -134,14 +157,15 @@ def decontaminate(
     hits = (
         doc_grams.join(bench, "gram")
         .groupBy("_dc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("hits"))
+        .agg(F.count(F.lit(1)).cast("int").alias("_dc_hits"))
     )
     out = (
         df.join(hits, df[id_col] == hits["_dc_id"], "left")
         .drop("_dc_id")
-        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
-        .withColumn("contaminated", F.col("hits") > 0)
+        .withColumn("_dc_hits", F.coalesce(F.col("_dc_hits"), F.lit(0)))
     )
     if drop:
-        return out.filter(~F.col("contaminated")).drop("hits", "contaminated")
-    return out
+        return out.filter(~(F.col("_dc_hits") > 0)).drop("_dc_hits")
+    return out.withColumn(flag_col, F.col("_dc_hits") > 0).withColumnRenamed(
+        "_dc_hits", hits_col
+    )

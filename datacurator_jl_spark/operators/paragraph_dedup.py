@@ -104,19 +104,11 @@ def dedup_paragraphs(
     """
     out_col = out_col or text_col
     if validate_ids:
-        dup = (
-            df.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .collect()
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
         )
-        if dup:
-            raise ValueError(
-                f"dedup_paragraphs: id_col {id_col!r} is not unique "
-                f"(e.g. {dup[0][0]!r}) — reassembly would merge distinct "
-                "rows' paragraphs; dedupe ids first"
-            )
+
+        validate_unique_ids(df, id_col, "dedup_paragraphs")
     paras = _paragraphs(df, id_col, text_col, sep)
     winners = (
         paras.filter(F.col(_PARA) != "")

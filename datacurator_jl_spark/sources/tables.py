@@ -75,12 +75,16 @@ def load_corpus(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if fmt == "csv":
+        # format defaults FIRST, caller options LAST so a caller passing
+        # header='false' / inferSchema wins over the convenience defaults
+        reader = reader.option("header", "true").option(
+            "inferSchema", "true" if schema is None else "false"
+        )
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "csv":
-        df = reader.option("header", "true").option(
-            "inferSchema", "true" if schema is None else "false"
-        ).csv(path)
+        df = reader.csv(path)
     elif fmt == "json":
         df = reader.json(path)
     elif fmt == "text":

@@ -297,3 +297,65 @@ def test_dedup_paragraphs_winner_is_aggregate_not_window(para_df):
     # ObjectHashAggregate, winner is HashAggregate with a partial pass
     assert not wins, wins
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_remove_boilerplate_duplicate_ids_raise(spark):
+    """ADVICE r3: duplicate ids would merge distinct rows' lines into
+    one interleaved text on every copy — the guard raises instead."""
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (1, "c\nd"), (2, "a\nz")], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        remove_boilerplate_lines(df, "id", "text", min_docs=2)
+    # opt-out for guaranteed-unique upstreams still runs
+    ok = spark.createDataFrame([(1, "a\nb"), (2, "a\nz")], "id long, text string")
+    assert remove_boilerplate_lines(
+        ok, "id", "text", min_docs=2, validate_ids=False
+    ).count() == 2
+
+
+def test_decontaminate_collision_and_duplicate_ids_raise(spark):
+    bench = spark.createDataFrame([(9, "a b c")], "id long, text string")
+    clash = spark.createDataFrame(
+        [(1, "a b c", 7)], "id long, text string, hits int"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        decontaminate(clash, "id", "text", bench, n=2)
+    # renamed marker columns leave the user's 'hits' untouched
+    out = decontaminate(
+        clash, "id", "text", bench, n=2, hits_col="dc_hits", flag_col="dc_flag"
+    ).first()
+    assert out["hits"] == 7 and out["dc_hits"] == 2 and out["dc_flag"] is True
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "x y z")], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        decontaminate(dup, "id", "text", bench, n=2)
+    # drop=True never adds marker columns, so a 'hits' column is no clash
+    kept = decontaminate(clash, "id", "text", bench, n=2, drop=True)
+    assert set(kept.columns) == {"id", "text", "hits"} and kept.count() == 0
+
+
+def test_prepass_missing_column_raises(spark):
+    """ADVICE r3: a [global] pre-pass configured on an absent column must
+    fail at apply() time, not silently no-op (fail-before-data)."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    df = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    for extra in (
+        {"domain_cap": 5, "domain_cap_col": "no_such_col"},
+        {"blocklist": ["spam.example"], "name_col": "missing_name",
+         "text_col": "text"},
+        {"remove_boilerplate": 3, "text_col": "missing_text"},
+        {"dedup": "exact", "text_col": "missing_text"},
+        {"paragraph_dedup": True, "text_col": "missing_text"},
+    ):
+        g = {"act_on_success": True, "name_col": "doc_id", "text_col": "text"}
+        g.update(extra)
+        spec = parse_recipe(
+            {"global": g,
+             "any": {"conditions": ["always"], "actions": ["keep"]}}
+        )
+        with pytest.raises(RecipeError, match="absent from the input"):
+            Pipeline(spec).apply(df)

@@ -120,3 +120,20 @@ def test_load_corpus_format_override_and_parquet_default(spark, tmp_path):
     df.write.json(j)
     got = load_corpus(spark, j, fmt="json", with_lineage=False)
     assert {r["text"] for r in got.collect()} == {"x"}
+
+
+def test_load_corpus_caller_options_beat_csv_defaults(spark, tmp_path):
+    """ADVICE r3: user-supplied reader options must be applied AFTER the
+    csv convenience defaults so header='false'/inferSchema win."""
+    from datacurator_jl_spark.sources.tables import load_corpus
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n")
+    # default: header row consumed
+    assert load_corpus(spark, p, with_lineage=False).count() == 1
+    # caller override: header treated as data
+    got = load_corpus(spark, p, with_lineage=False, header="false")
+    assert got.count() == 2
+    noinfer = load_corpus(spark, p, with_lineage=False, inferSchema="false")
+    assert dict(noinfer.dtypes)["a"] == "string"
