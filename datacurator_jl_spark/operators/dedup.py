@@ -631,6 +631,21 @@ def incremental_near_dup_survivors(
     return new_df.join(survivors, new_df[id_col] == survivors.doc, "left_semi")
 
 
+#: ``prefilter="auto"`` switches ngram_jaccard_pairs to the LSH scale
+#: path at/above this many input docs. Rationale: below ~1M docs the
+#: blocked self-join (with max_block) is exact and cheap; above it the
+#: Σ block² term dominates any realistic block layout (a single 1M-doc
+#: block is already 5·10¹¹ pairs), so candidate generation must be
+#: bucket-bounded. A 100-TB run always lands in the LSH path.
+AUTO_LSH_THRESHOLD = 1_000_000
+
+
+def _select_prefilter(n_docs: int, threshold: int = AUTO_LSH_THRESHOLD) -> str:
+    """The auto-selection boundary, pinned by tests: exact blocked join
+    below ``threshold`` docs, LSH candidate generation at/above it."""
+    return "lsh" if n_docs >= threshold else "none"
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -638,11 +653,12 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.5,
     max_block: int | None = 100_000,
-    prefilter: str = "none",
+    prefilter: str = "auto",
     lsh_k: int = 8,
     lsh_bands: int = 4,
     lsh_max_bucket: int | None = 1000,
     materialize: str = "local",
+    auto_threshold: int = AUTO_LSH_THRESHOLD,
 ) -> DataFrame:
     """Word-set Jaccard similarity for all pairs within a block.
 
@@ -664,9 +680,15 @@ def ngram_jaccard_pairs(
     - ``prefilter="lsh"`` replaces the blocked self-join entirely: exact
       Jaccard is computed ONLY over ``lsh_candidate_pairs`` output
       (restricted to same-block pairs, so the result is a strict subset
-      of the default output — candidates LSH recall misses are dropped).
-      This is the 100-TB path: pair count is bounded by bucket sizes, not
-      block sizes.
+      of the exact-path output — candidates LSH recall misses are
+      dropped). This is the 100-TB path: pair count is bounded by bucket
+      sizes, not block sizes.
+    - ``prefilter="auto"`` (the default since round 4): one count of the
+      already-materialized signature frame picks the path —
+      ``"none"`` (exact) below ``auto_threshold`` docs,
+      ``"lsh"`` at/above it (see ``AUTO_LSH_THRESHOLD``). A 100-TB run
+      no longer has to opt into the scale path by hand; small exact runs
+      stay byte-identical to ``prefilter="none"``.
 
     Shuffle-payload note (round-2 fix, VERDICT #4): word sets are hashed
     to distinct 32-bit ints (``_h32``, Arrow-batched) BEFORE the join, so
@@ -685,18 +707,32 @@ def ngram_jaccard_pairs(
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
     prep = prep.withColumn("ns", F.size("ws"))
-    if max_block and prefilter == "none":
+    if prefilter not in ("auto", "none", "lsh"):
+        raise ValueError(f"prefilter must be auto|none|lsh, got {prefilter!r}")
+
+    def _cap_blocks(p: DataFrame) -> DataFrame:
         w = Window.partitionBy("blk")
-        prep = (
-            prep.withColumn("_bn", F.count("*").over(w))
+        return (
+            p.withColumn("_bn", F.count("*").over(w))
             .filter(F.col("_bn") <= max_block)
             .drop("_bn")
         )
+
     # materialize ONCE: both self-join branches would otherwise re-scan
     # the source and re-run the signature UDF (the materialized frame —
     # id, block, hashed set — is a small fraction of the text it derives
     # from; at warehouse scale this is the persisted signature table)
-    prep = _materialize(prep, materialize)
+    if prefilter == "auto":
+        # decide AFTER materializing: the count is then a near-free scan
+        # of the persisted signature frame, not a second pass over text
+        prep = _materialize(prep, materialize)
+        prefilter = _select_prefilter(prep.count(), auto_threshold)
+        if max_block and prefilter == "none":
+            prep = _cap_blocks(prep)
+    else:
+        if max_block and prefilter == "none":
+            prep = _cap_blocks(prep)
+        prep = _materialize(prep, materialize)
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))

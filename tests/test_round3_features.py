@@ -148,6 +148,55 @@ def test_lsh_prefilter_is_subset_and_exact(spark):
     assert got  # non-degenerate: identical docs are sure LSH candidates
 
 
+def test_auto_prefilter_boundary(spark):
+    """Round-4: prefilter='auto' (the new default) picks the exact
+    blocked join below AUTO_LSH_THRESHOLD docs and the LSH scale path
+    at/above it — the boundary is pinned here."""
+    from datacurator_jl_spark.operators.dedup import (
+        AUTO_LSH_THRESHOLD,
+        _select_prefilter,
+    )
+
+    assert AUTO_LSH_THRESHOLD == 1_000_000  # documented knob
+    assert _select_prefilter(AUTO_LSH_THRESHOLD - 1) == "none"
+    assert _select_prefilter(AUTO_LSH_THRESHOLD) == "lsh"
+    assert _select_prefilter(10, threshold=10) == "lsh"
+
+    df = _jaccard_corpus(spark, mega=8, small=4)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, prefilter="none"
+        ).collect()
+    }
+    # small input: auto == exact path, byte-identical
+    auto = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5
+        ).collect()
+    }
+    assert auto == exact
+    # forced over the boundary: auto == the LSH path
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, prefilter="lsh"
+        ).collect()
+    }
+    forced = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, auto_threshold=1
+        ).collect()
+    }
+    assert forced == lsh
+    with pytest.raises(ValueError, match="prefilter"):
+        DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, prefilter="bogus"
+        )
+
+
 # --- materialization policies (VERDICT r2 #2) --------------------------------
 
 
