@@ -125,6 +125,65 @@ def flush_file_list(
         writer.parquet(out_path)
 
 
+# Spark SQL dtype -> portable ANSI DDL type for the JDBC pre-create path
+_JDBC_DDL_TYPES = {
+    "string": "VARCHAR",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> None:
+    """Run DDL/DML through a raw JVM driver connection.
+
+    ``java.sql.DriverManager`` cannot discover drivers loaded via
+    ``spark.jars``' classloader, so the driver class is instantiated
+    directly off Spark's context classloader (the same trick the JDBC
+    integration test uses to seed tables)."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
+    cls = jvm.java.lang.Class.forName(driver, True, loader)
+    ctor = cls.getDeclaredConstructor(gw.new_array(jvm.java.lang.Class, 0))
+    drv = ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
+    conn = drv.connect(url, jvm.java.util.Properties())
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def _jdbc_precreate(df: DataFrame, table: str, url: str, driver: str) -> None:
+    """DROP + CREATE the sink table from the frame's schema, through a
+    raw driver connection, so Spark only ever APPENDs to an existing
+    table. This sidesteps Spark's ``JdbcUtils.tableExists`` probe —
+    duckdb_jdbc raises at ``prepareStatement`` for a missing table,
+    which escapes the probe's SQLException catch and breaks every
+    DataFrameWriter mode against that driver (round-3 VERDICT #3);
+    pre-creating makes the probe always find the table."""
+    cols = ", ".join(
+        f'"{name}" {_JDBC_DDL_TYPES.get(dtype, "VARCHAR")}'
+        for name, dtype in df.dtypes
+    )
+    jdbc_execute(
+        df,
+        driver,
+        url,
+        [f'DROP TABLE IF EXISTS "{table}"', f'CREATE TABLE "{table}" ({cols})'],
+    )
+
+
 def save_content(
     df: DataFrame, sink: str, fmt: str | None = None, **options: str
 ) -> None:
@@ -160,7 +219,17 @@ def save_content(
     elif fmt == "jdbc":
         if "url" not in options:
             raise ValueError("jdbc sink needs url=...")
-        writer(df).format("jdbc").option("dbtable", sink).save()
+        if "driver" in options:
+            # pre-create + append: overwrite semantics without ever
+            # taking Spark's tableExists/CREATE path (see _jdbc_precreate
+            # — required for duckdb_jdbc, harmless for sqlite/postgres)
+            _jdbc_precreate(df, sink, options["url"], options["driver"])
+            w = df.write.mode("append")
+            for k, v in options.items():
+                w = w.option(k, v)
+            w.format("jdbc").option("dbtable", f'"{sink}"').save()
+        else:
+            writer(df).format("jdbc").option("dbtable", sink).save()
     else:
         writer(df).parquet(sink)
 

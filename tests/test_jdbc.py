@@ -9,11 +9,11 @@ untested — round-2 VERDICT). To run them:
 The jar is injected at session build (session.get_spark reads the env),
 so the shared test session picks it up automatically.
 
-Driver notes: sqlite-jdbc exercises both source and sink. duckdb_jdbc
-exercises the SOURCE path only — its prepareStatement raises for missing
-tables, which escapes Spark's JdbcUtils.tableExists probe and breaks any
-DataFrameWriter mode (a driver quirk, not an engine codepath gap), so the
-sink test skips itself under that driver.
+Driver notes: both sqlite-jdbc and duckdb_jdbc exercise source AND sink.
+duckdb_jdbc's prepareStatement raises for missing tables, which escapes
+Spark's JdbcUtils.tableExists probe and breaks any direct DataFrameWriter
+mode — the sink works around it by pre-creating the table through a raw
+driver connection and APPENDing (sinks._jdbc_precreate, round-4).
 """
 
 from __future__ import annotations
@@ -39,25 +39,11 @@ def _url(tmp_path, name: str) -> str:
 
 
 def _seed(spark, url: str, ddl: list[str]) -> None:
-    """Create/populate tables through a raw JVM driver connection —
-    DriverManager cannot discover drivers loaded via spark.jars'
-    classloader, so the driver class is instantiated directly."""
-    jvm = spark._jvm
-    gw = spark.sparkContext._gateway
-    loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
-    cls = jvm.java.lang.Class.forName(_driver_class(), True, loader)
-    # py4j cannot call the no-arg varargs overloads directly — pass
-    # explicit empty arrays
-    ctor = cls.getDeclaredConstructor(gw.new_array(jvm.java.lang.Class, 0))
-    drv = ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
-    conn = drv.connect(url, jvm.java.util.Properties())
-    try:
-        st = conn.createStatement()
-        for sql in ddl:
-            st.execute(sql)
-        st.close()
-    finally:
-        conn.close()
+    """Create/populate tables through a raw JVM driver connection
+    (shared helper — also the sink's pre-create path)."""
+    from datacurator_jl_spark.sinks import jdbc_execute
+
+    jdbc_execute(spark, _driver_class(), url, ddl)
 
 
 def test_jdbc_source_read(spark, tmp_path):
@@ -113,14 +99,13 @@ def test_jdbc_sink_round_trip(spark, tmp_path):
     from datacurator_jl_spark.sinks import save_content
     from datacurator_jl_spark.sources.tables import load_jdbc
 
-    if "duckdb" in _driver_class().lower():
-        pytest.skip(
-            "duckdb_jdbc raises at prepareStatement for missing tables, "
-            "breaking Spark's tableExists probe; use sqlite-jdbc for the "
-            "sink path"
-        )
     url = _url(tmp_path, "rt.db")
     df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id int, s string")
     save_content(df, "docs", fmt="jdbc", url=url, driver=_driver_class())
-    back = load_jdbc(spark, url, "docs", driver=_driver_class())
+    back = load_jdbc(spark, url, '"docs"', driver=_driver_class())
     assert sorted((r.id, r.s) for r in back.collect()) == [(1, "alpha"), (2, "beta")]
+    # overwrite semantics: a second save replaces, never appends blindly
+    df2 = spark.createDataFrame([(3, "gamma")], "id int, s string")
+    save_content(df2, "docs", fmt="jdbc", url=url, driver=_driver_class())
+    back2 = load_jdbc(spark, url, '"docs"', driver=_driver_class())
+    assert sorted((r.id, r.s) for r in back2.collect()) == [(3, "gamma")]
