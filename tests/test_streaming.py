@@ -249,3 +249,63 @@ def test_incremental_dedup_stream_epoch_replay_is_idempotent(spark, tmp_path_fac
         q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert [r["url"] for r in rows] == ["u1"]  # exactly once, not twice
+
+
+def test_incremental_dedup_stream_crash_resume(spark, tmp_path_factory):
+    """Kill the ingest stream between epochs, restart against the SAME
+    checkpoint + persisted signature table, and assert the survivor set
+    is identical to an uninterrupted run (round-3 VERDICT item 5). The
+    kill point is deliberately whenever the first epoch's sig partition
+    lands — idempotent _batch_id partitions must converge from ANY kill
+    point, including a replayed half-written epoch."""
+    import time
+
+    from datacurator_jl_spark.streaming.stream import incremental_dedup_stream
+
+    root = tmp_path_factory.mktemp("inccrash")
+    src = str(root / "src")
+    os.makedirs(src)
+    batches = [
+        [("u1", "alpha content the first body"),
+         ("u2", "alpha content the first body")],   # intra-batch dup
+        [("u3", "alpha content the first body"),     # dup of admitted u1
+         ("u4", "beta content the second body")],
+        [("u5", "beta content the second body"),     # dup of admitted u4
+         ("u6", "gamma content the third body")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "url string, text string").write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+
+    def reader():
+        return (
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", 1)  # one source file per epoch
+            .parquet(src + "/*")
+        )
+
+    # uninterrupted twin
+    sig_u, out_u, ckpt_u = (str(root / n) for n in ("sig_u", "out_u", "ckpt_u"))
+    q = incremental_dedup_stream(reader(), sig_u, out_u, ckpt_u)
+    q.awaitTermination(180)
+    expect = {r["url"] for r in spark.read.parquet(out_u).collect()}
+    assert expect == {"u1", "u4", "u6"}
+
+    # crashed run: stop as soon as the first epoch's signatures land
+    sig_c, out_c, ckpt_c = (str(root / n) for n in ("sig_c", "out_c", "ckpt_c"))
+    q = incremental_dedup_stream(reader(), sig_c, out_c, ckpt_c)
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.isdir(
+        os.path.join(sig_c, "_batch_id=0")
+    ):
+        time.sleep(0.05)
+    q.stop()  # the kill — wherever processing happens to be
+    q.awaitTermination(60)
+    # restart from the same checkpoint; availableNow drains the rest
+    q = incremental_dedup_stream(reader(), sig_c, out_c, ckpt_c)
+    q.awaitTermination(180)
+    got = {r["url"] for r in spark.read.parquet(out_c).collect()}
+    assert got == expect
+    sigs = {r["doc"] for r in spark.read.parquet(sig_c).collect()}
+    assert sigs == expect
