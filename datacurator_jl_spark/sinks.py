@@ -198,6 +198,24 @@ def save_content(
     if fmt is None:
         ext = os.path.splitext(sink)[1].lower().lstrip(".")
         fmt = ext if ext in ("csv", "json", "txt", "parquet") else "parquet"
+    if fmt == "iceberg":
+        from datacurator_jl_spark.sources.tables import iceberg_available
+
+        if iceberg_available(df.sparkSession):
+            w = df.write.format("iceberg").mode("overwrite")
+            for k, v in options.items():
+                w = w.option(k, v)
+            w.save(sink)
+            return
+        import warnings
+
+        warnings.warn(
+            "fmt='iceberg' requested but no Iceberg runtime jar is on "
+            "the classpath — falling back to a parquet write of the same "
+            "path (no snapshot commit; resume uses the batch manifest "
+            "twin instead)"
+        )
+        fmt = "parquet"
 
     def writer(frame: DataFrame):
         w = frame.write.mode("overwrite")

@@ -33,6 +33,21 @@ TABLES = (
 )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the session
+    classpath. The production deployment ships
+    ``iceberg-spark-runtime`` and sets a catalog; this sandbox does not,
+    so callers fall back to parquet with a warning — the prod swap is
+    one config line (the jar + catalog conf), not a code edit."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, with_lineage: bool = False
 ) -> DataFrame:
@@ -72,7 +87,21 @@ def load_corpus(
         fmt = {"jsonl": "json", "txt": "text"}.get(ext, ext) or "parquet"
         if fmt not in ("csv", "json", "text", "parquet"):
             fmt = "parquet"
+    if fmt == "iceberg" and not iceberg_available(spark):
+        import warnings
+
+        warnings.warn(
+            "fmt='iceberg' requested but no Iceberg runtime jar is on "
+            "the classpath — falling back to a parquet read of the same "
+            "path (snapshot isolation / time travel unavailable)"
+        )
+        fmt = "parquet"
     reader = spark.read
+    if fmt == "iceberg":
+        df = reader.format("iceberg").load(path)
+        if with_lineage:
+            df = df.withColumn("dc_source", F.input_file_name())
+        return df
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
