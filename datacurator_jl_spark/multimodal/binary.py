@@ -127,6 +127,102 @@ def decode_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+IMAGE_DESCRIBE_SCHEMA = (
+    "minimum double, q1 double, mean double, median double, q3 double, "
+    "maximum double, std double, kurtosis double, px_type string, "
+    "dimension string"
+)
+
+
+def _image_moments(vals):
+    """The reference's ``dimg`` moment fold (src/DataCurator.jl:1252-1267)
+    over a flat value array: drop zero-valued entries, then
+    (min, Q1, mean, median, Q3, max, std, kurtosis).
+
+    Pinned semantics:
+    - zero-valued pixels are DROPPED before the stats (reference
+      ``ys[ys .> 0]``); an all-zero/empty array yields all-NaN (the
+      reference warns and returns NaN×8).
+    - quantiles are linear-interpolated (numpy default == Julia default).
+    - std is the Bessel-corrected sample std (Julia ``std``); NaN for a
+      single surviving value.
+    - kurtosis is the INTENDED excess kurtosis m4/m2² − 3 with
+      population moments — the reference computes ``m2/m4`` (an
+      inversion bug at :1264); as with descriptive_size we keep intended
+      semantics, documented here.
+    """
+    import numpy as np
+
+    ys = np.asarray(vals, dtype=np.float64).ravel()
+    ys = ys[ys > 0]
+    if ys.size == 0:
+        return (float("nan"),) * 8
+    q1, med, q3 = (float(q) for q in np.quantile(ys, [0.25, 0.5, 0.75]))
+    mx = float(ys.mean())
+    m2 = float(((ys - mx) ** 2).mean())
+    m4 = float(((ys - mx) ** 4).mean())
+    kurt = m4 / (m2 * m2) - 3.0 if m2 > 0 else float("nan")
+    std = float(ys.std(ddof=1)) if ys.size > 1 else float("nan")
+    return (float(ys.min()), q1, mx, med, q3, float(ys.max()), std, kurt)
+
+
+def describe_images(
+    df: DataFrame, payload_col: str = "html", fake: bool = True
+) -> DataFrame:
+    """Per-image 8-moment describe — the reference's ``describe_image``
+    (src/DataCurator.jl:902-916) as an Arrow-batched mapInPandas stage
+    appending IMAGE_DESCRIBE_SCHEMA columns (the moment names mirror the
+    reference's DataFrame columns; ``px_type``/``dimension`` mirror its
+    ``type``/``dimension``).
+
+    ``fake=True`` (this container): the SAME moment fold over the raw
+    payload bytes (uint8) — deterministic, fully testable without a
+    decoder, and byte-for-byte the production moment code. ``fake=False``
+    decodes with Pillow to grayscale and folds over pixel values
+    (undecodable payloads yield an all-null row, never a task failure).
+    """
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + IMAGE_DESCRIBE_SCHEMA
+    cols = [
+        "minimum", "q1", "mean", "median", "q3", "maximum", "std", "kurtosis",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if not fake:
+            Image = _require_pillow()
+        for pdf in batches:
+            pdf = pdf.copy()
+            rows = []
+            for b in pdf[payload_col]:
+                if fake:
+                    arr = np.frombuffer(b or b"", dtype=np.uint8)
+                    rows.append(
+                        _image_moments(arr) + ("uint8", f"({arr.size},)")
+                    )
+                else:
+                    import io
+
+                    try:
+                        img = Image.open(io.BytesIO(b))
+                        arr = np.asarray(img.convert("L"))
+                        rows.append(
+                            _image_moments(arr)
+                            + (str(arr.dtype), str(arr.shape))
+                        )
+                    except Exception:
+                        rows.append((None,) * 8 + (None, None))
+            for i, c in enumerate(cols):
+                pdf[c] = [r[i] for r in rows]
+            pdf["px_type"] = [r[8] for r in rows]
+            pdf["dimension"] = [r[9] for r in rows]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def _require_pillow():
     """Optional-import seam: resolve Pillow on the worker or fail with
     actionable guidance (the round-2 stub raised unconditionally)."""

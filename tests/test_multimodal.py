@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datacurator_jl_spark.multimodal.binary import (
@@ -104,3 +105,76 @@ def test_decode_images_import_guidance_without_pillow(spark, docs_df):
     # the worker-side ImportError (with install guidance) surfaces in the
     # driver-side error chain
     assert "Pillow" in str(ei.value) or "Pillow" in repr(ei.getrepr())
+
+
+def test_describe_images_fake_matches_numpy_oracle(spark):
+    """8-moment describe (reference describe_image/dimg,
+    src/DataCurator.jl:902-916, 1252-1267): the fake path folds the SAME
+    moment code over raw payload bytes — asserted against a per-row
+    numpy oracle, incl. the zero-drop and all-zero->NaN pins."""
+    import math
+
+    import numpy as np
+
+    from datacurator_jl_spark.multimodal.binary import describe_images
+
+    payloads = {
+        "p1": bytes(range(1, 101)),          # 1..100, no zeros
+        "p2": b"\x00\x05\x00\x07\x09",       # zeros dropped -> [5,7,9]
+        "p3": b"\x00\x00\x00",               # all zero -> NaN row
+        "p4": b"",                           # empty -> NaN row
+        "p5": b"\x2a",                       # single value -> std NaN
+    }
+    df = spark.createDataFrame(list(payloads.items()), "url string, html binary")
+    rows = {r.url: r for r in describe_images(df, payload_col="html").collect()}
+    for url, b in payloads.items():
+        ys = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        ys = ys[ys > 0]
+        r = rows[url]
+        if ys.size == 0:
+            assert math.isnan(r.minimum) and math.isnan(r.kurtosis)
+            continue
+        q1, med, q3 = np.quantile(ys, [0.25, 0.5, 0.75])
+        assert (r.minimum, r.maximum) == (ys.min(), ys.max())
+        assert r.mean == pytest.approx(ys.mean())
+        assert (r.q1, r.median, r.q3) == (
+            pytest.approx(q1), pytest.approx(med), pytest.approx(q3))
+        if ys.size > 1:
+            assert r.std == pytest.approx(ys.std(ddof=1))
+            m2 = ((ys - ys.mean()) ** 2).mean()
+            m4 = ((ys - ys.mean()) ** 4).mean()
+            if m2 > 0:
+                assert r.kurtosis == pytest.approx(m4 / m2**2 - 3.0)
+        else:
+            assert math.isnan(r.std)
+        assert r.px_type == "uint8" and r.dimension == f"({len(b)},)"
+
+
+def test_describe_images_real_pillow_matches_pil_oracle(spark):
+    """Pillow-gated parity (round-3 VERDICT item 7): the real-decode
+    branch folds the identical moments over grayscale pixels, asserted
+    against a PIL+numpy oracle. Skips cleanly where Pillow is absent."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from datacurator_jl_spark.multimodal.binary import describe_images
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("ok", buf.getvalue()), ("bad", b"junk")], "url string, html binary"
+    )
+    rows = {r.url: r for r in describe_images(df, fake=False).collect()}
+    ys = arr.astype(np.float64).ravel()
+    ys = ys[ys > 0]
+    r = rows["ok"]
+    assert r.mean == pytest.approx(ys.mean())
+    assert r.std == pytest.approx(ys.std(ddof=1))
+    assert r.median == pytest.approx(np.quantile(ys, 0.5))
+    assert r.dimension == "(6, 9)" and r.px_type == "uint8"
+    assert rows["bad"].minimum is None and rows["bad"].px_type is None
