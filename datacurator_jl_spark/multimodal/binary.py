@@ -180,6 +180,10 @@ def describe_images(
     decoder, and byte-for-byte the production moment code. ``fake=False``
     decodes with Pillow to grayscale and folds over pixel values
     (undecodable payloads yield an all-null row, never a task failure).
+
+    NaN moments (all-zero input, single-value std) arrive as SQL NULL:
+    Arrow treats pandas NaN as missing — the reference's NaN row maps to
+    Spark's native missing representation.
     """
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields

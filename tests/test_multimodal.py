@@ -111,9 +111,8 @@ def test_describe_images_fake_matches_numpy_oracle(spark):
     """8-moment describe (reference describe_image/dimg,
     src/DataCurator.jl:902-916, 1252-1267): the fake path folds the SAME
     moment code over raw payload bytes — asserted against a per-row
-    numpy oracle, incl. the zero-drop and all-zero->NaN pins."""
-    import math
-
+    numpy oracle, incl. the zero-drop and all-zero->NULL pins (NaN
+    arrives as SQL NULL through Arrow)."""
     import numpy as np
 
     from datacurator_jl_spark.multimodal.binary import describe_images
@@ -132,7 +131,7 @@ def test_describe_images_fake_matches_numpy_oracle(spark):
         ys = ys[ys > 0]
         r = rows[url]
         if ys.size == 0:
-            assert math.isnan(r.minimum) and math.isnan(r.kurtosis)
+            assert r.minimum is None and r.kurtosis is None
             continue
         q1, med, q3 = np.quantile(ys, [0.25, 0.5, 0.75])
         assert (r.minimum, r.maximum) == (ys.min(), ys.max())
@@ -146,7 +145,7 @@ def test_describe_images_fake_matches_numpy_oracle(spark):
             if m2 > 0:
                 assert r.kurtosis == pytest.approx(m4 / m2**2 - 3.0)
         else:
-            assert math.isnan(r.std)
+            assert r.std is None
         assert r.px_type == "uint8" and r.dimension == f"({len(b)},)"
 
 
