@@ -274,9 +274,12 @@ def test_incremental_dedup_stream_crash_resume(spark, tmp_path_factory):
          ("u6", "gamma content the third body")],
     ]
     for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, "url string, text string").write.parquet(
-            os.path.join(src, f"b{i}")
-        )
+        # ONE part-file per batch dir: maxFilesPerTrigger=1 counts leaf
+        # files, so a multi-part write would split a batch across epochs
+        # (and make the intra-batch min-id winner nondeterministic)
+        spark.createDataFrame(rows, "url string, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
 
     def reader():
         return (
