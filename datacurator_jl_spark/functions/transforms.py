@@ -97,3 +97,25 @@ def normalize_whitespace(col: Column) -> Column:
 def normalize_unicode_punct(col: Column) -> Column:
     """Map common unicode punctuation to ASCII (deterministic translate)."""
     return F.translate(col, "‘’“”–— ", "''\"\"--  ")
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (UAX #15 canonical composition) — the
+    standard web-text pre-pass that collapses combining sequences
+    (``e`` + U+0301 -> single-codepoint e-acute) so downstream
+    hashing/dedup/tokenization see one canonical byte form. Spark has no
+    native normalizer, so this is one Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (CPython's normalizer implements the same
+    UAX #15 tables as DuckDB's ``nfc_normalize``, the oracle twin —
+    d41). Null-safe."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str)
+            else None
+        )
+
+    return _nfc(col)

@@ -1685,6 +1685,44 @@ def e05(spark, sf):
 
 
 @_q(
+    "e06_srp_capped_pairs",
+    # The round-4 skew guard as pinned cross-engine semantics: (band,
+    # val) buckets larger than max_bucket=30 are dropped BEFORE the
+    # self-join (at sf0.01 the largest bucket holds 53 rows, so the cap
+    # BINDS — this row proves the drop semantics match, not just that
+    # the cap is inert at test scale).
+    "WITH sig0 AS (" + ORACLES_E04 + """),
+    sig AS (SELECT * FROM sig0 WHERE srp_sig <> 0),
+    b AS (
+      SELECT vec_id, srp_sig, x.band,
+             (srp_sig >> (x.band * 4)) & 15 AS val
+      FROM sig, (SELECT unnest(range(4)) AS band) x),
+    capped AS (
+      SELECT * FROM b
+      QUALIFY count(*) OVER (PARTITION BY band, val) <= 30)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           bit_count(xor(a.srp_sig, b.srp_sig))::INT AS hamming
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 3
+    """,
+)
+def e06(spark, sf):
+    """e05 with the round-4 ``max_bucket`` skew guard BINDING: degenerate
+    (band, val) buckets above the cap are dropped wholesale before the
+    self-join — the guard that bounds the Σ bucket² pair blow-up on a
+    hot SRP bucket (see scripts/bench_skew.py for the mega-bucket
+    measurement). Oracle mirrors the window-count drop."""
+    from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
+
+    return srp_near_dup_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
+        max_bucket=30,
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_q(
     "d17_line_ratios",
     r"""
     WITH l AS (
@@ -2335,6 +2373,45 @@ def d18(spark, sf):
     )
 
 
+@_q(
+    "d41_nfc_normalize",
+    # chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring:
+    # the appended literal guarantees real decomposed sequences flow
+    # through both normalizers even on an all-ASCII corpus.
+    """
+    WITH r AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' A' || chr(778) AS raw
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(raw)          AS norm_text,
+           length(raw)::INT            AS len_raw,
+           length(nfc_normalize(raw))::INT AS len_nfc
+    FROM r
+    """,
+)
+def d41(spark, sf):
+    """Unicode NFC normalization (round-4): canonical composition as one
+    Arrow-batched stage (functions/transforms.nfc_normalize; also a
+    recipe transform ``nfc_normalize``), value-matched against DuckDB's
+    ``nfc_normalize`` — both implement UAX #15, so the normalized text
+    AND the codepoint-length delta must agree exactly."""
+    from datacurator_jl_spark.functions.transforms import nfc_normalize
+
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a"))
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", raw.alias("raw"))
+        .withColumn("norm_text", nfc_normalize(F.col("raw")))
+        .select(
+            "doc_id",
+            "norm_text",
+            F.length("raw").cast("int").alias("len_raw"),
+            F.length("norm_text").cast("int").alias("len_nfc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2343,6 +2420,8 @@ def d18(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # new this round (4): cap-binding SRP oracle + NFC normalization
+    "e06_srp_capped_pairs", "d41_nfc_normalize",
     # never driver-checked (local-replica green only, rounds 2-3)
     "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
     "d21_repetition_stats", "d22_boilerplate_lines",

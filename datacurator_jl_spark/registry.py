@@ -548,6 +548,7 @@ TEXT_TRANSFORMS: dict[str, tuple[int, int, Callable[..., Column]]] = {
     "flatten_to": (1, 1, TR.flatten_to),
     "normalize_whitespace": (0, 0, TR.normalize_whitespace),
     "normalize_unicode_punct": (0, 0, TR.normalize_unicode_punct),
+    "nfc_normalize": (0, 0, TR.nfc_normalize),
 }
 
 _SIMPLE_ACTIONS = {

@@ -806,3 +806,33 @@ def test_drop_contained_docs_blockwise_and_tokenless(spark):
         r["id"] for r in DD.drop_contained_docs(df, "id", "text", "blk").collect()
     }
     assert got == {1, 2, 3, 4}
+
+
+def test_nfc_normalize_transform(spark):
+    """Round-4 NFC normalization: the Arrow stage composes combining
+    sequences, is null-safe, and is wired as a recipe transform."""
+    from datacurator_jl_spark.functions.transforms import nfc_normalize
+
+    rows = [(1, "café"), (2, "Å"), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", nfc_normalize(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == "caf\xe9" and len(got[1]) == 4
+    assert got[2] == "\xc5" and len(got[2]) == 1
+    assert got[3] is None and got[4] == "plain"
+    # recipe-level: transform action applies it to the text column
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "name_col": "id", "text_col": "text"},
+            "any": {
+                "conditions": ["always"],
+                "actions": [["all_actions", ["nfc_normalize"], "keep"]],
+            },
+        }
+    )
+    # transformed text lands in scrubbed_text; the input column is kept
+    out = {r.id: r.scrubbed_text for r in Pipeline(spec).apply(df).df.collect()}
+    assert out[1] == "caf\xe9" and out[2] == "\xc5"
+    assert len(out[1]) == 4 and len(out[2]) == 1
