@@ -135,7 +135,22 @@ def main() -> int:
         for c in levels
         if 4 * c in best
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve the adversarial-skew section bench_skew.py maintains
+    bench_path = os.path.join(REPO, "BENCH.md")
+    skew_section = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        if "<!-- skew-bench-start -->" in prev:
+            skew_section = (
+                "\n"
+                + prev.split("<!-- skew-bench-start -->")[1].split(
+                    "<!-- skew-bench-end -->"
+                )[0].join(
+                    ["<!-- skew-bench-start -->", "<!-- skew-bench-end -->"]
+                )
+                + "\n"
+            )
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule, sandbox protocol)
 
 Identical flagship job (recipes/webtext_quality.toml: full quality filter
@@ -200,7 +215,7 @@ same-session measurement this replaces was an artifact, not a
 throughput property of the engine.
 
 Reproduce: `python scripts/bench_scaling.py --low {args.low} --high {args.high} --docs {args.docs} --repeat {args.repeat} --ladder`
-""")
+{skew_section}""")
     return 0
 
 
