@@ -437,6 +437,7 @@ class Pipeline:
         # shared chrome inflates near-dup similarity and quality scores.
         # Checkpointed like the dedup survivor set: the line-frequency
         # aggregate must not re-run per downstream action.
+        ids_validated = False  # run the duplicate-id probe at most once
         if spec.remove_boilerplate:
             _need("remove_boilerplate", spec.name_col, spec.text_col)
             from datacurator_jl_spark.operators.boilerplate import (
@@ -456,6 +457,7 @@ class Pipeline:
                 min_docs=spec.remove_boilerplate,
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
+            ids_validated = True  # probe ran; rows/ids preserved below
         # optional C4-style paragraph dedup ([global] paragraph_dedup):
         # after boilerplate (chrome lines removed first so they don't
         # masquerade as content paragraphs), before doc-level dedup
@@ -474,7 +476,12 @@ class Pipeline:
                     "paragraph is a global corpus aggregate)"
                 )
             cols = df.columns
-            df = dedup_paragraphs(df, spec.name_col, spec.text_col).select(*cols)
+            # skip the probe when the boilerplate pass already validated
+            # the SAME id column (it preserves rows/ids)
+            df = dedup_paragraphs(
+                df, spec.name_col, spec.text_col,
+                validate_ids=not ids_validated,
+            ).select(*cols)
             df = df.localCheckpoint(eager=False)
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for

@@ -185,12 +185,20 @@ def describe_images(
     Arrow treats pandas NaN as missing — the reference's NaN row maps to
     Spark's native missing representation.
     """
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", " + IMAGE_DESCRIBE_SCHEMA
     cols = [
         "minimum", "q1", "mean", "median", "q3", "maximum", "std", "kurtosis",
     ]
+    clash = [c for c in (*cols, "px_type", "dimension") if c in df.columns]
+    if clash:
+        # a duplicate field in the mapInPandas schema would crash at
+        # execution with a column-count mismatch — fail eagerly instead
+        raise ValueError(
+            f"describe_images: input already has column(s) {clash} — "
+            "rename or drop them first"
+        )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + IMAGE_DESCRIBE_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

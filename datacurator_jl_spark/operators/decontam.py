@@ -128,6 +128,11 @@ def decontaminate(
     would multiply rows; ``validate_ids`` (default on) probes and
     raises, same guard as dedup_paragraphs."""
     if not drop:
+        if hits_col == flag_col:
+            raise ValueError(
+                "decontaminate: hits_col and flag_col must differ "
+                f"(both {hits_col!r})"
+            )
         clash = [c for c in (hits_col, flag_col) if c in df.columns]
         if clash:
             raise ValueError(

@@ -728,7 +728,12 @@ def ngram_jaccard_pairs(
         prep = _materialize(prep, materialize)
         prefilter = _select_prefilter(prep.count(), auto_threshold)
         if max_block and prefilter == "none":
-            prep = _cap_blocks(prep)
+            # cap then RE-materialize (cheap: reads the materialized
+            # frame, not the text): otherwise the self-join would re-run
+            # the window count on both branches, and a path-policy
+            # signature table would persist the over-cap blocks the
+            # explicit 'none' path excludes
+            prep = _materialize(_cap_blocks(prep), materialize)
     else:
         if max_block and prefilter == "none":
             prep = _cap_blocks(prep)

@@ -183,7 +183,9 @@ def srp_signature(
     would be ``bits`` interpreted passes; see functions/arrow_hash.py for
     the measured rationale). Dots are rounded to 6dp before the sign so
     float summation-order ulps can never flip a bit across engines.
-    Null/ragged embeddings get signature 0.
+    Null/ragged embeddings get a NULL signature (no projection exists) —
+    distinct from the LEGITIMATE signature 0 of a vector whose every
+    rounded dot is <= 0 (e.g. the zero vector), which keeps candidacy.
     """
     import numpy as np
     import pandas as pd
@@ -195,7 +197,7 @@ def srp_signature(
     # resolved by pandas_udf when pd is imported function-locally
     @F.pandas_udf("long")
     def sig(embs):
-        out = pd.Series(0, index=embs.index, dtype="int64")
+        out = pd.Series(pd.NA, index=embs.index, dtype="Int64")
         ok = embs.map(lambda v: v is not None and len(v) == dim)
         if ok.any():
             m = np.vstack(embs[ok].to_numpy()).astype(np.float64)
@@ -238,11 +240,13 @@ def srp_near_dup_pairs(
     rows = bits // bands
     mask = (1 << rows) - 1
     sig = srp_signature(df.select(id_col, emb_col), emb_col, dim, bits, seed)
-    # Null/ragged embeddings all get signature 0 (srp_signature) — they
+    # Null/ragged embeddings have NULL signatures (srp_signature) — they
     # carry no projection information, so like MinHash's null-lane rule
-    # (dedup.py lsh_candidate_pairs): no signature -> no candidacy. This
-    # also removes the worst-case degenerate bucket outright.
-    sig = sig.filter(F.col("srp_sig") != 0)
+    # (dedup.py lsh_candidate_pairs): no signature -> no candidacy.
+    # A LEGITIMATE signature 0 (all dots <= 0, e.g. identical zero
+    # vectors) keeps candidacy; the max_bucket cap still bounds any
+    # degenerate pile-up of such rows.
+    sig = sig.filter(F.col("srp_sig").isNotNull())
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

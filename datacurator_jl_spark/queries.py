@@ -1633,9 +1633,11 @@ def _srp_sig_sql() -> str:
             f"[{lits}]::DOUBLE[]), 6) > 0 THEN {1 << j} ELSE 0 END"
         )
     sig = " + ".join(terms)
+    # null/ragged -> NULL (no projection); a legitimate all-nonpositive
+    # projection keeps its signature 0 (similarity.srp_signature round-4)
     return (
         "SELECT vec_id, (CASE WHEN embedding IS NULL OR len(embedding) != "
-        f"{_SRP_DIM} THEN 0 ELSE {sig} END)::BIGINT AS srp_sig FROM embeddings"
+        f"{_SRP_DIM} THEN NULL ELSE {sig} END)::BIGINT AS srp_sig FROM embeddings"
     )
 
 
@@ -1656,11 +1658,11 @@ def e04(spark, sf):
 
 @_q(
     "e05_srp_near_dup_pairs",
-    # sig0 is e04 verbatim; sig drops signature-0 rows (null/ragged
+    # sig0 is e04 verbatim; sig drops NULL-signature rows (null/ragged
     # embeddings carry no projection info -> no candidacy, mirroring the
     # MinHash null-lane rule pinned in lsh_candidate_pairs).
     "WITH sig0 AS (" + ORACLES_E04 + """),
-    sig AS (SELECT * FROM sig0 WHERE srp_sig <> 0)
+    sig AS (SELECT * FROM sig0 WHERE srp_sig IS NOT NULL)
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            bit_count(xor(a.srp_sig, b.srp_sig))::INT AS hamming
     FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (
@@ -1692,7 +1694,7 @@ def e05(spark, sf):
     # BINDS — this row proves the drop semantics match, not just that
     # the cap is inert at test scale).
     "WITH sig0 AS (" + ORACLES_E04 + """),
-    sig AS (SELECT * FROM sig0 WHERE srp_sig <> 0),
+    sig AS (SELECT * FROM sig0 WHERE srp_sig IS NOT NULL),
     b AS (
       SELECT vec_id, srp_sig, x.band,
              (srp_sig >> (x.band * 4)) & 15 AS val

@@ -137,7 +137,24 @@ _JDBC_DDL_TYPES = {
     "boolean": "BOOLEAN",
     "date": "DATE",
     "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
 }
+
+
+def _jdbc_ddl_type(dtype: str) -> str:
+    """DDL type for one Spark dtype — decimal(p,s) passes through
+    verbatim; complex types (array/map/struct) raise instead of silently
+    mistyping the column as VARCHAR (Spark's own JDBC writer rejects
+    them too)."""
+    if dtype in _JDBC_DDL_TYPES:
+        return _JDBC_DDL_TYPES[dtype]
+    if dtype.startswith("decimal"):
+        return dtype.upper()
+    raise ValueError(
+        f"jdbc sink cannot map Spark dtype {dtype!r} to a DDL type — "
+        "cast or serialize the column first (complex types are not "
+        "JDBC-writable)"
+    )
 
 
 def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> None:
@@ -164,6 +181,13 @@ def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> N
         conn.close()
 
 
+def _quote_ident(name: str) -> str:
+    """Quote a (possibly schema-qualified) table name part-by-part:
+    ``main.docs`` -> ``"main"."docs"`` — quoting the whole string as one
+    identifier would create a single table literally named 'main.docs'."""
+    return ".".join('"%s"' % p.replace('"', '""') for p in name.split("."))
+
+
 def _jdbc_precreate(df: DataFrame, table: str, url: str, driver: str) -> None:
     """DROP + CREATE the sink table from the frame's schema, through a
     raw driver connection, so Spark only ever APPENDs to an existing
@@ -173,14 +197,14 @@ def _jdbc_precreate(df: DataFrame, table: str, url: str, driver: str) -> None:
     DataFrameWriter mode against that driver (round-3 VERDICT #3);
     pre-creating makes the probe always find the table."""
     cols = ", ".join(
-        f'"{name}" {_JDBC_DDL_TYPES.get(dtype, "VARCHAR")}'
-        for name, dtype in df.dtypes
+        f'"{name}" {_jdbc_ddl_type(dtype)}' for name, dtype in df.dtypes
     )
+    q = _quote_ident(table)
     jdbc_execute(
         df,
         driver,
         url,
-        [f'DROP TABLE IF EXISTS "{table}"', f'CREATE TABLE "{table}" ({cols})'],
+        [f"DROP TABLE IF EXISTS {q}", f"CREATE TABLE {q} ({cols})"],
     )
 
 
@@ -245,7 +269,7 @@ def save_content(
             w = df.write.mode("append")
             for k, v in options.items():
                 w = w.option(k, v)
-            w.format("jdbc").option("dbtable", f'"{sink}"').save()
+            w.format("jdbc").option("dbtable", _quote_ident(sink)).save()
         else:
             writer(df).format("jdbc").option("dbtable", sink).save()
     else:

@@ -98,7 +98,12 @@ def load_corpus(
         fmt = "parquet"
     reader = spark.read
     if fmt == "iceberg":
-        df = reader.format("iceberg").load(path)
+        # caller options FIRST here too — snapshot-id / as-of-timestamp
+        # are exactly the options an iceberg read exists for
+        r = reader.format("iceberg")
+        for k, v in options.items():
+            r = r.option(k, v)
+        df = r.load(path)
         if with_lineage:
             df = df.withColumn("dc_source", F.input_file_name())
         return df

@@ -100,12 +100,30 @@ def test_jdbc_sink_round_trip(spark, tmp_path):
     from datacurator_jl_spark.sources.tables import load_jdbc
 
     url = _url(tmp_path, "rt.db")
-    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id int, s string")
+    df = spark.createDataFrame(
+        [(1, "alpha", b"\x00\x01"), (2, "beta", None)],
+        "id int, s string, payload binary",
+    )
     save_content(df, "docs", fmt="jdbc", url=url, driver=_driver_class())
-    back = load_jdbc(spark, url, '"docs"', driver=_driver_class())
-    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "alpha"), (2, "beta")]
+    # read the BLOB back as hex through a pushdown subquery: duckdb_jdbc
+    # 1.0.0 does not implement ResultSet.getBytes, so Spark cannot fetch
+    # raw BLOBs from this driver — the WRITE path (setBytes) works
+    back = load_jdbc(
+        spark,
+        url,
+        "(select id, s, hex(payload) AS payload_hex from docs) t",
+        driver=_driver_class(),
+    )
+    assert sorted((r.id, r.s, r.payload_hex) for r in back.collect()) == [
+        (1, "alpha", "0001"),
+        (2, "beta", None),
+    ]
     # overwrite semantics: a second save replaces, never appends blindly
     df2 = spark.createDataFrame([(3, "gamma")], "id int, s string")
     save_content(df2, "docs", fmt="jdbc", url=url, driver=_driver_class())
-    back2 = load_jdbc(spark, url, '"docs"', driver=_driver_class())
+    back2 = load_jdbc(spark, url, "docs", driver=_driver_class())
     assert sorted((r.id, r.s) for r in back2.collect()) == [(3, "gamma")]
+    # complex dtypes fail eagerly with guidance, not as a mistyped table
+    bad = spark.createDataFrame([(1, ["a"])], "id int, tags array<string>")
+    with pytest.raises(ValueError, match="cannot map"):
+        save_content(bad, "docs2", fmt="jdbc", url=url, driver=_driver_class())

@@ -307,7 +307,7 @@ def test_srp_signature_properties(spark):
     sigs = {r.vec_id: r.srp_sig for r in srp_signature(df, "embedding", 64).collect()}
     assert sigs[1] == sigs[2]  # tiny perturbation -> same bucket bits
     assert sigs[3] == sigs[1] ^ 0xFFFF  # antipodal -> all 16 bits flipped
-    assert sigs[4] == 0  # null embedding
+    assert sigs[4] is None  # null embedding -> NULL signature (round-4)
     pairs = {
         (r.id_a, r.id_b): r.hamming
         for r in srp_near_dup_pairs(df, "vec_id", "embedding", 64).collect()
@@ -319,26 +319,33 @@ def test_srp_signature_properties(spark):
 def test_srp_near_dup_skew_guards(spark, tmp_path):
     """One synthetic hot bucket (1k identical embeddings) must not
     reintroduce the O(bucket^2) self-join: max_bucket drops the
-    degenerate bucket wholesale, zero embeddings (signature 0) never gain
-    candidacy, and the directory materialize policy persists the bucket
-    frame as a parquet signature table."""
+    degenerate bucket wholesale, null/ragged embeddings (NULL signature)
+    never gain candidacy, and the directory materialize policy persists
+    the bucket frame as a parquet signature table."""
     from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
 
     hot = [(i, [1.0, 0.5] * 32) for i in range(1000)]
-    zeros = [(10_000 + i, [0.0] * 64) for i in range(50)]
+    invalid = [(10_000 + i, None) for i in range(25)]
+    invalid += [(10_500 + i, [0.5] * 8) for i in range(25)]  # ragged dim
     # [-0.3]*64 shares NO band value with the hot cluster (verified
     # against srp_planes(64,16,7)), so the pair survives the bucket cap
     pair = [(20_000, [-0.3] * 64), (20_001, [-0.3] * 64)]
     df = spark.createDataFrame(
-        hot + zeros + pair, "vec_id long, embedding array<float>"
+        hot + invalid + pair, "vec_id long, embedding array<float>"
     )
     capped = srp_near_dup_pairs(df, "vec_id", "embedding", 64, max_bucket=100)
     assert {(r.id_a, r.id_b) for r in capped.collect()} == {(20_000, 20_001)}
-    # zero embeddings never pair even with the cap off: signature-0 rule
+    # null/ragged embeddings never pair even with the cap off: NULL rule
     un = srp_near_dup_pairs(
         df.filter("vec_id >= 10000"), "vec_id", "embedding", 64, max_bucket=None
     )
     assert {(r.id_a, r.id_b) for r in un.collect()} == {(20_000, 20_001)}
+    # LEGITIMATE signature 0 (identical zero vectors) keeps candidacy
+    zeros = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    zp = srp_near_dup_pairs(zeros, "vec_id", "embedding", 64, max_bucket=None)
+    assert {(r.id_a, r.id_b) for r in zp.collect()} == {(1, 2)}
     # directory policy: persisted parquet signature table, same answer
     mat = srp_near_dup_pairs(
         df, "vec_id", "embedding", 64, max_bucket=100, materialize=str(tmp_path)
