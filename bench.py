@@ -82,6 +82,9 @@ HEADLINE = [
     "d38_normalized_dedup",
     "d39_url_dedup",
     "d40_contained_survivors",
+    # round-4 ops
+    "d41_nfc_normalize",
+    "e06_srp_capped_pairs",
 ]
 
 
