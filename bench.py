@@ -84,6 +84,7 @@ HEADLINE = [
     "d40_contained_survivors",
     # round-4 ops
     "d41_nfc_normalize",
+    "d42_dup_ngram_fraction",
     "e06_srp_capped_pairs",
 ]
 

@@ -102,6 +102,88 @@ def benchmark_ngrams(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    impl: str = "arrow",
+    materialize: str = "local",
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the cross-document
+    "dup fraction" signal of Lee et al., *Deduplicating Training Data
+    Makes Language Models Better* (2022): of a document's DISTINCT word
+    n-grams, the fraction that occurs in >= 2 distinct documents
+    corpus-wide. High values flag templated/syndicated/near-duplicate
+    content that doc-level dedup (whole-text or minhash) can miss when
+    only parts of the page repeat.
+
+    PINNED SEMANTICS (shared with :func:`decontaminate`):
+    - token/gram pins as the module docstring; grams are per-doc
+      DISTINCT; doc frequency of a gram = number of distinct documents
+      containing it.
+    - output per input row: ``n_grams`` (distinct grams), ``dup_grams``
+      (those with doc freq >= 2), ``dup_fraction`` = dup/total rounded
+      to 6dp; docs with fewer than n tokens (incl. null text) get
+      (0, 0, 0.0).
+
+    Scale shape: the (id, gram) frame is materialized ONCE (policy as
+    dedup's ``materialize=``), then ONE gram-frequency hash aggregate
+    (map-side combine collapses within-partition repeats) and ONE
+    shuffle equi-join back on the gram key (both sides partitioned by
+    gram — AQE skew-split applies; nothing needs to be broadcastable),
+    then one per-doc aggregate. A viral gram is one row after the
+    partial agg, not a hot reduce key.
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    clash = [c for c in ("n_grams", "dup_grams", "dup_fraction") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"dup_ngram_stats: output column(s) {clash} already exist in "
+            "the input — rename or drop them first"
+        )
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(df, id_col, "dup_ngram_stats")
+    if impl == "arrow":
+        grams = word_ngrams_arrow(F.col(text_col), n, distinct=True)
+    else:
+        grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    dg = _materialize(
+        df.select(F.col(id_col).alias("_dc_id"), F.explode(grams).alias("gram")),
+        materialize,
+    )
+    freq = dg.groupBy("gram").agg(F.count("*").alias("_dc_df"))
+    per_doc = (
+        dg.join(freq, "gram")
+        .groupBy("_dc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(F.when(F.col("_dc_df") >= 2, 1).otherwise(0))
+            .cast("int")
+            .alias("dup_grams"),
+        )
+    )
+    out = df.join(per_doc, df[id_col] == per_doc["_dc_id"], "left").drop("_dc_id")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("dup_grams"), F.lit(0)).alias("dup_grams"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("dup_grams").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,

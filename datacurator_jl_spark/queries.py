@@ -2414,6 +2414,47 @@ def d41(spark, sf):
     )
 
 
+@_q(
+    "d42_dup_ngram_fraction",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+                 i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        FROM w)
+    ),
+    f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    p AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+      FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0)::INT  AS n_grams,
+           coalesce(p.dup_grams, 0)::INT AS dup_grams,
+           round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                      THEN p.dup_grams::DOUBLE / p.n_grams
+                      ELSE 0.0 END, 6)  AS dup_fraction
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+)
+def d42(spark, sf):
+    """Duplicated-n-gram fraction (Lee et al. 2022 'dup fraction'): per
+    doc, the share of its distinct word-3-grams occurring in >= 2
+    distinct documents — the partial-duplication signal whole-doc dedup
+    misses. One gram-frequency aggregate + one gram-key equi-join, both
+    AQE-skewable; nothing broadcast-dependent
+    (operators/decontam.dup_ngram_stats scale notes)."""
+    from datacurator_jl_spark.operators.decontam import dup_ngram_stats
+
+    return dup_ngram_stats(_t(spark, sf, "documents"), "doc_id", "text", n=3).select(
+        "doc_id", "n_grams", "dup_grams", "dup_fraction"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2422,8 +2463,9 @@ def d41(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new this round (4): cap-binding SRP oracle + NFC normalization
-    "e06_srp_capped_pairs", "d41_nfc_normalize",
+    # new this round (4): cap-binding SRP oracle, NFC normalization,
+    # duplicated-n-gram fraction
+    "e06_srp_capped_pairs", "d41_nfc_normalize", "d42_dup_ngram_fraction",
     # never driver-checked (local-replica green only, rounds 2-3)
     "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
     "d21_repetition_stats", "d22_boilerplate_lines",

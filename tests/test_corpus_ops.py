@@ -359,3 +359,35 @@ def test_prepass_missing_column_raises(spark):
         )
         with pytest.raises(RecipeError, match="absent from the input"):
             Pipeline(spec).apply(df)
+
+
+def test_dup_ngram_stats_semantics(spark):
+    """Round-4 dup-fraction signal (Lee et al. 2022): per-doc distinct
+    grams; dup = gram in >= 2 DISTINCT docs (within-doc repetition alone
+    is not cross-doc duplication); short/null docs -> (0, 0, 0.0)."""
+    from datacurator_jl_spark.operators.decontam import dup_ngram_stats
+
+    rows = [
+        (1, "a b c d"),          # grams: 'a b','b c','c d'
+        (2, "a b c x"),          # shares 'a b','b c' with doc 1
+        (3, "q q q q"),          # within-doc repeat only: 'q q' x1 distinct
+        (4, "one"),              # < n tokens
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_grams, r.dup_grams, r.dup_fraction)
+        for r in dup_ngram_stats(df, "id", "text", n=2).collect()
+    }
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (3, 2, round(2 / 3, 6))
+    assert got[3] == (1, 0, 0.0)   # 'q q' only in doc 3 -> not duplicated
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    # guards: collision + duplicate ids
+    with pytest.raises(ValueError, match="already exist"):
+        dup_ngram_stats(df.withColumnRenamed("text", "dup_fraction"),
+                        "id", "dup_fraction", n=2)
+    dup = spark.createDataFrame([(1, "a b"), (1, "c d")], "id long, text string")
+    with pytest.raises(ValueError, match="not unique"):
+        dup_ngram_stats(dup, "id", "text", n=2)
