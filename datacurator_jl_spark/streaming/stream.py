@@ -279,3 +279,45 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_signature_table(
+    spark: SparkSession, sig_dir: str, out_dir: str, k: int = 8
+) -> int:
+    """Compact the incremental-dedup signature table into one base
+    partition — the maintenance op the standing-corpus design needs: the
+    streaming sink writes one ``_batch_id=N`` parquet partition per
+    epoch, so a long-lived ingest accrues thousands of small partitions
+    that every future LSH join must list and scan.
+
+    Protocol (the parquet twin of Iceberg's ``rewrite_data_files`` +
+    ``expire_snapshots``): read the whole table, project the canonical
+    signature columns, drop duplicate docs (a replayed epoch's overwrite
+    already keeps one copy per partition; across partitions signatures
+    are identical per doc, so dropDuplicates(doc) is deterministic), and
+    write a fresh table at ``out_dir`` under a single ``_batch_id=0``
+    base partition — bootstrap-compatible with
+    ``incremental_dedup_stream``, which treats any existing table as the
+    base corpus. The write REFUSES to overwrite (mode='error'): the
+    caller swaps the configured sig_dir to ``out_dir`` once the write
+    commits, keeping the old table until then (never compact in place —
+    a crash mid-rewrite must not lose the only copy of the dedup state).
+
+    Returns the number of compacted signature rows.
+    """
+    raw = spark.read.parquet(sig_dir)
+    cols = ["doc"] + [f"mh{i}" for i in range(k)]
+    missing = [c for c in cols if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"compact_signature_table: {sig_dir} lacks column(s) "
+            f"{missing} — not a k={k} signature table"
+        )
+    compacted = raw.select(*cols).dropDuplicates(["doc"])
+    (
+        compacted.withColumn("_batch_id", F.lit(0))
+        .write.mode("error")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir).count()

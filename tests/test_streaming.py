@@ -312,3 +312,59 @@ def test_incremental_dedup_stream_crash_resume(spark, tmp_path_factory):
     assert got == expect
     sigs = {r["doc"] for r in spark.read.parquet(sig_c).collect()}
     assert sigs == expect
+
+
+def test_compact_signature_table(spark, tmp_path_factory):
+    """Round-4 maintenance op: per-epoch _batch_id partitions compact
+    into one base partition; a restarted ingest pointed at the compacted
+    table dedups identically."""
+    from datacurator_jl_spark.streaming.stream import (
+        compact_signature_table,
+        incremental_dedup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("compact")
+    src = str(root / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(
+        # disjoint vocabularies: none may LSH-collide with another
+        [[("u1", "alpha beta gamma delta")],
+         [("u2", "epsilon zeta eta theta")],
+         [("u3", "iota kappa lambda mu")]]
+    ):
+        spark.createDataFrame(rows, "url string, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+    sig, out = str(root / "sig"), str(root / "out")
+    q = incremental_dedup_stream(
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        sig, out, str(root / "ckpt"),
+    )
+    q.awaitTermination(180)
+    # three epochs -> three physical partitions
+    parts = {p for p in os.listdir(sig) if p.startswith("_batch_id=")}
+    assert len(parts) == 3
+    sig2 = str(root / "sig_compacted")
+    n = compact_signature_table(spark, sig, sig2)
+    assert n == 3
+    assert {p for p in os.listdir(sig2) if p.startswith("_batch_id=")} == {
+        "_batch_id=0"
+    }
+    # refuses to clobber an existing target (never compact in place)
+    with pytest.raises(Exception):
+        compact_signature_table(spark, sig, sig2)
+    # new ingest against the compacted base: dups of compacted docs drop
+    src2 = str(root / "src2")
+    os.makedirs(src2)
+    spark.createDataFrame(
+        [("u4", "alpha beta gamma delta"), ("u5", "nu xi omicron pi rho")],
+        "url string, text string",
+    ).coalesce(1).write.parquet(os.path.join(src2, "b0"))
+    q = incremental_dedup_stream(
+        spark.readStream.schema("url string, text string").parquet(src2 + "/*"),
+        sig2, str(root / "out2"), str(root / "ckpt2"),
+    )
+    q.awaitTermination(180)
+    kept = {r["url"] for r in spark.read.parquet(str(root / "out2")).collect()}
+    assert kept == {"u5"}
