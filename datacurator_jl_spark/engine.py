@@ -483,6 +483,7 @@ class Pipeline:
                 validate_ids=not ids_validated,
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
+            ids_validated = True
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
         # duplicate bytes — the standard curation-pipeline stage order
@@ -523,6 +524,32 @@ class Pipeline:
                     df = df.localCheckpoint(eager=False)
                 else:
                     df = _materialize(df, spec.dedup_materialize)
+        # optional dup-fraction cap ([global] max_dup_ngram_fraction):
+        # AFTER dedup (whole-doc dups already removed — this catches the
+        # PARTIAL duplication they leave behind), BEFORE domain_cap (cap
+        # the cleaned corpus). Lee et al. 2022 dup-fraction signal.
+        if spec.max_dup_ngram_fraction is not None:
+            _need("max_dup_ngram_fraction", spec.name_col, spec.text_col)
+            from datacurator_jl_spark.operators.decontam import dup_ngram_stats
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "max_dup_ngram_fraction is batch-only (gram doc "
+                    "frequency is a global corpus aggregate)"
+                )
+            cols = df.columns
+            df = (
+                dup_ngram_stats(
+                    df, spec.name_col, spec.text_col, n=spec.dup_ngram_n,
+                    validate_ids=not ids_validated,
+                )
+                .filter(F.col("dup_fraction") <= spec.max_dup_ngram_fraction)
+                .select(*cols)
+            )
+            df = df.localCheckpoint(eager=False)
+            ids_validated = True
         # optional per-domain cap ([global] domain_cap = N): AFTER dedup
         # (cap the deduplicated corpus, not raw dup counts) — at most N
         # docs per domain by portable hash order

@@ -108,6 +108,13 @@ class RecipeSpec:
     # ``domain_cap_col`` value, chosen by portable hash order
     domain_cap: int | None = None
     domain_cap_col: str = "source"
+    # optional duplicated-n-gram-fraction cap AFTER dedup (Lee et al.
+    # 2022 dup-fraction signal, operators/decontam.dup_ngram_stats):
+    # drop docs whose share of distinct word n-grams occurring in >= 2
+    # distinct documents EXCEEDS the threshold — partial duplication
+    # whole-doc dedup misses
+    max_dup_ngram_fraction: float | None = None
+    dup_ngram_n: int = 3
 
     @property
     def rules(self) -> list[Rule]:
@@ -134,6 +141,8 @@ _GLOBAL_KEYS = {
     "paragraph_dedup",
     "domain_cap",
     "domain_cap_col",
+    "max_dup_ngram_fraction",
+    "dup_ngram_n",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -201,6 +210,22 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
             f"domain_cap_col must be a column-name string, got {dcc!r}"
         )
     spec.domain_cap_col = dcc
+    mdf = g.get("max_dup_ngram_fraction")
+    if mdf is not None:
+        if isinstance(mdf, bool) or not isinstance(mdf, (int, float)) or not (
+            0.0 <= float(mdf) <= 1.0
+        ):
+            raise RecipeError(
+                "max_dup_ngram_fraction must be a number in [0, 1] (docs "
+                f"with a higher duplicated-gram share drop), got {mdf!r}"
+            )
+        spec.max_dup_ngram_fraction = float(mdf)
+    dnn = g.get("dup_ngram_n", 3)
+    if isinstance(dnn, bool) or not isinstance(dnn, int) or dnn < 1:
+        raise RecipeError(
+            f"dup_ngram_n must be an integer >= 1, got {dnn!r}"
+        )
+    spec.dup_ngram_n = dnn
     rb = g.get("remove_boilerplate")
     if rb is not None:
         if isinstance(rb, bool) or not isinstance(rb, int) or rb < 2:

@@ -836,3 +836,60 @@ def test_nfc_normalize_transform(spark):
     out = {r.id: r.scrubbed_text for r in Pipeline(spec).apply(df).df.collect()}
     assert out[1] == "caf\xe9" and out[2] == "\xc5"
     assert len(out[1]) == 4 and len(out[2]) == 1
+
+
+def test_max_dup_ngram_fraction_prepass(spark):
+    """Round-4 [global] max_dup_ngram_fraction: docs whose duplicated
+    n-gram share exceeds the cap drop BEFORE the rule chain; validation
+    is eager and the pre-pass is batch-only."""
+    rows = [
+        ("u1", "alpha beta gamma delta"),      # shares all grams with u2
+        ("u2", "alpha beta gamma delta"),
+        ("u3", "wholly unique words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True,
+                       "max_dup_ngram_fraction": 0.5, "dup_ngram_n": 2},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    kept = {r.url for r in Pipeline(spec).apply(df).df.collect()}
+    assert kept == {"u3"}  # u1/u2: every gram duplicated -> fraction 1.0
+    # composition with dedup: whole-doc dups removed first, so the
+    # survivor u1 no longer has a cross-doc duplicate -> everything stays
+    spec2 = parse_recipe(
+        {
+            "global": {"act_on_success": True, "dedup": "exact",
+                       "max_dup_ngram_fraction": 0.5, "dup_ngram_n": 2},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    kept2 = {r.url for r in Pipeline(spec2).apply(df).df.collect()}
+    assert kept2 == {"u1", "u3"}
+    # eager validation
+    for bad in (1.5, -0.1, "x", True):
+        with pytest.raises(Exception, match="max_dup_ngram_fraction"):
+            parse_recipe(
+                {"global": {"max_dup_ngram_fraction": bad},
+                 "any": {"conditions": ["always"], "actions": ["keep"]}}
+            )
+    with pytest.raises(Exception, match="dup_ngram_n"):
+        parse_recipe(
+            {"global": {"max_dup_ngram_fraction": 0.5, "dup_ngram_n": 0},
+             "any": {"conditions": ["always"], "actions": ["keep"]}}
+        )
+    # batch-only
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(td + "/docs")
+        from datacurator_jl_spark.recipe import RecipeError
+
+        with pytest.raises(RecipeError, match="batch-only"):
+            Pipeline(spec).apply(
+                spark.readStream.schema("url string, text string").parquet(
+                    td + "/docs"
+                )
+            )
