@@ -25,16 +25,26 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="datacurator-spark", description=__doc__)
-    ap.add_argument("--recipe", "-r", required=True, help="TOML recipe file")
+    ap.add_argument("--recipe", "-r", help="TOML recipe file")
     ap.add_argument("--input", "-i", help="input parquet path (overrides recipe inputdirectory)")
     ap.add_argument("--output", "-o", help="output directory (overrides recipe outputdirectory)")
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "csv", "json", "text"],
+        choices=["parquet", "csv", "json", "text", "iceberg"],
         help="input format (default: inferred from the path extension; "
         "csv/json small corpora are schema-inferred — pin a schema via "
-        "a parquet convert for anything big)",
+        "a parquet convert for anything big; iceberg falls back to "
+        "parquet with a warning when no runtime jar is present)",
+    )
+    ap.add_argument(
+        "--compact-signatures",
+        nargs=2,
+        metavar=("SIG_DIR", "OUT_DIR"),
+        help="maintenance mode (no recipe needed): rewrite the "
+        "incremental-dedup signature table's per-epoch _batch_id "
+        "partitions into one base partition at OUT_DIR (copy-then-swap; "
+        "refuses to overwrite), then exit",
     )
     ap.add_argument(
         "--report",
@@ -52,6 +62,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.compact_signatures:
+        from datacurator_jl_spark.session import get_spark
+        from datacurator_jl_spark.streaming.stream import (
+            compact_signature_table,
+        )
+
+        sig_dir, out_dir = args.compact_signatures
+        spark = get_spark("datacurator-compact", cores=args.cores)
+        try:
+            n = compact_signature_table(spark, sig_dir, out_dir)
+        except Exception as e:
+            print(f"compact error: {e}", file=sys.stderr)
+            return 1
+        finally:
+            spark.stop()
+        print(f"compacted {n} signatures into {out_dir}")
+        return 0
+
+    if not args.recipe:
+        print("need --recipe (or --compact-signatures)", file=sys.stderr)
+        return 1
 
     from datacurator_jl_spark.recipe import RecipeError, load_recipe
 
