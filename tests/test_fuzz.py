@@ -170,3 +170,33 @@ def test_fuzz_global_prepass_keys_never_crash_unexpectedly(key, val):
     assert isinstance(spec.paragraph_dedup, bool)
     assert spec.dedup in (None, "exact", "near")
 
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.text(max_size=120),  # full unicode incl. combining marks
+            st.none(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_nfc_normalize_matches_python(spark, texts):
+    """Round-4 invariant: the Arrow NFC stage is value-identical to
+    CPython's unicodedata.normalize for arbitrary unicode, incl. nulls,
+    surrogate-free astral chars, and decomposed sequences."""
+    import unicodedata
+
+    from datacurator_jl_spark.functions.transforms import nfc_normalize
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", nfc_normalize(F.col("text")).alias("n")).collect()
+    }
+    for i, t in rows:
+        exp = unicodedata.normalize("NFC", t) if isinstance(t, str) else None
+        assert got[i] == exp, (i, repr(t))
