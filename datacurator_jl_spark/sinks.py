@@ -399,3 +399,33 @@ def _write_outputs_inner(result, output_dir, input_path, p, paths):
         shutil.rmtree(old)
         paths["source"] = src
     return paths
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED (hash-partitioned-on-disk) managed table —
+    the co-located-join tool for keys that are joined repeatedly at
+    scale: two tables bucketed on the same column with the same bucket
+    count join WITHOUT a shuffle exchange (each task reads matching
+    buckets from both sides), and aggregations on the bucket column skip
+    their exchange too. The right home for a standing signature table
+    (bucket by ``doc``) or a doc-keyed feature store joined every
+    ingest: the shuffle is paid ONCE at write, not per job.
+
+    ``sort_col`` additionally sorts within buckets (sort-merge join then
+    skips its per-task sort). Bucketing requires ``saveAsTable`` (bucket
+    metadata lives in the catalog — Hive metastore or the local
+    spark-warehouse; with Iceberg, the analogue is a bucket partition
+    transform)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

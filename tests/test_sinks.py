@@ -161,3 +161,32 @@ def test_iceberg_seam_falls_back_to_parquet(spark, tmp_path):
         back = load_corpus(spark, p, fmt="iceberg", with_lineage=False)
     assert any("falling back to a parquet read" in str(w.message) for w in got)
     assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """write_bucketed_table: co-bucketed tables equi-join on the bucket
+    key with NO shuffle exchange on either side — the pay-the-shuffle-
+    once posture for repeatedly-joined keys (signature/feature tables)."""
+    from datacurator_jl_spark.sinks import write_bucketed_table
+
+    a = spark.range(0, 10_000).selectExpr("id AS doc", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS doc", "id * 3 AS vb")
+    write_bucketed_table(a, "bkt_a", "doc", n_buckets=8, sort_col="doc")
+    write_bucketed_table(b, "bkt_b", "doc", n_buckets=8, sort_col="doc")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "doc")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10_000
+            # a non-bucketed twin of the same join DOES exchange
+            plain = a.join(b, "doc")
+            pplan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in pplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
