@@ -543,12 +543,21 @@ class Pipeline:
             df = (
                 dup_ngram_stats(
                     df, spec.name_col, spec.text_col, n=spec.dup_ngram_n,
+                    materialize=spec.dedup_materialize,
                     validate_ids=not ids_validated,
                 )
                 .filter(F.col("dup_fraction") <= spec.max_dup_ngram_fraction)
                 .select(*cols)
             )
-            df = df.localCheckpoint(eager=False)
+            # survivor durability mirrors the dedup pass: wrapping a
+            # 'reliable'/path run in localCheckpoint would reintroduce
+            # the executor-loss failure mode the policy exists to prevent
+            if spec.dedup_materialize == "local":
+                df = df.localCheckpoint(eager=False)
+            else:
+                from datacurator_jl_spark.operators.dedup import _materialize
+
+                df = _materialize(df, spec.dedup_materialize)
             ids_validated = True
         # optional per-domain cap ([global] domain_cap = N): AFTER dedup
         # (cap the deduplicated corpus, not raw dup counts) — at most N

@@ -2463,7 +2463,7 @@ def d42(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new this round (4): cap-binding SRP oracle, NFC normalization,
+    # new in round 4: cap-binding SRP oracle, NFC normalization,
     # duplicated-n-gram fraction
     "e06_srp_capped_pairs", "d41_nfc_normalize", "d42_dup_ngram_fraction",
     # never driver-checked (local-replica green only, rounds 2-3)

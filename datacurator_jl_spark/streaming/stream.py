@@ -282,7 +282,7 @@ def incremental_dedup_stream(
 
 
 def compact_signature_table(
-    spark: SparkSession, sig_dir: str, out_dir: str, k: int = 8
+    spark: SparkSession, sig_dir: str, out_dir: str
 ) -> int:
     """Compact the incremental-dedup signature table into one base
     partition — the maintenance op the standing-corpus design needs: the
@@ -291,31 +291,55 @@ def compact_signature_table(
     that every future LSH join must list and scan.
 
     Protocol (the parquet twin of Iceberg's ``rewrite_data_files`` +
-    ``expire_snapshots``): read the whole table, project the canonical
-    signature columns, drop duplicate docs (a replayed epoch's overwrite
-    already keeps one copy per partition; across partitions signatures
-    are identical per doc, so dropDuplicates(doc) is deterministic), and
-    write a fresh table at ``out_dir`` under a single ``_batch_id=0``
-    base partition — bootstrap-compatible with
-    ``incremental_dedup_stream``, which treats any existing table as the
-    base corpus. The write REFUSES to overwrite (mode='error'): the
-    caller swaps the configured sig_dir to ``out_dir`` once the write
-    commits, keeping the old table until then (never compact in place —
-    a crash mid-rewrite must not lose the only copy of the dedup state).
+    ``expire_snapshots``): read the whole table, auto-detect its
+    ``mh0..mh{k-1}`` lanes (ALL lanes are carried — compacting a k=16
+    table must never silently truncate it to a weaker signature), keep
+    ONE row per doc — the LATEST admission wins (max ``_batch_id``; a
+    re-ingested id whose text changed enough to survive dedup has a
+    different signature, and the current corpus state is the newer one;
+    this max-struct aggregate is deterministic AND map-side combinable) —
+    and write a fresh table at ``out_dir`` under a single
+    ``_batch_id=-1`` base partition. ``-1`` is unreachable by any
+    stream epoch (batch ids start at 0), so a restarted ingest's dynamic
+    partition overwrite can NEVER clobber the compacted base — writing
+    it at 0 would let a fresh checkpoint's first epoch silently destroy
+    the whole dedup state. The write REFUSES to overwrite
+    (mode='error'): the caller swaps the configured sig_dir to
+    ``out_dir`` once the write commits, keeping the old table until then
+    (never compact in place — a crash mid-rewrite must not lose the only
+    copy of the dedup state).
 
     Returns the number of compacted signature rows.
     """
+    import re
+
     raw = spark.read.parquet(sig_dir)
-    cols = ["doc"] + [f"mh{i}" for i in range(k)]
-    missing = [c for c in cols if c not in raw.columns]
-    if missing:
+    mh_cols = sorted(
+        (c for c in raw.columns if re.fullmatch(r"mh\d+", c)),
+        key=lambda c: int(c[2:]),
+    )
+    if "doc" not in raw.columns or not mh_cols:
         raise ValueError(
-            f"compact_signature_table: {sig_dir} lacks column(s) "
-            f"{missing} — not a k={k} signature table"
+            f"compact_signature_table: {sig_dir} has no doc/mh* columns "
+            "— not a signature table"
         )
-    compacted = raw.select(*cols).dropDuplicates(["doc"])
+    if [int(c[2:]) for c in mh_cols] != list(range(len(mh_cols))):
+        raise ValueError(
+            f"compact_signature_table: non-contiguous signature lanes "
+            f"{mh_cols} in {sig_dir}"
+        )
+    bid = (
+        F.col("_batch_id").cast("long")
+        if "_batch_id" in raw.columns
+        else F.lit(0).cast("long")
+    )
+    compacted = (
+        raw.groupBy("doc")
+        .agg(F.max(F.struct(bid.alias("_b"), *[F.col(c) for c in mh_cols])).alias("_w"))
+        .select("doc", *[F.col(f"_w.{c}").alias(c) for c in mh_cols])
+    )
     (
-        compacted.withColumn("_batch_id", F.lit(0))
+        compacted.withColumn("_batch_id", F.lit(-1))
         .write.mode("error")
         .partitionBy("_batch_id")
         .parquet(out_dir)

@@ -348,8 +348,10 @@ def test_compact_signature_table(spark, tmp_path_factory):
     sig2 = str(root / "sig_compacted")
     n = compact_signature_table(spark, sig, sig2)
     assert n == 3
+    # the base partition id (-1) is unreachable by any stream epoch, so
+    # a restarted ingest's dynamic overwrite can never clobber the base
     assert {p for p in os.listdir(sig2) if p.startswith("_batch_id=")} == {
-        "_batch_id=0"
+        "_batch_id=-1"
     }
     # refuses to clobber an existing target (never compact in place)
     with pytest.raises(Exception):
@@ -368,3 +370,36 @@ def test_compact_signature_table(spark, tmp_path_factory):
     q.awaitTermination(180)
     kept = {r["url"] for r in spark.read.parquet(str(root / "out2")).collect()}
     assert kept == {"u5"}
+    # the compacted base SURVIVED the fresh stream's epoch 0 (the
+    # round-4 review's state-loss scenario: a base written at
+    # _batch_id=0 would have been dynamically overwritten here)
+    sigs_after = {r["doc"] for r in spark.read.parquet(sig2).collect()}
+    assert sigs_after == {"u1", "u2", "u3", "u5"}
+
+
+def test_compact_signature_table_k_and_latest_wins(spark, tmp_path):
+    """Compaction carries ALL mh lanes (k=16 is never truncated to 8)
+    and resolves a re-ingested doc id to its LATEST admission's
+    signature (max _batch_id), deterministically."""
+    from datacurator_jl_spark.streaming.stream import compact_signature_table
+
+    k = 16
+    cols = "doc string, " + ", ".join(f"mh{i} long" for i in range(k))
+    old_row = tuple(["d1"] + [100 + i for i in range(k)])
+    new_row = tuple(["d1"] + [200 + i for i in range(k)])
+    other = tuple(["d2"] + [300 + i for i in range(k)])
+    sig = str(tmp_path / "sig")
+    for bid, rows in ((0, [old_row, other]), (1, [new_row])):
+        spark.createDataFrame(rows, cols).withColumn(
+            "_batch_id", F.lit(bid)
+        ).write.mode("append").partitionBy("_batch_id").parquet(sig)
+    out = str(tmp_path / "out")
+    assert compact_signature_table(spark, sig, out) == 2
+    got = {r["doc"]: r["mh15"] for r in spark.read.parquet(out).collect()}
+    assert got == {"d1": 200 + 15, "d2": 300 + 15}  # latest wins, lane 15 kept
+    # a gap in the lanes is a corrupt table, not a silent truncation
+    bad = spark.createDataFrame([("d", 1, 2)], "doc string, mh0 long, mh2 long")
+    badp = str(tmp_path / "bad")
+    bad.write.parquet(badp)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        compact_signature_table(spark, badp, str(tmp_path / "bad_out"))
