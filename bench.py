@@ -85,6 +85,7 @@ HEADLINE = [
     # round-4 ops
     "d41_nfc_normalize",
     "d42_dup_ngram_fraction",
+    "d43_span_dedup",
     "e06_srp_capped_pairs",
 ]
 

@@ -1,0 +1,150 @@
+"""Duplicated-span removal (ExactSubstr-style, fixed token window).
+
+Lee et al. 2022 (*Deduplicating Training Data Makes Language Models
+Better*) removes every substring of >= 50 tokens that occurs more than
+once in the corpus, using a suffix array — an inherently single-machine
+index. This operator is the distributed fixed-window approximation the
+paper's public implementations fall back to at cluster scale: every
+token covered by ANY duplicated n-token window is removed. With window n
+it removes exactly the duplicated substrings of length >= n (a repeated
+span of m >= n tokens is covered by its m - n + 1 duplicated windows),
+at the cost of fuzzier boundaries than the suffix-array method (up to
+n - 1 extra tokens at each end of a repeat can be kept or cut depending
+on neighboring windows — the standard trade; production uses n ~ 50).
+
+PINNED SEMANTICS:
+- token = ``[^ \\t\\n\\x0b\\f\\r]+`` match over the RAW text (the
+  repo-wide explicit whitespace class — never ``\\S``, whose RE2
+  meaning differs); window KEY = the n tokens of ``lower(text)`` joined
+  by one space (the same lowercased-gram pin as decontaminate/d42 —
+  lowercasing never changes token boundaries, so raw tokens and key
+  windows align by index).
+- a window is duplicated iff its key occurs >= 2 times corpus-wide,
+  counting every occurrence (within-doc repeats count — a doc that
+  repeats its own span is self-duplication, per the paper).
+- removed token indices = union of [s, s+n) over every duplicated
+  window start s; output text = surviving RAW tokens joined by a single
+  space, in order (the output is token-normalized — runs of whitespace
+  in the input collapse; pinned and documented, as reassembling exact
+  inter-token whitespace would require carrying it per token).
+- null text -> null output; token-less text (empty/whitespace-only) ->
+  empty string; a doc whose EVERY token was removed -> null output
+  (distinguishable from the empty string, same pin as
+  remove_boilerplate_lines); ``count_col`` = removed token count (null
+  for null text).
+
+Scale shape: one Arrow pass builds the window keys (positions are the
+array indices — no per-window struct), one window-frequency hash
+aggregate (map-side combine collapses a viral window to one row per
+partition before the exchange), one shuffle equi-join of window
+occurrences against the duplicated-key set (AQE skew-split applies;
+nothing must be broadcastable), a bounded explode of covered indices
+(<= n rows per duplicated occurrence), and the boilerplate-style
+anti-join + groupBy(id) reassembly. Per-doc state is bounded by doc
+length; a window duplicated 10^9 times contributes rows linear in its
+occurrence count, never a pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacurator_jl_spark.operators.decontam import word_ngrams_arrow
+
+# the repo-wide explicit whitespace complement (CLAUDE.md: never \S)
+_TOKEN_CLASS = "[^ \\t\\n\\x0b\\f\\r]+"
+
+_ID, _IDX, _TOK = "_sd_id", "_sd_idx", "_sd_tok"
+
+
+def duplicated_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 20
+) -> DataFrame:
+    """The duplicated-window set: (window, n_occurrences) for every
+    n-token key occurring >= 2 times corpus-wide."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    occ = df.select(
+        F.col(id_col).alias(_ID),
+        F.explode(word_ngrams_arrow(F.col(text_col), n)).alias("window"),
+    )
+    return (
+        occ.groupBy("window")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    out_col: str | None = None,
+    count_col: str = "n_removed",
+    validate_ids: bool = True,
+) -> DataFrame:
+    """All original columns, plus ``out_col`` (default: text_col replaced
+    in place) with every token covered by a duplicated n-token window
+    removed, and ``count_col`` = number of removed tokens.
+
+    ``id_col`` must be unique (groupBy reassembly — same guard as
+    dedup_paragraphs/remove_boilerplate_lines)."""
+    out_col = out_col or text_col
+    if count_col in df.columns and count_col != out_col:
+        raise ValueError(
+            f"remove_duplicated_spans: count column {count_col!r} already "
+            "exists in the input — pass count_col= to rename"
+        )
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(df, id_col, "remove_duplicated_spans")
+
+    # (id, start, window-key) occurrences; start = array index of the
+    # gram (word_ngrams_arrow preserves order when distinct=False)
+    occ = df.select(
+        F.col(id_col).alias(_ID),
+        F.posexplode(word_ngrams_arrow(F.col(text_col), n)).alias("s", "window"),
+    )
+    dup = duplicated_windows(df, id_col, text_col, n).select("window")
+    covered = (
+        occ.join(dup, "window")
+        .select(_ID, F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias(_IDX))
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias(_ID),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_CLASS), 0)
+        ).alias(_IDX, _TOK),
+    )
+    kept = toks.join(covered, [_ID, _IDX], "left_anti")
+    reassembled = kept.groupBy(_ID).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(_IDX, _TOK))),
+                lambda s: s.getField(_TOK),
+            ),
+            " ",
+        ).alias("_sd_clean"),
+        F.count(F.lit(1)).alias("_sd_nkept"),
+    )
+    n_toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_CLASS), 0))
+    out = df.join(reassembled, df[id_col] == reassembled[_ID], "left").drop(_ID)
+    clean = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(n_toks == 0, F.lit(""))  # token-less input -> empty, not null
+        .otherwise(F.col("_sd_clean"))  # null when every token removed
+    )
+    return out.select(
+        *[c for c in df.columns if c != out_col],
+        clean.alias(out_col),
+        F.when(
+            F.col(text_col).isNotNull(),
+            (n_toks - F.coalesce(F.col("_sd_nkept"), F.lit(0))).cast("int"),
+        ).alias(count_col),
+    )

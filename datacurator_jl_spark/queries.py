@@ -2455,6 +2455,56 @@ def d42(spark, sf):
     )
 
 
+@_q(
+    "d43_span_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS rt,
+             regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+') AS lt
+      FROM documents),
+    o AS (
+      SELECT doc_id, i - 1 AS s, array_to_string(lt[i:i+2], ' ') AS win
+      FROM t, unnest(range(1, len(lt) - 1)) AS u(i)),
+    c AS (SELECT win FROM o GROUP BY win HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT d.doc_id, d.s + x.x AS idx
+      FROM (SELECT o.* FROM o JOIN c USING (win)) d,
+           unnest(range(0, 3)) AS x(x)),
+    tok AS (
+      SELECT doc_id, i - 1 AS idx, rt[i] AS tok
+      FROM t, unnest(range(1, len(rt) + 1)) AS u(i)),
+    kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, idx)),
+    re AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean,
+             count(*) AS nkept
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN len(t.rt) = 0 THEN ''
+                ELSE re.clean END AS clean_text,
+           (CASE WHEN d.text IS NULL THEN NULL
+                 ELSE len(t.rt) - coalesce(re.nkept, 0) END)::INT AS n_removed
+    FROM documents d JOIN t USING (doc_id) LEFT JOIN re USING (doc_id)
+    """,
+)
+def d43(spark, sf):
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    fixed-window approximation): every token covered by a 3-token window
+    occurring >= 2 times corpus-wide (within-doc repeats count) is
+    removed; output is token-normalized. One window-frequency aggregate
+    + one occurrence join + boilerplate-style reassembly — linear in
+    occurrences, never a pair join (operators/span_dedup.py scale
+    notes; production window n ~ 50)."""
+    from datacurator_jl_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, out_col="clean_text"
+    ).select("doc_id", "clean_text", "n_removed")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2466,6 +2516,7 @@ _DRIVER_PRIORITY = [
     # new in round 4: cap-binding SRP oracle, NFC normalization,
     # duplicated-n-gram fraction
     "e06_srp_capped_pairs", "d41_nfc_normalize", "d42_dup_ngram_fraction",
+    "d43_span_dedup",
     # never driver-checked (local-replica green only, rounds 2-3)
     "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
     "d21_repetition_stats", "d22_boilerplate_lines",

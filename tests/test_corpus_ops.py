@@ -391,3 +391,47 @@ def test_dup_ngram_stats_semantics(spark):
     dup = spark.createDataFrame([(1, "a b"), (1, "c d")], "id long, text string")
     with pytest.raises(ValueError, match="not unique"):
         dup_ngram_stats(dup, "id", "text", n=2)
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """ExactSubstr-style fixed-window span removal (round-4, Lee et al.
+    2022): every token covered by a duplicated n-token window goes;
+    within-doc repeats count; case-insensitive keys over case-preserved
+    tokens; null/empty/all-removed pins match remove_boilerplate_lines."""
+    from datacurator_jl_spark.operators.span_dedup import (
+        duplicated_windows,
+        remove_duplicated_spans,
+    )
+
+    rows = [
+        (1, "AA bb cc dd"),
+        (2, "xx aa BB cc yy"),     # shares lowercased window 'aa bb cc'
+        (3, "qq qq qq qq qq"),     # self-duplicated -> fully removed
+        (4, ""),
+        (5, None),
+        (6, "solo"),               # < n tokens: no windows, untouched
+        (7, "  spaced   out  "),   # token-normalized output
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    dups = {
+        r.window: r.n_occurrences
+        for r in duplicated_windows(df, "id", "text", n=3).collect()
+    }
+    assert dups == {"aa bb cc": 2, "qq qq qq": 3}
+    got = {
+        r.id: (r.clean, r.n_removed)
+        for r in remove_duplicated_spans(
+            df, "id", "text", n=3, out_col="clean"
+        ).collect()
+    }
+    assert got[1] == ("dd", 3)
+    assert got[2] == ("xx yy", 3)
+    assert got[3] == (None, 5)      # every token removed -> null, not ''
+    assert got[4] == ("", 0)
+    assert got[5] == (None, None)
+    assert got[6] == ("solo", 0)
+    assert got[7] == ("spaced out", 0)
+    # duplicate ids raise (reassembly guard)
+    dup = spark.createDataFrame([(1, "a b c"), (1, "d e f")], "id long, text string")
+    with pytest.raises(ValueError, match="not unique"):
+        remove_duplicated_spans(dup, "id", "text", n=2)
