@@ -484,6 +484,31 @@ class Pipeline:
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
             ids_validated = True
+        # optional ExactSubstr-style span removal ([global]
+        # remove_duplicated_spans = N): after paragraph dedup (exact
+        # paragraph repeats are cheaper to kill whole), before doc-level
+        # dedup (span-stripped texts may collapse into exact dupes)
+        if spec.remove_duplicated_spans:
+            _need("remove_duplicated_spans", spec.name_col, spec.text_col)
+            from datacurator_jl_spark.operators.span_dedup import (
+                remove_duplicated_spans,
+            )
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "remove_duplicated_spans is batch-only (window "
+                    "frequency is a global corpus aggregate)"
+                )
+            cols = df.columns
+            df = remove_duplicated_spans(
+                df, spec.name_col, spec.text_col,
+                n=spec.remove_duplicated_spans,
+                validate_ids=not ids_validated,
+            ).select(*cols)
+            df = df.localCheckpoint(eager=False)
+            ids_validated = True
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for
         # duplicate bytes — the standard curation-pipeline stage order

@@ -104,6 +104,12 @@ class RecipeSpec:
     # removed corpus-wide (globally first occurrence survives), AFTER
     # boilerplate removal and BEFORE doc-level dedup
     paragraph_dedup: bool = False
+    # optional ExactSubstr-style span removal (Lee et al. 2022, fixed
+    # window): tokens covered by any duplicated N-token window removed,
+    # AFTER paragraph dedup and BEFORE doc-level dedup (span-stripped
+    # texts may collapse into exact dupes). Value = window size N
+    # (production ~ 50; the output is token-normalized).
+    remove_duplicated_spans: int | None = None
     # optional per-domain cap AFTER dedup: at most N docs per
     # ``domain_cap_col`` value, chosen by portable hash order
     domain_cap: int | None = None
@@ -139,6 +145,7 @@ _GLOBAL_KEYS = {
     "remove_boilerplate",
     "blocklist",
     "paragraph_dedup",
+    "remove_duplicated_spans",
     "domain_cap",
     "domain_cap_col",
     "max_dup_ngram_fraction",
@@ -226,6 +233,14 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
             f"dup_ngram_n must be an integer >= 1, got {dnn!r}"
         )
     spec.dup_ngram_n = dnn
+    rds = g.get("remove_duplicated_spans")
+    if rds is not None:
+        if isinstance(rds, bool) or not isinstance(rds, int) or rds < 2:
+            raise RecipeError(
+                "remove_duplicated_spans must be an integer window size "
+                f">= 2 (tokens; production ~ 50), got {rds!r}"
+            )
+        spec.remove_duplicated_spans = rds
     rb = g.get("remove_boilerplate")
     if rb is not None:
         if isinstance(rb, bool) or not isinstance(rb, int) or rb < 2:

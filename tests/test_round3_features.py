@@ -893,3 +893,30 @@ def test_max_dup_ngram_fraction_prepass(spark):
                     td + "/docs"
                 )
             )
+
+
+def test_remove_duplicated_spans_prepass(spark):
+    """Round-4 [global] remove_duplicated_spans = N: duplicated windows
+    stripped before the rule chain; validation eager; batch-only."""
+    rows = [
+        ("u1", "INTRO alpha beta gamma delta TAIL"),
+        ("u2", "other alpha beta gamma delta words"),
+        ("u3", "wholly unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "remove_duplicated_spans": 4},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    out = {r.url: r.scrubbed_text for r in Pipeline(spec).apply(df).df.collect()}
+    assert out["u1"] == "INTRO TAIL"
+    assert out["u2"] == "other words"
+    assert out["u3"] == "wholly unrelated content here"
+    for bad in (1, 0, True, "x"):
+        with pytest.raises(Exception, match="remove_duplicated_spans"):
+            parse_recipe(
+                {"global": {"remove_duplicated_spans": bad},
+                 "any": {"conditions": ["always"], "actions": ["keep"]}}
+            )
