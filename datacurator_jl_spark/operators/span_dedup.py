@@ -105,12 +105,20 @@ def remove_duplicated_spans(
         validate_unique_ids(df, id_col, "remove_duplicated_spans")
 
     # (id, start, window-key) occurrences; start = array index of the
-    # gram (word_ngrams_arrow preserves order when distinct=False)
+    # gram (word_ngrams_arrow preserves order when distinct=False).
+    # Materialized ONCE: both the frequency aggregate and the coverage
+    # join read it — without this the Arrow gram UDF would run over the
+    # whole corpus twice.
     occ = df.select(
         F.col(id_col).alias(_ID),
         F.posexplode(word_ngrams_arrow(F.col(text_col), n)).alias("s", "window"),
+    ).localCheckpoint(eager=True)
+    dup = (
+        occ.groupBy("window")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("window")
     )
-    dup = duplicated_windows(df, id_col, text_col, n).select("window")
     covered = (
         occ.join(dup, "window")
         .select(_ID, F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias(_IDX))
