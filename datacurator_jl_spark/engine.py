@@ -452,9 +452,13 @@ class Pipeline:
                     "is a global corpus aggregate)"
                 )
             cols = df.columns
+            # internal count_col: the count is dropped by select(*cols),
+            # so a corpus that already has an n_removed column must not
+            # trip the operator's collision guard
             df = remove_boilerplate_lines(
                 df, spec.name_col, spec.text_col,
                 min_docs=spec.remove_boilerplate,
+                count_col="_dc_nremoved",
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
             ids_validated = True  # probe ran; rows/ids preserved below
@@ -480,6 +484,7 @@ class Pipeline:
             # the SAME id column (it preserves rows/ids)
             df = dedup_paragraphs(
                 df, spec.name_col, spec.text_col,
+                count_col="_dc_nremoved",
                 validate_ids=not ids_validated,
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
@@ -505,9 +510,17 @@ class Pipeline:
             df = remove_duplicated_spans(
                 df, spec.name_col, spec.text_col,
                 n=spec.remove_duplicated_spans,
+                count_col="_dc_nremoved",
+                materialize=spec.dedup_materialize,
                 validate_ids=not ids_validated,
             ).select(*cols)
-            df = df.localCheckpoint(eager=False)
+            # survivor durability mirrors the dedup pass (see below)
+            if spec.dedup_materialize == "local":
+                df = df.localCheckpoint(eager=False)
+            else:
+                from datacurator_jl_spark.operators.dedup import _materialize
+
+                df = _materialize(df, spec.dedup_materialize)
             ids_validated = True
         # optional dedup pre-pass ([global] dedup = "exact"|"near"): run
         # BEFORE the rule chain so quality heuristics never pay for

@@ -77,6 +77,16 @@ def remove_boilerplate_lines(
     tell). ``validate_ids`` (default on) spends one cheap id-only probe
     to raise instead — the same guard as dedup_paragraphs."""
     out_col = out_col or text_col
+    if count_col == out_col:
+        raise ValueError(
+            "remove_boilerplate_lines: count_col and out_col must differ "
+            f"(both {count_col!r})"
+        )
+    if count_col in df.columns:
+        raise ValueError(
+            f"remove_boilerplate_lines: count column {count_col!r} "
+            "already exists in the input — pass count_col= to rename"
+        )
     if validate_ids:
         from datacurator_jl_spark.operators.dataframe_ops import (
             validate_unique_ids,

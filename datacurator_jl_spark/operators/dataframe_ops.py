@@ -36,23 +36,31 @@ AGG_FNS = {
 
 
 def validate_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
-    """Raise when ``id_col`` is not unique — shared guard for every
-    operator whose groupBy-reassembly or left-join would silently merge
-    or multiply rows under duplicate ids (dedup_paragraphs,
-    remove_boilerplate_lines, decontaminate). One cheap id-only
-    aggregate with an early-out LIMIT 1."""
-    dup = (
+    """Raise when ``id_col`` is not unique OR contains NULLs — shared
+    guard for every operator whose groupBy-reassembly or left-join keys
+    on the id (dedup_paragraphs, remove_boilerplate_lines,
+    remove_duplicated_spans, decontaminate, dup_ngram_stats). Duplicate
+    ids silently merge/multiply rows; a NULL id never matches the
+    reassembly join, so that row's text would come back NULL — silent
+    data destruction either way. One cheap id-only aggregate with an
+    early-out LIMIT 1."""
+    bad = (
         df.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
+        .filter((F.col("_n") > 1) | F.col(id_col).isNull())
         .limit(1)
         .collect()
     )
-    if dup:
+    if bad:
+        what = (
+            "contains NULL ids"
+            if bad[0][0] is None
+            else f"is not unique (e.g. {bad[0][0]!r})"
+        )
         raise ValueError(
-            f"{op}: id_col {id_col!r} is not unique (e.g. {dup[0][0]!r}) "
-            "— dedupe ids first, or pass validate_ids=False only when "
-            "uniqueness is guaranteed upstream"
+            f"{op}: id_col {id_col!r} {what} — fix the ids first, or "
+            "pass validate_ids=False only when uniqueness and "
+            "non-nullness are guaranteed upstream"
         )
 
 

@@ -95,14 +95,25 @@ def dedup_paragraphs(
     in place) with duplicate paragraph occurrences removed — the globally
     first occurrence survives — and ``count_col`` = removed count.
 
-    ``id_col`` must be unique: reassembly groups by it, so duplicate ids
-    would silently merge distinct rows' paragraphs into one interleaved
-    franken-text attached to every copy. ``validate_ids`` (default on)
-    spends one cheap id-only aggregate to raise instead — disable only
-    when uniqueness is guaranteed upstream (e.g. right after a key-dedup
-    pass).
+    ``id_col`` must be unique and non-null: reassembly groups by it, so
+    duplicate ids would silently merge distinct rows' paragraphs into
+    one interleaved franken-text attached to every copy, and a NULL id
+    never matches the reassembly join (text silently nulled).
+    ``validate_ids`` (default on) spends one cheap id-only aggregate to
+    raise instead — disable only when uniqueness/non-nullness is
+    guaranteed upstream (e.g. right after a key-dedup pass).
     """
     out_col = out_col or text_col
+    if count_col == out_col:
+        raise ValueError(
+            "dedup_paragraphs: count_col and out_col must differ "
+            f"(both {count_col!r})"
+        )
+    if count_col in df.columns:
+        raise ValueError(
+            f"dedup_paragraphs: count column {count_col!r} already "
+            "exists in the input — pass count_col= to rename"
+        )
     if validate_ids:
         from datacurator_jl_spark.operators.dataframe_ops import (
             validate_unique_ids,

@@ -83,16 +83,24 @@ def remove_duplicated_spans(
     n: int = 20,
     out_col: str | None = None,
     count_col: str = "n_removed",
+    materialize: str = "local",
     validate_ids: bool = True,
 ) -> DataFrame:
     """All original columns, plus ``out_col`` (default: text_col replaced
     in place) with every token covered by a duplicated n-token window
     removed, and ``count_col`` = number of removed tokens.
 
-    ``id_col`` must be unique (groupBy reassembly — same guard as
-    dedup_paragraphs/remove_boilerplate_lines)."""
+    ``id_col`` must be unique and non-null (groupBy reassembly — same
+    guard as dedup_paragraphs/remove_boilerplate_lines). ``materialize``
+    picks the durability of the window-occurrence intermediate (policy
+    as dedup's ``_materialize``: local | reliable | directory path)."""
     out_col = out_col or text_col
-    if count_col in df.columns and count_col != out_col:
+    if count_col == out_col:
+        raise ValueError(
+            "remove_duplicated_spans: count_col and out_col must differ "
+            f"(both {count_col!r})"
+        )
+    if count_col in df.columns:
         raise ValueError(
             f"remove_duplicated_spans: count column {count_col!r} already "
             "exists in the input — pass count_col= to rename"
@@ -109,10 +117,17 @@ def remove_duplicated_spans(
     # Materialized ONCE: both the frequency aggregate and the coverage
     # join read it — without this the Arrow gram UDF would run over the
     # whole corpus twice.
-    occ = df.select(
-        F.col(id_col).alias(_ID),
-        F.posexplode(word_ngrams_arrow(F.col(text_col), n)).alias("s", "window"),
-    ).localCheckpoint(eager=True)
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    occ = _materialize(
+        df.select(
+            F.col(id_col).alias(_ID),
+            F.posexplode(word_ngrams_arrow(F.col(text_col), n)).alias(
+                "s", "window"
+            ),
+        ),
+        materialize,
+    )
     dup = (
         occ.groupBy("window")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -435,3 +435,51 @@ def test_remove_duplicated_spans_semantics(spark):
     dup = spark.createDataFrame([(1, "a b c"), (1, "d e f")], "id long, text string")
     with pytest.raises(ValueError, match="not unique"):
         remove_duplicated_spans(dup, "id", "text", n=2)
+
+
+def test_null_ids_and_count_col_guards(spark):
+    """Round-4 review fixes: NULL ids raise eagerly (a null id never
+    matches the reassembly join — text would be silently nulled), and
+    count_col collisions/aliasing raise across the reassembly ops."""
+    from datacurator_jl_spark.operators.paragraph_dedup import dedup_paragraphs
+    from datacurator_jl_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    nullid = spark.createDataFrame(
+        [(None, "unique words never repeated anywhere"), (1, "x y z w")],
+        "id long, text string",
+    )
+    for op in (
+        lambda d: remove_duplicated_spans(d, "id", "text", n=3),
+        lambda d: remove_boilerplate_lines(d, "id", "text", min_docs=2),
+        lambda d: dedup_paragraphs(d, "id", "text"),
+    ):
+        with pytest.raises(ValueError, match="NULL ids"):
+            op(nullid)
+    clash = spark.createDataFrame(
+        [(1, "a b c", 9)], "id long, text string, n_removed int"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        remove_duplicated_spans(clash, "id", "text", n=2)
+    with pytest.raises(ValueError, match="must differ"):
+        remove_duplicated_spans(
+            clash, "id", "text", n=2, out_col="c", count_col="c"
+        )
+    # the engine pre-passes use an internal count name, so a corpus with
+    # its own n_removed column still runs
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True, "name_col": "id",
+                       "remove_boilerplate": 2,
+                       "remove_duplicated_spans": 2, "paragraph_dedup": True},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b", 7), (2, "c d", 8)], "id long, text string, n_removed int"
+    )
+    assert Pipeline(spec).apply(corpus).df.count() == 2
