@@ -167,6 +167,19 @@ def main() -> None:
     assert pairs < args.mega, pairs
     results["srp_max_bucket"] = {"sec": t, "pairs": pairs}
 
+    # -- guard 5: span removal on the mega corpus is LINEAR ------------------
+    # every window of the 200k identical docs is duplicated -> all their
+    # tokens are removed; cost is occurrences x window size, never pairs
+    from datacurator_jl_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    sd, t = timed(lambda: remove_duplicated_spans(
+        corpus, "doc_id", "text", n=3, out_col="clean", validate_ids=False
+    ).filter(F.col("clean").isNull()).count())
+    assert sd >= args.mega  # the whole mega clique fully stripped
+    results["span_dedup"] = {"sec": t, "fully_stripped_docs": sd}
+
     # -- write BENCH.md section ---------------------------------------------
     section = f"""{MARK_A}
 ## Adversarial skew: one mega-domain vs every guard (round 4)
@@ -186,6 +199,7 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `prefilter="auto"` (round 4) | — | picks `{picked}` at {n:,} docs (threshold {DD.AUTO_LSH_THRESHOLD:,}) | n/a (selection guard) |
 | `domain_cap=1000` | {results['domain_cap']['sec']} | mega domain capped at exactly 1,000 rows | unbounded head domain |
 | `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
+| `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 
 Every guard is a pre-join window count on the bucket/block/group key:
 cost O(rows log rows) in the bucket, independent of bucket². The

@@ -200,3 +200,67 @@ def test_nfc_normalize_matches_python(spark, texts):
     for i, t in rows:
         exp = unicodedata.normalize("NFC", t) if isinstance(t, str) else None
         assert got[i] == exp, (i, repr(t))
+
+
+def _span_dedup_py(corpus, n):
+    """Pure-Python reference for remove_duplicated_spans' pinned
+    semantics (tokens: explicit whitespace-class; keys: lowercased;
+    within-doc repeats count; output token-normalized)."""
+    import re as _re
+    from collections import Counter
+
+    tok_re = _re.compile(r"\S+", _re.ASCII)
+    toks = {i: tok_re.findall(t) if isinstance(t, str) else None
+            for i, t in corpus}
+    keys = {i: [" ".join(w.lower() for w in ts[s:s + n])
+                for s in range(len(ts) - n + 1)] if ts else []
+            for i, ts in toks.items()}
+    counts = Counter(k for ks in keys.values() for k in ks)
+    out = {}
+    for i, t in corpus:
+        ts = toks[i]
+        if ts is None:
+            out[i] = (None, None)
+            continue
+        cov = set()
+        for s, k in enumerate(keys[i]):
+            if counts[k] >= 2:
+                cov.update(range(s, s + n))
+        kept = [w for j, w in enumerate(ts) if j not in cov]
+        if not ts:
+            out[i] = ("", 0)
+        elif not kept:
+            out[i] = (None, len(ts))
+        else:
+            out[i] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.text(st.sampled_from("ab X \t\n"), max_size=40),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_remove_duplicated_spans_matches_python(spark, texts):
+    """Property pin: the distributed span removal equals the per-corpus
+    Python reference on adversarial tiny-vocab corpora (maximal window
+    collisions, blanks, nulls, case-folding)."""
+    from datacurator_jl_spark.operators.span_dedup import (
+        remove_duplicated_spans,
+    )
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "id long, text string")
+    got = {
+        r.id: (r.clean, r.n_removed)
+        for r in remove_duplicated_spans(
+            df, "id", "text", n=2, out_col="clean"
+        ).collect()
+    }
+    assert got == _span_dedup_py(corpus, 2)
