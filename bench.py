@@ -87,6 +87,7 @@ HEADLINE = [
     "d42_dup_ngram_fraction",
     "d43_span_dedup",
     "e06_srp_capped_pairs",
+    "e07_srp_survivors",
 ]
 
 

@@ -279,8 +279,24 @@ def near_dup_components(
     pairs = lsh_candidate_pairs(
         df, id_col, text_col, k, bands, max_bucket, materialize=materialize
     )
-    # the edge list is the expensive artifact (full LSH join) — under a
-    # durable policy it is exactly what a restarted job must not lose
+    return components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("doc")), max_iter, materialize
+    )
+
+
+def components_from_pairs(
+    pairs: DataFrame,
+    universe: DataFrame,
+    max_iter: int = 25,
+    materialize: str = "local",
+) -> DataFrame:
+    """Generic connected components over ANY candidate-pair frame
+    (columns ``id_a``, ``id_b``) — the clustering tier every pair
+    generator here (MinHash-LSH, SRP-LSH, containment, n-gram Jaccard)
+    can feed. ``universe`` is a one-column ``doc`` frame of every id
+    (singletons included); output (doc, comp) with comp = component-min
+    id. O(diameter) min-label propagation rounds; the edge list — the
+    expensive artifact — honors the ``materialize`` durability policy."""
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -288,9 +304,7 @@ def near_dup_components(
         materialize,
     )
     labels = _materialize(
-        df.select(F.col(id_col).alias("doc"))
-        .distinct()
-        .withColumn("comp", F.col("doc")),
+        universe.select("doc").distinct().withColumn("comp", F.col("doc")),
         materialize,
     )
     return _propagate_min_labels(edges, labels, max_iter, materialize)

@@ -282,3 +282,35 @@ def srp_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def srp_near_dup_survivors(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+    materialize: str = "local",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding-space near-dedup keep-set: one representative (the
+    component-min id) per SRP near-dup cluster — the embedding twin of
+    the text path's ``drop_near_dupes`` (SRP pairs -> generic connected
+    components -> semi-join). Docs with NULL signatures (null/ragged
+    embeddings) are singletons and always survive."""
+    from datacurator_jl_spark.operators.dedup import components_from_pairs
+
+    pairs = srp_near_dup_pairs(
+        df, id_col, emb_col, dim, bits, bands, seed, max_hamming,
+        max_bucket=max_bucket, materialize=materialize,
+    ).select("id_a", "id_b")
+    comps = components_from_pairs(
+        pairs, df.select(F.col(id_col).alias("doc")),
+        max_iter=max_iter, materialize=materialize,
+    )
+    reps = comps.filter(F.col("doc") == F.col("comp")).select("doc")
+    return df.join(reps, df[id_col] == reps.doc, "left_semi")

@@ -2505,6 +2505,46 @@ def d43(spark, sf):
     ).select("doc_id", "clean_text", "n_removed")
 
 
+@_q(
+    "e07_srp_survivors",
+    "WITH RECURSIVE sig0 AS (" + ORACLES_E04 + """),
+    sig AS (SELECT * FROM sig0 WHERE srp_sig IS NOT NULL),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (
+           ((a.srp_sig >> 0)  & 15) = ((b.srp_sig >> 0)  & 15) OR
+           ((a.srp_sig >> 4)  & 15) = ((b.srp_sig >> 4)  & 15) OR
+           ((a.srp_sig >> 8)  & 15) = ((b.srp_sig >> 8)  & 15) OR
+           ((a.srp_sig >> 12) & 15) = ((b.srp_sig >> 12) & 15))
+      WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= 3),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    lab(doc, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.src, l.comp FROM lab l JOIN edges e ON e.dst = l.doc),
+    comp AS (SELECT doc, min(comp) AS comp FROM lab GROUP BY doc)
+    SELECT em.vec_id FROM embeddings em
+    JOIN comp c ON c.doc = em.vec_id AND c.comp = em.vec_id
+    """,
+)
+def e07(spark, sf):
+    """Embedding-space near-dedup keep-set: one representative
+    (component-min id) per SRP near-dup cluster — SRP pairs -> the
+    generic connected-components tier (dedup.components_from_pairs) ->
+    semi-join, the embedding twin of d15. The oracle states the same
+    fixpoint as a recursive reachability CTE."""
+    from datacurator_jl_spark.operators.similarity import (
+        srp_near_dup_survivors,
+    )
+
+    return srp_near_dup_survivors(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
+    ).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2515,8 +2555,8 @@ def d43(spark, sf):
 _DRIVER_PRIORITY = [
     # new in round 4: cap-binding SRP oracle, NFC normalization,
     # duplicated-n-gram fraction
-    "e06_srp_capped_pairs", "d41_nfc_normalize", "d42_dup_ngram_fraction",
-    "d43_span_dedup",
+    "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
+    "d42_dup_ngram_fraction", "d43_span_dedup",
     # never driver-checked (local-replica green only, rounds 2-3)
     "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
     "d21_repetition_stats", "d22_boilerplate_lines",
