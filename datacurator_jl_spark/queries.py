@@ -497,18 +497,25 @@ def d07(spark, sf):
     )
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_sum(bits: int = 16) -> str:
+    """The packed bit-sign sum over a word-hash list aliased ``h`` —
+    shared by the d07 and d44 oracles (one source of SQL truth for the
+    simhash value)."""
     bit_terms = []
-    for j in range(16):
+    for j in range(bits):
         bit_terms.append(
             f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {j}) & 1 = 1"
             f" THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END"
         )
+    return "(" + " + ".join(bit_terms) + ")::BIGINT"
+
+
+def _sql_simhash() -> str:
     return (
         "WITH w AS (SELECT doc_id, list_transform("
         "list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')),"
         " x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM documents) "
-        "SELECT doc_id, (" + " + ".join(bit_terms) + ")::BIGINT AS simhash FROM w"
+        "SELECT doc_id, " + _sql_simhash_sum() + " AS simhash FROM w"
     )
 
 
@@ -602,6 +609,82 @@ def d40(spark, sf):
     return DD.drop_contained_docs(
         _t(spark, sf, "documents"), "doc_id", "text", "source", threshold=0.8
     ).select("doc_id", "source")
+
+
+@_q(
+    "d44_blocked_containment",
+    None,  # oracle built below (shares the d07 simhash bit-sum SQL)
+)
+def d44(spark, sf):
+    """d31's asymmetric containment, but blocked by the CONTENT-derived
+    simhash-prefix key instead of the domain — the shipped 100-TB answer
+    to d31's 'pick block keys accordingly' note (round-5, VERDICT r4
+    next #5): a mega-domain splits across up to 2^prefix_bits blocks by
+    content, so the Σ block² pair term is bounded by content diversity,
+    not by the skewest domain. operators/dedup.simhash_prefix_block;
+    reference analogue: prefix-grouping (stack_images_by_prefix,
+    src/DataCurator.jl:2806-2851)."""
+    blocked = DD.simhash_prefix_block(
+        _t(spark, sf, "documents"), "text", prefix_bits=6, bits=16
+    )
+    return DD.ngram_containment_pairs(
+        blocked, "doc_id", "text", "blk_simhash", threshold=0.8
+    )
+
+
+ORACLES["d44_blocked_containment"] = (
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(regexp_extract_all(lower(trim(text)), '[^ \\t\\n\\x0b\\f\\r]+')),
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h,
+             list_distinct(list_transform(regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'),
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS ws
+      FROM documents
+    ),
+    s AS (SELECT doc_id, ws, ("""
+    + _sql_simhash_sum()
+    + """ >> 10) AS blk FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                 least(len(a.ws), len(b.ws)), 6) AS containment
+    FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE least(len(a.ws), len(b.ws)) > 0
+      AND round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+                least(len(a.ws), len(b.ws)), 6) >= 0.8
+    """
+)
+
+
+@_q(
+    "d45_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))::INT AS toks,
+           len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))::INT AS n_words,
+           length(text)::INT AS n_chars_text
+    FROM documents
+    """,
+)
+def d45(spark, sf):
+    """Token accounting per doc: BPE-ish token estimate via the
+    DC_TOKENIZER seam's NATIVE default path (functions/tokenizer.
+    token_count_column with no tokenizer configured — the oracle pins it
+    byte-identical to functions.text.token_count, so configuring a real
+    tokenizer is a pure swap), whitespace word count, char length. The
+    three flavors a budget report needs side by side (round-5, VERDICT
+    r4 next #4)."""
+    from datacurator_jl_spark.functions.tokenizer import token_count_column
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_column(F.col("text")).cast("int").alias("toks"),
+        X.n_words(F.col("text")).cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars_text"),
+    )
 
 
 @_q(
@@ -1737,10 +1820,10 @@ def e06(spark, sf):
       CASE WHEN len(lines) > 0 THEN
         round(len(list_filter(lines, x -> regexp_matches(x, '^[ \t\x0b\f\r]*[-*•●▪]')))::DOUBLE
               / len(lines), 6) ELSE 0.0 END AS bullet_ratio,
-      CASE WHEN len(list_filter(lines, x -> regexp_matches(x, '\S'))) > 0 THEN
-        round(len(list_filter(lines, x -> regexp_matches(x, '\S')
+      CASE WHEN len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]'))) > 0 THEN
+        round(len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]')
                                       AND regexp_matches(x, '[.!?"''][ \t\x0b\f\r]*$')))::DOUBLE
-              / len(list_filter(lines, x -> regexp_matches(x, '\S'))), 6)
+              / len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]'))), 6)
       ELSE 0.0 END AS terminal_punct_ratio
     FROM l
     """,
@@ -1960,10 +2043,14 @@ def d20(spark, sf):
     """Blocked Jaccard with the max_block skew cap live: blocking on
     ``lang`` makes the head block ('en', 218 docs at sf0.01) exceed the
     cap and drop — the degenerate-block guard semantics (same contract as
-    lsh_candidate_pairs.max_bucket), oracle-stated as a HAVING filter."""
+    lsh_candidate_pairs.max_bucket), oracle-stated as a HAVING filter.
+    ``prefilter="none"`` pins the EXACT path: since round 5 the default
+    "auto" is block-shape-aware and would route the over-cap block to
+    LSH instead of dropping it (recall-preserving; pinned in
+    tests/test_round3_features.test_auto_prefilter_is_block_shape_aware)."""
     return DD.ngram_jaccard_pairs(
         _t(spark, sf, "documents"), "doc_id", "text", "lang",
-        threshold=0.6, max_block=100,
+        threshold=0.6, max_block=100, prefilter="none",
     )
 
 
@@ -2553,19 +2640,26 @@ def e07(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # new in round 4: cap-binding SRP oracle, NFC normalization,
-    # duplicated-n-gram fraction
+    # round-5 head: queries whose implementations were refactored in
+    # round 4 (components_from_pairs generic-tier extraction,
+    # dedup.py) — their latest driver CORRECTNESS rows predate the
+    # refactor, so re-surface them for fresh driver evidence
+    # (VERDICT r4, Next #1).
+    "d14_near_dup_components", "d15_near_dup_survivors",
+    "d28_incremental_dedup", "e03_embedding_near_dup",
+    "e05_srp_near_dup_pairs",
+    # new in round 5: simhash-prefix-blocked containment, tokenizer-seam
+    # token stats
+    "d44_blocked_containment", "d45_token_stats",
+    # round-4 additions, keep warm
     "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
     "d42_dup_ngram_fraction", "d43_span_dedup",
-    # never driver-checked (local-replica green only, rounds 2-3)
+    # oracle touched in round 5 (d17 \S -> explicit class fix)
+    "d17_line_ratios",
+    # rotate in queries with the oldest driver evidence
     "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
-    "d21_repetition_stats", "d22_boilerplate_lines",
-    "d23_decontaminate", "d24_stratified_sample",
-    "d25_token_budget", "d26_paragraph_dedup",
-    "d27_domain_cap", "d32_top_fraction",
-    # driver-green only in round 2 (round 3's sample missed them)
-    "d16_hash_sample", "d17_line_ratios", "d18_condition_columns",
-    "e04_srp_signature", "e05_srp_near_dup_pairs",
+    "d16_hash_sample", "d18_condition_columns",
+    "e04_srp_signature",
     "q17_name_predicates", "q18_hierarchical_levels", "v05_domain_quota",
 ]
 

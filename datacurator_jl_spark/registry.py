@@ -799,13 +799,22 @@ def _compile_transform(e: Any) -> Callable[[Column], Column]:
     return lambda col: fn(col, *args)
 
 
-# metric expressions usable as counter increments
+# metric expressions usable as counter increments.
+# token_count goes through the DC_TOKENIZER seam (functions/tokenizer.py)
+# so recipe counters charge REAL BPE tokens when a tokenizer is
+# configured; unset, it is the identical native Column expression.
 METRICS: dict[str, Callable[[RuleContext], Column]] = {
     "size_of_file": lambda ctx: ctx.size,
     "n_chars": lambda ctx: X.n_chars(ctx.text),
     "n_words": lambda ctx: X.n_words(ctx.text),
-    "token_count": lambda ctx: X.token_count(ctx.text),
+    "token_count": lambda ctx: _seam_token_count(ctx.text),
 }
+
+
+def _seam_token_count(text: Column) -> Column:
+    from datacurator_jl_spark.functions.tokenizer import token_count_column
+
+    return token_count_column(text)
 
 
 def compile_metric(expr: Any, ctx: RuleContext) -> Column:

@@ -119,8 +119,12 @@ def test_max_block_caps_mega_blocks(spark):
         df, "doc_id", "text", "source", 0.5, max_block=None
     )
     assert uncapped.count() == 30 * 29 // 2 + 4 * 3 // 2
+    # explicit exact path: round-5's block-shape-aware "auto" would
+    # instead route an over-cap block to LSH (see
+    # test_auto_prefilter_is_block_shape_aware); the drop-wholesale cap
+    # semantics pinned here are the prefilter="none" contract
     capped = DD.ngram_jaccard_pairs(
-        df, "doc_id", "text", "source", 0.5, max_block=10
+        df, "doc_id", "text", "source", 0.5, max_block=10, prefilter="none"
     ).collect()
     # mega-block dropped entirely (same drop semantics as max_bucket);
     # blocks under the cap are untouched
@@ -195,6 +199,41 @@ def test_auto_prefilter_boundary(spark):
         DD.ngram_jaccard_pairs(
             df, "doc_id", "text", "source", 0.5, prefilter="bogus"
         )
+
+
+def test_auto_prefilter_is_block_shape_aware(spark):
+    """Round-5 (VERDICT r4 next #3): a sub-threshold corpus concentrated
+    in ONE over-cap block must take the LSH path — recovering the hot
+    block's genuine near-dups up to bucket caps — instead of the exact
+    path dropping the block wholesale (recall, not cost)."""
+    from datacurator_jl_spark.operators.dedup import _select_prefilter
+
+    # selector unit boundary: over-cap largest block forces lsh even far
+    # below the doc-count threshold; at/under cap falls back to count rule
+    assert _select_prefilter(100, max_block_count=31, max_block=30) == "lsh"
+    assert _select_prefilter(100, max_block_count=30, max_block=30) == "none"
+    assert _select_prefilter(100, max_block_count=31, max_block=None) == "none"
+
+    # end-to-end: 30-doc hot block > max_block=10, 4-doc tail block
+    df = _jaccard_corpus(spark, mega=30, small=4)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, max_block=10, prefilter="none"
+        ).collect()
+    }
+    # the explicit exact path drops the hot block wholesale
+    assert exact == {(f"s{i}", f"s{j}") for i in range(4) for j in range(i + 1, 4)}
+    auto = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", "source", 0.5, max_block=10
+        ).collect()
+    }
+    # auto routes to LSH: the hot block's identical-doc pairs are
+    # recovered (they are sure LSH candidates), tail pairs preserved
+    assert {("m000", "m001"), ("s0", "s1")} <= auto
+    assert len(auto) == 30 * 29 // 2 + 4 * 3 // 2
 
 
 # --- materialization policies (VERDICT r2 #2) --------------------------------

@@ -93,6 +93,35 @@ def test_has_whitespace_vertical_tab_cross_engine(spark):
     assert got[0] is True  # the RE2-divergence case itself
 
 
+def test_terminal_punct_vertical_tab_line_cross_engine(spark):
+    """A line consisting only of \\x0b must count as BLANK in
+    terminal_punct_line_ratio on BOTH engines (round-4 verdict finding:
+    d17's oracle used RE2 '\\S', which counts the \\x0b line non-blank and
+    shifts the denominator; the oracle now spells `[^ \\t\\n\\x0b\\f\\r]`
+    explicitly, which coincides with Java's ASCII \\S)."""
+    import duckdb
+
+    # 3 lines; the middle is \x0b-only -> blank; both non-blank lines end
+    # in '.', so the ratio must be exactly 1.0 (not 2/3) on both engines.
+    t = "Good sentence.\n\x0b\nAnother."
+    df = spark.createDataFrame(pd.DataFrame({"text": [t]}), "text string")
+    (got,) = df.select(
+        F.round(X.terminal_punct_line_ratio(F.col("text")), 6).alias("r")
+    ).collect()[0]
+    (exp,) = duckdb.connect().execute(
+        r"""
+        WITH l AS (SELECT str_split(?, chr(10)) AS lines)
+        SELECT CASE WHEN len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]'))) > 0 THEN
+          round(len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]')
+                                        AND regexp_matches(x, '[.!?"''][ \t\x0b\f\r]*$')))::DOUBLE
+                / len(list_filter(lines, x -> regexp_matches(x, '[^ \t\n\x0b\f\r]'))), 6)
+        ELSE 0.0 END FROM l
+        """,
+        [t],
+    ).fetchone()
+    assert got == exp == 1.0, (got, exp)
+
+
 def test_fuzz_falsifying_example_labels(spark, flagship_spec):
     """The exact round-1 failing fuzz input, pinned forever."""
     from datacurator_jl_spark.engine import Pipeline
