@@ -180,6 +180,10 @@ def describe_images(
     decoder, and byte-for-byte the production moment code. ``fake=False``
     decodes with Pillow to grayscale and folds over pixel values
     (undecodable payloads yield an all-null row, never a task failure).
+    A NULL payload yields an all-null row in BOTH branches (pinned by
+    test; ADVICE r4 — the fake branch used to type it uint8/'(0,)');
+    an EMPTY payload is a real value: NaN moments with a typed
+    zero-length shape.
 
     NaN moments (all-zero input, single-value std) arrive as SQL NULL:
     Arrow treats pandas NaN as missing — the reference's NaN row maps to
@@ -210,7 +214,14 @@ def describe_images(
             rows = []
             for b in pdf[payload_col]:
                 if fake:
-                    arr = np.frombuffer(b or b"", dtype=np.uint8)
+                    if b is None:
+                        # NULL payload -> all-null row, matching the
+                        # decode branch's undecodable-input contract
+                        # (ADVICE r4: the branches used to disagree —
+                        # fake emitted uint8/'(0,)' for NULL)
+                        rows.append((None,) * 8 + (None, None))
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8)
                     rows.append(
                         _image_moments(arr) + ("uint8", f"({arr.size},)")
                     )

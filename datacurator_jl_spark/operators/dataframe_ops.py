@@ -42,8 +42,20 @@ def validate_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
     remove_duplicated_spans, decontaminate, dup_ngram_stats). Duplicate
     ids silently merge/multiply rows; a NULL id never matches the
     reassembly join, so that row's text would come back NULL — silent
-    data destruction either way. One cheap id-only aggregate with an
-    early-out LIMIT 1."""
+    data destruction either way.
+
+    Cost (ADVICE r4): "cheap" means id-column-only, but it is still one
+    eager full-corpus shuffle per probe — material at 100-TB scale when
+    several default-on operators chain over the same frame. The engine
+    pre-pass shares ONE probe per pipeline (``ids_validated``); for
+    library users this function memoizes per DataFrame OBJECT, so
+    chained calls over the same frame probe once, and derived frames
+    (where uniqueness could genuinely change) probe again. Pass
+    ``validate_ids=False`` at the call sites when uniqueness is
+    guaranteed upstream."""
+    seen: set[str] = df.__dict__.setdefault("_dc_ids_validated", set())
+    if id_col in seen:
+        return
     bad = (
         df.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -51,6 +63,8 @@ def validate_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
         .limit(1)
         .collect()
     )
+    if not bad:
+        seen.add(id_col)
     if bad:
         what = (
             "contains NULL ids"

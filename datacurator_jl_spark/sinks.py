@@ -157,21 +157,26 @@ def _jdbc_ddl_type(dtype: str) -> str:
     )
 
 
-def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> None:
-    """Run DDL/DML through a raw JVM driver connection.
+def _jdbc_connect(spark, driver: str, url: str):
+    """Open a raw JVM driver connection.
 
     ``java.sql.DriverManager`` cannot discover drivers loaded via
     ``spark.jars``' classloader, so the driver class is instantiated
     directly off Spark's context classloader (the same trick the JDBC
     integration test uses to seed tables)."""
-    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
     loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
     cls = jvm.java.lang.Class.forName(driver, True, loader)
     ctor = cls.getDeclaredConstructor(gw.new_array(jvm.java.lang.Class, 0))
     drv = ctor.newInstance(gw.new_array(jvm.java.lang.Object, 0))
-    conn = drv.connect(url, jvm.java.util.Properties())
+    return drv.connect(url, jvm.java.util.Properties())
+
+
+def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> None:
+    """Run DDL/DML through a raw JVM driver connection."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    conn = _jdbc_connect(spark, driver, url)
     try:
         st = conn.createStatement()
         for sql in statements:
@@ -181,31 +186,47 @@ def jdbc_execute(df_or_spark, driver: str, url: str, statements: list[str]) -> N
         conn.close()
 
 
-def _quote_ident(name: str) -> str:
-    """Quote a (possibly schema-qualified) table name part-by-part:
-    ``main.docs`` -> ``"main"."docs"`` — quoting the whole string as one
-    identifier would create a single table literally named 'main.docs'."""
-    return ".".join('"%s"' % p.replace('"', '""') for p in name.split("."))
+def _quote_ident(name: str, qc: str = '"') -> str:
+    """Quote a (possibly schema-qualified) table name part-by-part with
+    the dialect's quote char: ``main.docs`` -> ``"main"."docs"`` (or
+    backticks on MySQL-mode drivers) — quoting the whole string as one
+    identifier would create a single table literally named 'main.docs'.
+    The embedded-quote escape is doubling, the JDBC convention."""
+    return ".".join(qc + p.replace(qc, qc * 2) + qc for p in name.split("."))
 
 
-def _jdbc_precreate(df: DataFrame, table: str, url: str, driver: str) -> None:
+def _jdbc_precreate(df: DataFrame, table: str, url: str, driver: str) -> str:
     """DROP + CREATE the sink table from the frame's schema, through a
     raw driver connection, so Spark only ever APPENDs to an existing
     table. This sidesteps Spark's ``JdbcUtils.tableExists`` probe —
     duckdb_jdbc raises at ``prepareStatement`` for a missing table,
     which escapes the probe's SQLException catch and breaks every
     DataFrameWriter mode against that driver (round-3 VERDICT #3);
-    pre-creating makes the probe always find the table."""
-    cols = ", ".join(
-        f'"{name}" {_jdbc_ddl_type(dtype)}' for name, dtype in df.dtypes
-    )
-    q = _quote_ident(table)
-    jdbc_execute(
-        df,
-        driver,
-        url,
-        [f"DROP TABLE IF EXISTS {q}", f"CREATE TABLE {q} ({cols})"],
-    )
+    pre-creating makes the probe always find the table.
+
+    The identifier quote char comes from the live connection's JDBC
+    metadata (``getIdentifierQuoteString``) rather than assuming ANSI
+    double quotes, so MySQL-default-mode drivers (backtick quoting)
+    work too (ADVICE r4); returns it for the caller's ``dbtable``
+    option. Falls back to ANSI when the driver reports none (a single
+    space, per the JDBC spec)."""
+    conn = _jdbc_connect(df.sparkSession, driver, url)
+    try:
+        qc = conn.getMetaData().getIdentifierQuoteString() or '"'
+        if not qc.strip():
+            qc = '"'
+        q = _quote_ident(table, qc)
+        cols = ", ".join(
+            f"{_quote_ident(name, qc)} {_jdbc_ddl_type(dtype)}"
+            for name, dtype in df.dtypes
+        )
+        st = conn.createStatement()
+        st.execute(f"DROP TABLE IF EXISTS {q}")
+        st.execute(f"CREATE TABLE {q} ({cols})")
+        st.close()
+    finally:
+        conn.close()
+    return qc
 
 
 def save_content(
@@ -265,11 +286,11 @@ def save_content(
             # pre-create + append: overwrite semantics without ever
             # taking Spark's tableExists/CREATE path (see _jdbc_precreate
             # — required for duckdb_jdbc, harmless for sqlite/postgres)
-            _jdbc_precreate(df, sink, options["url"], options["driver"])
+            qc = _jdbc_precreate(df, sink, options["url"], options["driver"])
             w = df.write.mode("append")
             for k, v in options.items():
                 w = w.option(k, v)
-            w.format("jdbc").option("dbtable", _quote_ident(sink)).save()
+            w.format("jdbc").option("dbtable", _quote_ident(sink, qc)).save()
         else:
             writer(df).format("jdbc").option("dbtable", sink).save()
     else:

@@ -136,7 +136,14 @@ def main() -> None:
     # -- guard 2b: auto mode must pick the LSH path above the threshold ------
     picked = DD._select_prefilter(n)
     assert picked == ("lsh" if n >= DD.AUTO_LSH_THRESHOLD else "none")
+    # round-5 block-shape awareness: THIS corpus (mega block > default
+    # max_block) routes to LSH regardless of total doc count
+    picked_shape = DD._select_prefilter(
+        n, max_block_count=args.mega, max_block=100_000
+    )
+    assert picked_shape == "lsh", picked_shape
     results["auto_select"] = {"n": n, "picked": picked,
+                              "picked_block_shape": picked_shape,
                               "threshold": DD.AUTO_LSH_THRESHOLD}
 
     # -- guard 3: domain_cap bounds the mega domain's row count --------------
@@ -180,9 +187,49 @@ def main() -> None:
     assert sd >= args.mega  # the whole mega clique fully stripped
     results["span_dedup"] = {"sec": t, "fully_stripped_docs": sd}
 
+    # -- guard 6: incremental ingest vs a signature table holding the --------
+    # mega-bucket (round-5, VERDICT r4 next #8) — the standing-corpus
+    # worst case: every new mega-dup doc would join the 200k-signature
+    # hot bucket in EVERY band. max_bucket drops the degenerate bucket
+    # before the join, bounding the ingest; the healthy-tail semantics
+    # stay exact (a new dup of a base tail doc drops, fresh docs survive;
+    # new docs landing ONLY in the dropped bucket survive by the
+    # documented cap-drop recall trade, same contract as d19/d20).
+    n_ingest_mega = min(args.mega // 10, 20_000)
+    base_sigs, t_sig = timed(lambda: DD.signature_table(
+        corpus, "doc_id", "text").localCheckpoint(eager=True))
+    ingest = (
+        spark.range(n_ingest_mega)
+        .select(
+            F.concat(F.lit("nm"), F.col("id")).alias("doc_id"),
+            F.lit("mega.example").alias("source"),
+            F.lit("identical viral boilerplate page body text").alias("text"),
+        )
+        .unionByName(spark.createDataFrame(
+            [("ndup", "d42.example", "doc 42a 42b 42c 42d 42e 42f"),
+             ("nfresh", "fresh.example",
+              "entirely new unique words never seen before anywhere")],
+            "doc_id string, source string, text string",
+        ))
+        .localCheckpoint(eager=True)
+    )
+    surv, t = timed(lambda: DD.incremental_near_dup_survivors(
+        ingest, base_sigs, "doc_id", "text", max_bucket=10_000))
+    kept = {r.doc_id for r in surv.select("doc_id").collect()}
+    assert "nfresh" in kept and "ndup" not in kept, (len(kept))
+    assert len(kept) == n_ingest_mega + 1, len(kept)  # cap-drop survivors
+    uncapped_ingest_pairs = 4 * n_ingest_mega * (args.mega + n_ingest_mega)
+    results["incremental_ingest"] = {
+        "sec": t, "sig_table_sec": t_sig, "ingest_rows": n_ingest_mega + 2,
+        "kept": len(kept),
+        "uncapped_candidate_pairs": uncapped_ingest_pairs,
+        "extrapolated_uncapped_hours": round(
+            uncapped_ingest_pairs / rate / 3600, 1),
+    }
+
     # -- write BENCH.md section ---------------------------------------------
     section = f"""{MARK_A}
-## Adversarial skew: one mega-domain vs every guard (round 4)
+## Adversarial skew: one mega-domain vs every guard (rounds 4-5)
 
 Seeded corpus: **{args.mega:,} identical docs in ONE domain** (= one
 jaccard block = one LSH bucket = one SRP bucket = {mega_pairs:,.0f}
@@ -196,10 +243,11 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 |---|---|---|---|
 | `max_block=10k` (d20) | {results['max_block']['sec']} | 1 pair — mega block dropped wholesale, survivor pair kept | ~{est_uncapped_h:,.0f} h for the mega block alone |
 | `prefilter="lsh"` + `lsh_max_bucket=10k` (d19) | {results['lsh_prefilter']['sec']} | 1 pair — mega bucket over cap, dropped | same Σ bucket² blow-up |
-| `prefilter="auto"` (round 4) | — | picks `{picked}` at {n:,} docs (threshold {DD.AUTO_LSH_THRESHOLD:,}) | n/a (selection guard) |
+| `prefilter="auto"` (rounds 4-5) | — | picks `{picked}` at {n:,} docs (threshold {DD.AUTO_LSH_THRESHOLD:,}); block-shape-aware since round 5: the {args.mega:,}-doc mega block > max_block routes to `{picked_shape}` regardless of count | n/a (selection guard) |
 | `domain_cap=1000` | {results['domain_cap']['sec']} | mega domain capped at exactly 1,000 rows | unbounded head domain |
 | `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
+| `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
 
 Every guard is a pre-join window count on the bucket/block/group key:
 cost O(rows log rows) in the bucket, independent of bucket². The

@@ -149,6 +149,29 @@ def test_describe_images_fake_matches_numpy_oracle(spark):
         assert r.px_type == "uint8" and r.dimension == f"({len(b)},)"
 
 
+def test_describe_images_fake_null_payload_matches_decode_branch(spark):
+    """NULL payload -> all-NULL row in the FAKE branch too (ADVICE r4:
+    it used to emit px_type='uint8', dimension='(0,)' where the decode
+    branch emits an all-null row for undecodable/missing input)."""
+    from datacurator_jl_spark.multimodal.binary import describe_images
+
+    df = spark.createDataFrame(
+        [("missing", None), ("empty", b"")], "url string, html binary"
+    )
+    rows = {r.url: r for r in describe_images(df, payload_col="html").collect()}
+    # NULL payload: every output field null (matches decode-branch contract)
+    r = rows["missing"]
+    assert all(
+        getattr(r, c) is None
+        for c in ("minimum", "q1", "mean", "median", "q3", "maximum",
+                  "std", "kurtosis", "px_type", "dimension")
+    )
+    # EMPTY payload is distinct: decodes to zero bytes -> NaN moments but
+    # a typed, zero-length shape (it was a real, readable value)
+    r = rows["empty"]
+    assert r.minimum is None and r.px_type == "uint8" and r.dimension == "(0,)"
+
+
 def test_describe_images_real_pillow_matches_pil_oracle(spark):
     """Pillow-gated parity (round-3 VERDICT item 7): the real-decode
     branch folds the identical moments over grayscale pixels, asserted

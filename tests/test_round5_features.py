@@ -160,6 +160,36 @@ def test_simhash_prefix_block_preserves_excerpt_pair(spark):
     assert ("full0", "part0") in pairs
 
 
+def test_validate_unique_ids_memoizes_per_frame(spark, monkeypatch):
+    """ADVICE r4: chained operator calls over the SAME frame probe once;
+    a derived frame (uniqueness could change) probes again; a failing
+    frame is never memoized."""
+    from datacurator_jl_spark.operators import dataframe_ops as DO
+
+    ok = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    cls = type(ok)  # the concrete (classic) DataFrame class
+    calls = {"n": 0}
+    orig = cls.groupBy
+
+    def counting_groupby(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "groupBy", counting_groupby)
+    DO.validate_unique_ids(ok, "id", "op1")
+    DO.validate_unique_ids(ok, "id", "op2")  # memo hit: no second probe
+    assert calls["n"] == 1
+    derived = ok.filter(F.col("v") > 0)
+    DO.validate_unique_ids(derived, "id", "op3")  # new object: probes
+    assert calls["n"] == 2
+
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], "id string, v int")
+    with pytest.raises(ValueError, match="not unique"):
+        DO.validate_unique_ids(dup, "id", "op4")
+    with pytest.raises(ValueError, match="not unique"):
+        DO.validate_unique_ids(dup, "id", "op5")  # failure never memoized
+
+
 def test_simhash_prefix_block_validates_bits(spark, docs_df):
     with pytest.raises(ValueError, match="prefix_bits"):
         DD.simhash_prefix_block(docs_df, "text", prefix_bits=0)
