@@ -88,6 +88,9 @@ HEADLINE = [
     "d43_span_dedup",
     "e06_srp_capped_pairs",
     "e07_srp_survivors",
+    # round-5 ops
+    "d44_blocked_containment",
+    "d45_token_stats",
 ]
 
 
