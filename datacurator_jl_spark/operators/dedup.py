@@ -752,12 +752,17 @@ def ngram_jaccard_pairs(
       of the exact-path output — candidates LSH recall misses are
       dropped). This is the 100-TB path: pair count is bounded by bucket
       sizes, not block sizes.
-    - ``prefilter="auto"`` (the default since round 4): one count of the
-      already-materialized signature frame picks the path —
-      ``"none"`` (exact) below ``auto_threshold`` docs,
-      ``"lsh"`` at/above it (see ``AUTO_LSH_THRESHOLD``). A 100-TB run
-      no longer has to opt into the scale path by hand; small exact runs
-      stay byte-identical to ``prefilter="none"``.
+    - ``prefilter="auto"`` (the default since round 4): one block
+      histogram of the already-materialized signature frame picks the
+      path — ``"lsh"`` at/above ``auto_threshold`` total docs OR when
+      the largest block exceeds ``max_block`` (block-shape awareness,
+      round 5: an over-cap hot block is ROUTED to LSH, recovering its
+      genuine near-dups up to bucket caps, instead of being dropped
+      wholesale), else ``"none"``. A 100-TB run no longer has to opt
+      into the scale path by hand; small well-shaped runs stay
+      byte-identical to ``prefilter="none"`` — and when "none" is
+      selected the histogram has already proven every block under the
+      cap, so no capping pass runs at all.
 
     Shuffle-payload note (round-2 fix, VERDICT #4): word sets are hashed
     to distinct 32-bit ints (``_h32``, Arrow-batched) BEFORE the join, so

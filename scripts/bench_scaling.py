@@ -197,8 +197,8 @@ standard Spark sizing this repo's configs assume); the cluster scales by
 executor COUNT, each executor operating in the regime measured here. The
 flagship job itself is shuffle-free (pure narrow projection), so
 N -> 4N executors adds no coordination cost beyond scheduling: the
-per-executor regime, demonstrated at >= 0.9 efficiency, is the scaling
-unit.
+per-executor regime, demonstrated at {eff:.3f} efficiency this run, is
+the scaling unit.
 
 ## Flagship timing protocol (bench.py)
 
