@@ -91,6 +91,7 @@ HEADLINE = [
     # round-5 ops
     "d44_blocked_containment",
     "d45_token_stats",
+    "d46_html_extract",
 ]
 
 

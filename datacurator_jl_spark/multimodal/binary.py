@@ -53,15 +53,24 @@ def extract_html_text(html: Column) -> Column:
     """Native HTML -> text extraction: decode UTF-8 (invalid bytes
     replaced), strip script/style blocks, strip tags, unescape the
     common entities, collapse whitespace. Deterministic; the graft's
-    analogue of the reference's content loaders."""
+    analogue of the reference's content loaders.
+
+    Round-5: every pattern is written in the Java/RE2-shared subset so
+    the d46 DuckDB oracle is STRUCTURALLY identical — script and style
+    blocks are stripped by two separate lazy patterns (RE2 has no
+    backreferences), and the whitespace collapse spells the ASCII class
+    explicitly (identical to Java's default ASCII ``\\s``; CLAUDE.md
+    invariant). Trim-after-collapse: edge whitespace is a plain space by
+    then, so the space-only trim is a true whitespace trim."""
     txt = html.cast("string")  # UTF-8 decode, lossy on bad bytes
-    txt = F.regexp_replace(txt, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    txt = F.regexp_replace(txt, r"(?is)<script[^>]*>.*?</script>", " ")
+    txt = F.regexp_replace(txt, r"(?is)<style[^>]*>.*?</style>", " ")
     txt = F.regexp_replace(txt, r"(?s)<[^>]*>", " ")
     # &amp; LAST: unescaping it first would double-unescape nested
     # entities ('&amp;lt;' must yield '&lt;', not '<')
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return F.trim(F.regexp_replace(txt, r"[ \t\n\x0b\f\r]+", " "))
 
 
 IMAGE_FEATURES_SCHEMA = (

@@ -687,6 +687,76 @@ def d45(spark, sf):
     )
 
 
+_D46_HTML_PRE = (
+    '<html><head><title>Page</title><style type="text/css">p{color:red}'
+    "</style></head><body><h1>"
+)
+_D46_HTML_MID = (
+    '</h1>\n<script type="text/javascript">var x = 1; if (x<2) { x++; }'
+    "</script>\n<p>"
+)
+_D46_HTML_POST = (
+    "</p>\n<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s</p>\n</body></html>"
+)
+
+
+@_q(
+    "d46_html_extract",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Page</title><style type="text/css">p{color:red}</style></head><body><h1>'
+             || source || '</h1>' || chr(10) ||
+             '<script type="text/javascript">var x = 1; if (x<2) { x++; }</script>' || chr(10) ||
+             '<p>' || text || '</p>' || chr(10) ||
+             '<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s</p>' || chr(10) ||
+             '</body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g') AS t
+      FROM h
+    ),
+    u AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&') AS t
+      FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS extracted
+    FROM u
+    """,
+)
+def d46(spark, sf):
+    """HTML -> text extraction (the north rule's html:binary column,
+    flagship-adjacent: 'byte-identical extracted text per url'): wrap
+    each corpus doc in a deterministic page template — title/style head,
+    h1, a script with a literal '<' inside, entity soup — then run the
+    native extractor (multimodal.extract_html_text: script/style strip,
+    tag strip, entity unescape with &amp; last, explicit-class
+    whitespace collapse). Every regex is in the Java/RE2-shared subset
+    (no backreferences), so the oracle applies the STRUCTURALLY
+    identical pipeline and the result is byte-compared. Pure codegen'd
+    Column chain — no UDF, no shuffle."""
+    from datacurator_jl_spark.multimodal.binary import extract_html_text
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(_D46_HTML_PRE), F.col("source"), F.lit(_D46_HTML_MID),
+        F.col("text"), F.lit(_D46_HTML_POST),
+    )
+    return d.select(
+        "doc_id", extract_html_text(html).alias("extracted")
+    )
+
+
 @_q(
     "d09_scrub",
     """
@@ -2649,8 +2719,8 @@ _DRIVER_PRIORITY = [
     "d28_incremental_dedup", "e03_embedding_near_dup",
     "e05_srp_near_dup_pairs",
     # new in round 5: simhash-prefix-blocked containment, tokenizer-seam
-    # token stats
-    "d44_blocked_containment", "d45_token_stats",
+    # token stats, html extraction
+    "d44_blocked_containment", "d45_token_stats", "d46_html_extract",
     # round-4 additions, keep warm
     "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
     "d42_dup_ngram_fraction", "d43_span_dedup",
