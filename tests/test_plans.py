@@ -147,3 +147,36 @@ def test_blocklist_isin_pushes_to_scan(spark, tmp_path):
     out = blocklist_filter(spark.read.parquet(p), "domain", ["a.com", "c.com"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Or(IsNull(domain),Not(In(domain" in plan, plan
+
+
+def test_html_extract_is_pure_codegen_no_shuffle(spark):
+    """d46's extraction chain (script/style/tag strip + entity unescape +
+    whitespace collapse) must stay one codegen'd projection: no
+    Exchange, no Python/Arrow stage anywhere."""
+    from datacurator_jl_spark.queries import QUERIES
+
+    plan = _phys(QUERIES["d46_html_extract"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan  # neither Batch- nor ArrowEval
+    assert "*(1) Project" in plan, plan
+
+
+def test_token_count_seam_default_adds_no_python_stage(spark, monkeypatch):
+    """DC_TOKENIZER unset -> token_count_column IS the native expression:
+    the d45 plan has no Python stage. Configured -> exactly one
+    ArrowEvalPython appears (the worker-cached tokenizer UDF)."""
+    import json
+
+    from datacurator_jl_spark.functions.tokenizer import token_count_column
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    monkeypatch.delenv("DC_TOKENIZER", raising=False)
+    native = _phys(df.select(token_count_column(F.col("text")).alias("t")))
+    assert "EvalPython" not in native, native
+
+    vocab = "/tmp/dc_plan_vocab.json"
+    with open(vocab, "w") as fh:
+        json.dump({"vocab": ["x"]}, fh)
+    monkeypatch.setenv("DC_TOKENIZER", vocab)
+    seamed = _phys(df.select(token_count_column(F.col("text")).alias("t")))
+    assert seamed.count("ArrowEvalPython") == 1, seamed
