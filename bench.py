@@ -92,6 +92,7 @@ HEADLINE = [
     "d44_blocked_containment",
     "d45_token_stats",
     "d46_html_extract",
+    "d47_latest_version",
 ]
 
 

@@ -183,6 +183,48 @@ def extract_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*_known(df, columns))
 
 
+def latest_version(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the single LATEST row per key — the 'latest crawl per URL'
+    ingest op (north-rule analogue: one row per url at max warc_ts; the
+    reference's keep-newest file disposition re-expressed relationally).
+
+    Winner = max ``(ts IS NOT NULL, ts, tiebreak)``: a NULL timestamp
+    never beats a real one (it wins only when the whole group is
+    NULL-ts), and ``tiebreak_col`` (unique per group for full
+    determinism — e.g. the event/crawl id) settles equal timestamps.
+
+    Scale shape: ONE map-side-combinable ``max(struct)`` aggregate —
+    partial max per partition, then a shuffle of one struct per
+    (partition, key), never a per-key window sort over all versions
+    (`row_number` would buffer and sort every version of a hot URL in
+    one task; the aggregate reduces them locally first). Same winner
+    pattern as paragraph dedup's min(struct). Output: key cols + ts +
+    tiebreak + ``payload_cols`` (default: all remaining columns).
+    """
+    if payload_cols is None:
+        taken = set(key_cols) | {ts_col, tiebreak_col}
+        payload_cols = [c for c in df.columns if c not in taken]
+    w = F.struct(
+        F.col(ts_col).isNotNull().alias("_nn"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = df.groupBy(*key_cols).agg(F.max(w).alias("_w"))
+    return agg.select(
+        *key_cols,
+        F.col("_w._ts").alias(ts_col),
+        F.col("_w._tb").alias(tiebreak_col),
+        *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def groupbycolumn(
     df: DataFrame,
     groupcols: list[str],

@@ -758,6 +758,36 @@ def d46(spark, sf):
 
 
 @_q(
+    "d47_latest_version",
+    """
+    SELECT user_id, event_type, ts, event_id, value FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY (ts IS NOT NULL) DESC, ts DESC NULLS LAST,
+                        event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def d47(spark, sf):
+    """Latest-version-per-key dedup ('latest crawl per URL'): one row
+    per (user_id, event_type) at max (ts, event_id). The Spark side is
+    a single map-side-combinable max(struct) aggregate — versions of a
+    hot key reduce locally before the shuffle, no per-key window sort
+    (operators/dataframe_ops.latest_version); the oracle states the
+    same winner as a row_number window. NULL-ts-never-wins and the
+    unique-tiebreak ordering make both engines pick identical rows."""
+    from datacurator_jl_spark.operators.dataframe_ops import latest_version
+
+    return latest_version(
+        _t(spark, sf, "events").select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        ),
+        ["user_id", "event_type"], "ts", "event_id",
+    )
+
+
+@_q(
     "d09_scrub",
     """
     SELECT doc_id,
@@ -2721,6 +2751,7 @@ _DRIVER_PRIORITY = [
     # new in round 5: simhash-prefix-blocked containment, tokenizer-seam
     # token stats, html extraction
     "d44_blocked_containment", "d45_token_stats", "d46_html_extract",
+    "d47_latest_version",
     # round-4 additions, keep warm
     "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
     "d42_dup_ngram_fraction", "d43_span_dedup",

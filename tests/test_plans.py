@@ -180,3 +180,18 @@ def test_token_count_seam_default_adds_no_python_stage(spark, monkeypatch):
     monkeypatch.setenv("DC_TOKENIZER", vocab)
     seamed = _phys(df.select(token_count_column(F.col("text")).alias("t")))
     assert seamed.count("ArrowEvalPython") == 1, seamed
+
+
+def test_latest_version_is_single_aggregate_no_window(spark):
+    """d47's argmax must compile to one partial+final hash aggregate
+    (versions of a hot key reduce map-side), never a per-key Window sort."""
+    from datacurator_jl_spark.operators.dataframe_ops import latest_version
+
+    df = spark.createDataFrame(
+        [("u", "t", None, 1, 1.0)],
+        "user_id string, event_type string, ts timestamp, event_id int, value double",
+    )
+    plan = _phys(latest_version(df, ["user_id", "event_type"], "ts", "event_id"))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2 or plan.count("SortAggregate") == 2, plan

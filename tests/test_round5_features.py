@@ -190,6 +190,45 @@ def test_validate_unique_ids_memoizes_per_frame(spark, monkeypatch):
         DO.validate_unique_ids(dup, "id", "op5")  # failure never memoized
 
 
+def test_latest_version_semantics(spark):
+    """Argmax-per-key dedup: NULL ts never wins unless the whole group is
+    NULL-ts; equal timestamps settle on the tiebreak; payload columns
+    ride the winner struct untouched."""
+    import datetime as dt
+
+    from datacurator_jl_spark.operators.dataframe_ops import latest_version
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 6, 1)
+    rows = [
+        # key A: later ts wins regardless of tiebreak order
+        ("A", t1, 9, "old"),
+        ("A", t2, 1, "new"),
+        # key B: NULL ts never beats a real one
+        ("B", None, 99, "null-ts"),
+        ("B", t1, 2, "real-ts"),
+        # key C: all NULL ts -> tiebreak decides
+        ("C", None, 3, "c3"),
+        ("C", None, 7, "c7"),
+        # key D: equal ts -> larger tiebreak wins
+        ("D", t1, 4, "d4"),
+        ("D", t1, 8, "d8"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, crawl_id int, payload string"
+    )
+    got = {
+        r.url: (r.warc_ts, r.crawl_id, r.payload)
+        for r in latest_version(df, ["url"], "warc_ts", "crawl_id").collect()
+    }
+    assert got == {
+        "A": (t2, 1, "new"),
+        "B": (t1, 2, "real-ts"),
+        "C": (None, 7, "c7"),
+        "D": (t1, 8, "d8"),
+    }
+
+
 def test_simhash_prefix_block_validates_bits(spark, docs_df):
     with pytest.raises(ValueError, match="prefix_bits"):
         DD.simhash_prefix_block(docs_df, "text", prefix_bits=0)
