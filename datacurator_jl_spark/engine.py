@@ -432,6 +432,33 @@ class Pipeline:
             )
 
             df = blocklist_filter(df, spec.name_col, spec.blocklist)
+        # optional latest-version pre-pass ([global] keep_latest =
+        # ["ts_col", "tiebreak_col"]): collapse multiple crawls of the
+        # same name/url to the newest BEFORE any content pass — dedup
+        # would otherwise pick its own (min-id) representative, and
+        # boilerplate/paragraph frequencies would double-count stale
+        # versions. After blocklist (cheapest-first: blocked rows never
+        # enter the argmax shuffle). One map-side-combinable max(struct)
+        # aggregate; original column order preserved.
+        if spec.keep_latest:
+            ts_col, tb_col = spec.keep_latest
+            _need("keep_latest", spec.name_col, ts_col, tb_col)
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "keep_latest is batch-only (the newest version per "
+                    "name is a global aggregate); for streams dedup "
+                    "versions downstream or via the signature-table flow"
+                )
+            from datacurator_jl_spark.operators.dataframe_ops import (
+                latest_version,
+            )
+
+            cols = list(df.columns)
+            df = latest_version(df, [spec.name_col], ts_col, tb_col).select(
+                *cols
+            )
         # optional boilerplate pre-pass ([global] remove_boilerplate = N):
         # strip corpus-wide repeated lines BEFORE dedup and the rules —
         # shared chrome inflates near-dup similarity and quality scores.

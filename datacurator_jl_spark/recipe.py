@@ -95,6 +95,11 @@ class RecipeSpec:
     # line is boilerplate becomes null text (normally dropped by a
     # has_text rule).
     remove_boilerplate: int | None = None
+    # optional latest-version pre-pass AFTER blocklist and BEFORE every
+    # content pass: ["ts_col", "tiebreak_col"] collapses multiple crawls
+    # of the same name/url to the newest (operators/dataframe_ops.
+    # latest_version: NULL ts never wins; tiebreak settles equal ts)
+    keep_latest: list[str] = field(default_factory=list)
     # optional name-column blocklist pre-pass: drop rows whose name is in
     # the list BEFORE everything else (the cheapest stage — a plain
     # filter, streaming-safe). Corpus-scale lists belong in
@@ -144,6 +149,7 @@ _GLOBAL_KEYS = {
     "dedup_materialize",
     "remove_boilerplate",
     "blocklist",
+    "keep_latest",
     "paragraph_dedup",
     "remove_duplicated_spans",
     "domain_cap",
@@ -194,6 +200,18 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
             f"blocklist must be a list of name strings, got {bl!r}"
         )
     spec.blocklist = list(bl)
+    kl = g.get("keep_latest", [])
+    if (
+        isinstance(kl, str)
+        or not isinstance(kl, (list, tuple))
+        or not all(isinstance(x, str) for x in kl)
+        or len(kl) not in (0, 2)
+    ):
+        raise RecipeError(
+            "keep_latest must be a 2-list [ts_col, tiebreak_col] "
+            f"(newest row per name_col wins), got {kl!r}"
+        )
+    spec.keep_latest = list(kl)
     pdd = g.get("paragraph_dedup", False)
     if not isinstance(pdd, bool):
         raise RecipeError(

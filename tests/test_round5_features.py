@@ -229,6 +229,56 @@ def test_latest_version_semantics(spark):
     }
 
 
+def test_keep_latest_recipe_prepass(spark):
+    """`[global] keep_latest = [ts, tiebreak]` collapses crawl versions
+    to the newest BEFORE the rules (stale versions never reach them);
+    column order is preserved; bad shapes fail eagerly."""
+    import datetime as dt
+
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "keep_latest": ["warc_ts", "crawl_id"],
+            },
+            "any": {"conditions": ["has_text"], "actions": ["keep"]},
+        }
+    )
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [
+            ("u1", t1, 1, "stale version"),
+            ("u1", t2, 2, "fresh version"),
+            ("u2", t1, 3, "only version"),
+        ],
+        "url string, warc_ts timestamp, crawl_id int, text string",
+    )
+    out = Pipeline(spec).apply(df).df
+    assert out.columns[:4] == ["url", "warc_ts", "crawl_id", "text"]
+    got = {r.url: r.text for r in out.select("url", "text").collect()}
+    assert got == {"u1": "fresh version", "u2": "only version"}
+
+    with pytest.raises(RecipeError, match="keep_latest"):
+        parse_recipe(
+            {
+                "global": {"act_on_success": True, "keep_latest": ["only_ts"]},
+                "any": {"conditions": ["always"], "actions": ["keep"]},
+            }
+        )
+    # fail-before-data on a typo'd column
+    bad = parse_recipe(
+        {
+            "global": {"act_on_success": True, "keep_latest": ["nope", "crawl_id"]},
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    with pytest.raises(RecipeError, match="keep_latest"):
+        Pipeline(bad).apply(df)
+
+
 def test_simhash_prefix_block_validates_bits(spark, docs_df):
     with pytest.raises(ValueError, match="prefix_bits"):
         DD.simhash_prefix_block(docs_df, "text", prefix_bits=0)
