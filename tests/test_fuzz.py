@@ -264,3 +264,45 @@ def test_remove_duplicated_spans_matches_python(spark, texts):
         ).collect()
     }
     assert got == _span_dedup_py(corpus, 2)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3", None]),            # key (null = a group)
+            st.one_of(st.none(), st.integers(0, 5)),              # ts bucket
+            st.integers(0, 10_000),                               # tiebreak
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[2],  # unique tiebreak (the documented contract)
+    )
+)
+def test_fuzz_latest_version_matches_python_reference(spark, rows):
+    """latest_version == the per-group max of (ts IS NOT NULL, ts,
+    tiebreak) computed row-at-a-time in Python, incl. NULL keys and
+    NULL-ts-only groups."""
+    import datetime as dt
+
+    from datacurator_jl_spark.operators.dataframe_ops import latest_version
+
+    to_ts = lambda b: None if b is None else dt.datetime(2024, 1, 1 + b)
+    data = [(k, to_ts(t), tb, f"p{tb}") for k, t, tb in rows]
+    df = spark.createDataFrame(
+        data, "url string, warc_ts timestamp, crawl_id int, payload string"
+    )
+    got = {
+        r.url: (r.warc_ts, r.crawl_id, r.payload)
+        for r in latest_version(df, ["url"], "warc_ts", "crawl_id").collect()
+    }
+    exp: dict = {}
+    for k, t, tb, p in data:
+        cand = (t is not None, t or dt.datetime.min, tb)
+        if k not in exp or cand > exp[k][0]:
+            exp[k] = (cand, (t, tb, p))
+    assert got == {k: v for k, (_, v) in exp.items()}
