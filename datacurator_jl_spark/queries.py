@@ -625,7 +625,7 @@ def d44(spark, sf):
     reference analogue: prefix-grouping (stack_images_by_prefix,
     src/DataCurator.jl:2806-2851)."""
     blocked = DD.simhash_prefix_block(
-        _t(spark, sf, "documents"), "text", prefix_bits=6, bits=16
+        _t(spark, sf, "documents"), "text", prefix_bits=8, bits=16
     )
     return DD.ngram_containment_pairs(
         blocked, "doc_id", "text", "blk_simhash", threshold=0.8
@@ -645,7 +645,7 @@ ORACLES["d44_blocked_containment"] = (
     ),
     s AS (SELECT doc_id, ws, ("""
     + _sql_simhash_sum()
-    + """ >> 10) AS blk FROM w)
+    + """ >> 8) AS blk FROM w)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.ws, b.ws))::DOUBLE /
                  least(len(a.ws), len(b.ws)), 6) AS containment
