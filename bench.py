@@ -93,6 +93,7 @@ HEADLINE = [
     "d45_token_stats",
     "d46_html_extract",
     "d47_latest_version",
+    "d48_url_host",
 ]
 
 

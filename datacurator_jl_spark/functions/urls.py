@@ -84,6 +84,60 @@ def canonical_url_py(u: str | None) -> str | None:
     return t
 
 
+def url_host(col: Column, strip_www: bool = True) -> Column:
+    """Host extraction for domain keying — feeds ``domain_cap``,
+    blocklists, and per-domain stats from RAW urls when no ``source``
+    column exists (round 5). PINNED SEQUENCE (all three twins):
+
+    1. trim ASCII whitespace (as canonical_url step 1);
+    2. authority = ``^scheme://([^/?#]*)``; no scheme -> NULL (not a URL);
+    3. strip ``userinfo@`` and a trailing ``:digits`` port;
+    4. lowercase; optionally strip ONE leading ``www.``;
+    5. empty host -> NULL.
+
+    A VALUE for keys, like canonical_url — no IDN/percent decoding."""
+    t = F.regexp_replace(col, f"^[{_WS}]+", "")
+    t = F.regexp_replace(t, f"[{_WS}]+$", "")
+    host = F.regexp_extract(t, f"^{_SCHEME}://([^/?#]*)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    host = F.lower(host)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def url_host_py(u: str | None, strip_www: bool = True) -> str | None:
+    """Per-row Python oracle twin of :func:`url_host`."""
+    if u is None:
+        return None
+    t = re.sub(f"^[{_WS}]+", "", u)
+    t = re.sub(f"[{_WS}]+$", "", t)
+    m = re.match(f"^{_SCHEME}://([^/?#]*)", t)
+    host = m.group(1) if m else ""
+    host = re.sub(r"^[^@]*@", "", host)
+    host = re.sub(r":[0-9]*$", "", host)
+    host = host.lower()
+    if strip_www:
+        host = re.sub(r"^www\.", "", host)
+    return host or None
+
+
+def url_host_sql(col: str, strip_www: bool = True) -> str:
+    """The DuckDB twin as a SQL expression string (RE2)."""
+    ws = " \\t\\n\\x0b\\f\\r"
+    scheme = "[A-Za-z][A-Za-z0-9+.-]*"
+    t = f"regexp_replace({col}, '^[{ws}]+', '', 'g')"
+    t = f"regexp_replace({t}, '[{ws}]+$', '', 'g')"
+    h = f"regexp_extract({t}, '^{scheme}://([^/?#]*)', 1)"
+    h = f"regexp_replace({h}, '^[^@]*@', '', 'g')"
+    h = f"regexp_replace({h}, ':[0-9]*$', '', 'g')"
+    h = f"lower({h})"
+    if strip_www:
+        h = f"regexp_replace({h}, '^www\\.', '', 'g')"
+    return f"nullif({h}, '')"
+
+
 def canonical_url_sql(col: str) -> str:
     """The DuckDB twin as a SQL expression string (RE2; ``\\1`` backrefs)."""
     ws = " \\t\\n\\x0b\\f\\r"

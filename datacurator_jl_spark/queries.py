@@ -787,6 +787,50 @@ def d47(spark, sf):
     )
 
 
+def _d48_sql() -> str:
+    from datacurator_jl_spark.functions.urls import url_host_sql
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN 'https://www.' || source || '/p/' || doc_id::VARCHAR
+        WHEN 1 THEN 'HTTP://' || upper(source) || ':80/x?q=1'
+        WHEN 2 THEN 'https://crawler:pw@' || source || ':8443/'
+        ELSE 'no scheme here' END AS url
+      FROM documents)
+    SELECT doc_id, {url_host_sql('url')} AS host FROM u
+    """
+
+
+@_q("d48_url_host", None)
+def d48(spark, sf):
+    """Host extraction from RAW urls (functions/urls.url_host) — the
+    domain key for domain_cap/blocklists when no source column exists.
+    Each doc is given one of four adversarial url spellings (www +
+    path, uppercase scheme/host + port, userinfo + port, scheme-less ->
+    NULL); the pinned trim/authority/userinfo/port/lowercase/www
+    sequence must recover the bare domain identically on both engines.
+    Pure codegen'd regex chain, no UDF, no shuffle."""
+    from datacurator_jl_spark.functions.urls import url_host
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit("/p/"), did))
+        .when(m == 1, F.concat(F.lit("HTTP://"), F.upper(F.col("source")),
+                               F.lit(":80/x?q=1")))
+        .when(m == 2, F.concat(F.lit("https://crawler:pw@"),
+                               F.col("source"), F.lit(":8443/")))
+        .otherwise(F.lit("no scheme here"))
+    )
+    return d.select("doc_id", url_host(url).alias("host"))
+
+
+ORACLES["d48_url_host"] = _d48_sql()
+
+
 @_q(
     "d09_scrub",
     """
@@ -2751,7 +2795,7 @@ _DRIVER_PRIORITY = [
     # new in round 5: simhash-prefix-blocked containment, tokenizer-seam
     # token stats, html extraction
     "d44_blocked_containment", "d45_token_stats", "d46_html_extract",
-    "d47_latest_version",
+    "d47_latest_version", "d48_url_host",
     # round-4 additions, keep warm
     "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
     "d42_dup_ngram_fraction", "d43_span_dedup",

@@ -65,3 +65,46 @@ def test_canonical_dedup_composition(spark):
         df.withColumn("url", canonical_url(F.col("url"))), "id", "url"
     )
     assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+HOST_CASES = [
+    ("https://www.Site.COM/p/1", "site.com"),
+    ("HTTP://EXAMPLE.ORG:80/x?q=1", "example.org"),
+    ("https://crawler:pw@site.com:8443/", "site.com"),
+    ("https://user@Www.Host.io", "host.io"),
+    ("https://site.com:", "site.com"),          # empty port strips
+    ("https://wwwx.site.com/", "wwwx.site.com"),  # only 'www.' strips
+    ("  https://site.com/x  ", "site.com"),     # trim
+    ("no scheme here", None),
+    ("", None),
+    ("https:///path", None),                    # empty authority
+]
+
+
+def test_url_host_pinned_cases_three_way(spark):
+    """url_host: Spark == Python twin == DuckDB twin on the pinned
+    adversarial spellings (the d48 oracle gates the SQL twin corpus-wide;
+    this pins the falsifying micro-cases on all three engines)."""
+    import duckdb
+
+    from datacurator_jl_spark.functions.urls import (
+        url_host,
+        url_host_py,
+        url_host_sql,
+    )
+
+    for raw, want in HOST_CASES:
+        assert url_host_py(raw) == want, raw
+    assert url_host_py(None) is None
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(HOST_CASES)] + [(999, None)],
+        "i int, url string",
+    )
+    got = {r.i: r.h for r in df.select("i", url_host(F.col("url")).alias("h")).collect()}
+    con = duckdb.connect()
+    for i, (raw, want) in enumerate(HOST_CASES):
+        assert got[i] == want, (raw, got[i], want)
+        (duck,) = con.execute(f"SELECT {url_host_sql('?')}", [raw]).fetchone()
+        assert duck == want, (raw, duck, want)
+    assert got[999] is None
