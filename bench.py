@@ -97,6 +97,22 @@ HEADLINE = [
 ]
 
 
+def calibrate() -> float:
+    """Fixed single-thread CPU burn (~1 s when the host is quiet) — the
+    shared-VM noise probe from scripts/bench_scaling.py, emitted in the
+    bench JSON since round 6 (VERDICT r5 Next #3) so every recorded
+    BENCH_r{N} carries its own contention context: if `calib_*` here is
+    materially above the quietest values recorded in BENCH.md, the
+    timings in the same JSON line were taken under neighbor load and
+    must not be read as a code regression (round 5's driver run inflated
+    ~1.6-4x on unchanged code exactly this way)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -129,7 +145,7 @@ _FLAGSHIP_WORKER = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from datacurator_jl_spark.session import get_spark
-from bench import flagship_pipeline, ensure_bench_docs
+from bench import flagship_pipeline, ensure_bench_docs, calibrate
 s = get_spark("bench-flagship", cores={cores}, shuffle_partitions={cores})
 path = ensure_bench_docs(s, {docs})
 df = flagship_pipeline(s, path)
@@ -137,12 +153,13 @@ df = flagship_pipeline(s, path)
 # whole-stage-codegen JIT happen here, so the timed runs measure
 # steady-state throughput, not startup
 df.limit(5000).write.format("noop").mode("overwrite").save()
-runs = []
+runs, calibs = [], [calibrate()]
 for _ in range(3):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     runs.append(round(time.perf_counter() - t0, 3))
-print("FLAGSHIP " + json.dumps({{"cold": runs[0], "warm": min(runs[1:]), "runs": runs}}))
+    calibs.append(calibrate())
+print("FLAGSHIP " + json.dumps({{"cold": runs[0], "warm": min(runs[1:]), "runs": runs, "calibs": calibs}}))
 s.stop()
 """
 
@@ -189,7 +206,7 @@ def main() -> int:
         sf = 0.1
 
     timings: dict[str, float] = {}
-    extras: dict[str, object] = {}
+    extras: dict[str, object] = {"calib_start_sec": calibrate()}
 
     if args.only in ("suite", "all"):
         # min of 2 runs per query: this VM has bursty neighbor load
@@ -204,6 +221,7 @@ def main() -> int:
                 _noop_write(fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+        extras["calib_after_suite_sec"] = calibrate()
 
     if args.only in ("flagship", "all"):
         # ensure the corpus exists before the subprocess measures (the
@@ -219,7 +237,12 @@ def main() -> int:
         extras["flagship_docs"] = BENCH_DOCS
         extras["flagship_docs_per_sec"] = round(BENCH_DOCS / fm["warm"], 1)
         extras["flagship_cpus"] = FLAGSHIP_CPUS
+        extras["flagship_calibs_sec"] = fm.get("calibs", [])
         extras["cpus"] = CPUS
+        # contention self-evidence: quiet-host burn is ~0.95-1.1 s on
+        # this VM (BENCH.md ladder); materially higher burns mean the
+        # timings above were taken under neighbor load
+        extras["calib_quiet_ref_sec"] = 1.0
 
     total = round(sum(timings.values()), 3)
     print(

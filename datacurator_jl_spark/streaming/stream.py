@@ -183,13 +183,32 @@ def quality_filter_stream(
 
 
 def domain_quota_batch(
-    docs: DataFrame, quota: int, domain_col: str, order_col: str
+    docs: DataFrame, quota: int, domain_col: str, order_col: str,
+    salt_parts: int = 16,
 ) -> DataFrame:
     """Deterministic batch twin of ``domain_quota_stream``: admit the
     FIRST ``quota`` documents per domain by ``order_col`` (the stream
     admits in arrival order; the batch twin pins that order so the quota
-    semantics are oracle-checkable). One window shuffle on the domain
-    key; skew-bounded because output per domain is capped at quota."""
+    semantics are oracle-checkable).
+
+    Two-phase salted cap (round-6, same proof as
+    operators/sampling._rank_capped): phase 1 pre-caps each of
+    ``salt_parts`` hash slices of a domain at ``quota`` — a mega-domain
+    sorts across salt_parts tasks instead of one — and phase 2 ranks the
+    <= salt_parts x quota survivors exactly; output identical for any
+    ``salt_parts`` given a total order (``order_col`` unique per domain
+    — ties make the admitted SET arbitrary among tied rows, exactly as
+    the single-window variant already was). The streaming twin's
+    per-partition pre-cap (``_domain_precap``) is the same idea with
+    input partitions as slices."""
+    if salt_parts and salt_parts > 1:
+        sl = F.pmod(F.hash(F.col(order_col)), F.lit(int(salt_parts)))
+        wp = Window.partitionBy(domain_col, sl).orderBy(order_col)
+        docs = (
+            docs.withColumn("_prn", F.row_number().over(wp))
+            .filter(F.col("_prn") <= quota)
+            .drop("_prn")
+        )
     w = Window.partitionBy(domain_col).orderBy(order_col)
     return (
         docs.withColumn("_rn", F.row_number().over(w))

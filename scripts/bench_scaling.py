@@ -46,14 +46,14 @@ s.stop()
 def calibrate() -> float:
     """Fixed single-thread CPU burn (~1s when the host is quiet). The
     measured time is a noise probe: runs taken in windows where this is
-    inflated are discarded (shared-VM neighbor load comes in bursts)."""
-    import time as _time
+    inflated are discarded (shared-VM neighbor load comes in bursts).
+    Shared with bench.py since round 6, so the driver-recorded
+    BENCH_r{N}.json and this script's quiet-window protocol use the
+    IDENTICAL burn."""
+    sys.path.insert(0, REPO)
+    from bench import calibrate as _burn
 
-    t0 = _time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i * i
-    return _time.perf_counter() - t0
+    return _burn()
 
 
 def run_once(cores: int, docs: int) -> float:

@@ -47,6 +47,28 @@ def test_extract_html_text_no_double_unescape(spark):
     assert got == "a &lt; b &amp; c < d"
 
 
+def test_numeric_entity_unescape(spark):
+    """Round-6 general numeric character references, pinned cases
+    (VERDICT r5 Next #5 names &#8217; explicitly)."""
+    cases = [
+        ("<p>it&#8217;s</p>", "it’s"),
+        ("<p>a&#x2019;b and &#X27;q</p>", "a’b and 'q"),
+        ("<p>&#38;lt;</p>", "&lt;"),  # &#38; -> &amp;, unescaped LAST, once
+        ("<p>&#128512;</p>", "😀"),  # supplementary -> surrogate pair
+        ("<p>x&#xD800;y</p>", "x&#xD800;y"),  # surrogate: verbatim
+        ("<p>&#1114112; &#0;</p>", "&#1114112; &#0;"),  # out of range
+        ("<p>&#999999999;</p>", "&#999999999;"),  # 8+ digits: not a ref
+        ("<p>a&#160;b</p>", "a b"),  # NBSP normalized like &nbsp;
+        ("<p>&mdash; caf&eacute; &hellip;</p>", "— café …"),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    rows = df.select(
+        extract_html_text(F.col("html")).alias("t"), "want"
+    ).collect()
+    for r in rows:
+        assert r.t == r.want, (r.t, r.want)
+
+
 def test_decode_images_fake_plumbing(spark, docs_df):
     out = decode_images(docs_df.select("url", "html").limit(30), payload_col="html")
     rows = out.collect()

@@ -149,16 +149,28 @@ def test_blocklist_isin_pushes_to_scan(spark, tmp_path):
     assert "Or(IsNull(domain),Not(In(domain" in plan, plan
 
 
-def test_html_extract_is_pure_codegen_no_shuffle(spark):
-    """d46's extraction chain (script/style/tag strip + entity unescape +
-    whitespace collapse) must stay one codegen'd projection: no
-    Exchange, no Python/Arrow stage anywhere."""
+def test_html_extract_is_one_projection_no_shuffle(spark):
+    """d46's extraction chain (script/style/tag strip + numeric+named
+    entity unescape + whitespace collapse) must stay ONE projection with
+    no Exchange and no Python/Arrow stage. Since round 6 the general
+    numeric-reference pass uses one transform() HOF (CodegenFallback),
+    so the full chain is an interpreted Project — acceptable for a
+    content-LOADING stage; `numeric_entities=False` must still compile
+    to the round-5 pure whole-stage-codegen plan (pinned below so the
+    fast path stays available)."""
+    from pyspark.sql import functions as F
+
+    from datacurator_jl_spark.multimodal.binary import extract_html_text
     from datacurator_jl_spark.queries import QUERIES
 
     plan = _phys(QUERIES["d46_html_extract"](spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan  # neither Batch- nor ArrowEval
-    assert "*(1) Project" in plan, plan
+    assert "Project" in plan, plan
+
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    fast = _phys(df.select(extract_html_text(F.col("html"), numeric_entities=False)))
+    assert "*(1) Project" in fast, fast
 
 
 def test_token_count_seam_default_adds_no_python_stage(spark, monkeypatch):
@@ -182,12 +194,13 @@ def test_token_count_seam_default_adds_no_python_stage(spark, monkeypatch):
     assert seamed.count("ArrowEvalPython") == 1, seamed
 
 
-def test_drop_exact_dupes_is_partial_aggregate_no_window(spark):
+def test_drop_exact_dupes_is_agg_semijoin_no_window(spark):
     """The [global] dedup="exact" hot path (d11, d38, d39) must compile
-    to a partial+final min_by aggregate — 10⁹ copies of one page reduce
-    map-side, one candidate row per upstream partition crosses the
-    exchange — never a per-content-hash Window sort (round-6 fix,
-    VERDICT r5 "wrong #1")."""
+    to a payload-free partial+final hash aggregate (winners) plus a
+    LEFT SEMI join on the per-row-unique (hash, id) key — 10⁹ copies of
+    one page reduce map-side and the payload shuffle stays uniform —
+    never a per-content-hash Window sort (round-6 fix, VERDICT r5
+    "wrong #1")."""
     from datacurator_jl_spark.operators.dedup import drop_exact_dupes
 
     df = spark.createDataFrame(
@@ -195,8 +208,8 @@ def test_drop_exact_dupes_is_partial_aggregate_no_window(spark):
     )
     plan = _phys(drop_exact_dupes(df, "doc_id", "text"))
     assert "Window" not in plan, plan
-    assert "partial_min_by" in plan, plan  # map-side combine
-    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan, plan  # map-side combine of winners
+    assert "LeftSemi" in plan, plan
 
 
 def test_latest_version_is_single_aggregate_no_window(spark):

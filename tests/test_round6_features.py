@@ -1,0 +1,194 @@
+"""Round-6 features: exact-dedup argmax semantics, block-shape-selector
+edge cases (ADVICE r5), max_by latest_version with non-orderable payload,
+and the two-phase salted group caps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- drop_exact_dupes (min_by argmax) semantics ------------------------------
+
+
+def test_drop_exact_dupes_null_text_and_null_id(spark):
+    """md5(NULL) is NULL, so null-text rows form ONE dup group; a NULL id
+    loses to any real id (DuckDB NULLS LAST, pinned in the docstring)."""
+    from datacurator_jl_spark.operators.dedup import drop_exact_dupes
+
+    df = spark.createDataFrame(
+        [
+            (None, "same", "winner-by-null-id-losing"),
+            ("a", "same", "x"),
+            ("b", "other", "y"),
+            ("c", None, "null-text-1"),
+            ("d", None, "null-text-2"),
+        ],
+        "doc_id string, text string, meta string",
+    )
+    kept = {r.doc_id for r in drop_exact_dupes(df, "doc_id", "text").collect()}
+    # "same" group: 'a' beats NULL id; null-text group: 'c' beats 'd'
+    assert kept == {"a", "b", "c"}
+
+
+def test_drop_exact_dupes_map_payload_passes_through(spark):
+    """min_by orders only by the id key, so a non-orderable (map) payload
+    column must ride through untouched — max(struct(...)) would fail at
+    analysis here."""
+    from datacurator_jl_spark.operators.dedup import drop_exact_dupes
+
+    df = spark.createDataFrame(
+        [("a", "t", {"k": "v1"}), ("b", "t", {"k": "v2"})],
+        "doc_id string, text string, meta map<string,string>",
+    )
+    rows = drop_exact_dupes(df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == "a" and rows[0].meta == {"k": "v1"}
+
+
+# -- _select_prefilter edge cases (ADVICE r5) --------------------------------
+
+
+def test_select_prefilter_zero_max_block_disables_cap():
+    """max_block=0 means 'cap disabled' (truthiness contract shared with
+    every other cap site), not 'any non-empty block is over cap'."""
+    from datacurator_jl_spark.operators.dedup import _select_prefilter
+
+    assert _select_prefilter(100, max_block_count=50, max_block=0) == "none"
+    assert _select_prefilter(100, max_block_count=50, max_block=None) == "none"
+    assert _select_prefilter(100, max_block_count=50, max_block=49) == "lsh"
+
+
+def test_auto_histogram_excludes_null_blocks(spark, monkeypatch):
+    """NULL block keys never pair in either path, so a hot NULL block
+    must not drive the block-shape statistic that routes to LSH."""
+    from datacurator_jl_spark.operators import dedup as DD
+
+    seen = {}
+    orig = DD._select_prefilter
+
+    def spy(n_docs, threshold=DD.AUTO_LSH_THRESHOLD, max_block_count=0,
+            max_block=None):
+        seen.update(n=n_docs, mx=max_block_count, cap=max_block)
+        return orig(n_docs, threshold, max_block_count, max_block)
+
+    monkeypatch.setattr(DD, "_select_prefilter", spy)
+    # 8 null-block rows (over the cap of 5) + a real 2-row block under it
+    rows = [(f"n{i}", None, f"word{i} a b") for i in range(8)] + [
+        ("r1", "blk", "shared words one two three"),
+        ("r2", "blk", "shared words one two three"),
+    ]
+    out = DD.ngram_jaccard_pairs(
+        spark.createDataFrame(rows, "doc_id string, src string, text string"),
+        "doc_id", "text", "src", 0.5, max_block=5, prefilter="auto",
+    ).collect()
+    assert seen["mx"] == 2, seen  # NULL block's 8 rows excluded
+    assert seen["n"] == 10  # total docs stays unfiltered
+    # exact path ran: the real block's genuine pair is present
+    assert {(r.id_a, r.id_b) for r in out} == {("r1", "r2")}
+
+
+# -- latest_version via max_by (ADVICE r5) -----------------------------------
+
+
+def test_latest_version_map_payload(spark):
+    """A map-typed metadata column must not break the argmax (the
+    engine's [global] keep_latest defaults payload_cols to every
+    remaining column, so analysis failure would ban maps corpus-wide)."""
+    from datacurator_jl_spark.operators.dataframe_ops import latest_version
+
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01", 1, {"v": "old"}),
+            ("u", "2024-06-01", 2, {"v": "new"}),
+            ("w", None, 3, {"v": "only"}),
+        ],
+        "url string, warc_ts string, crawl_id int, meta map<string,string>",
+    )
+    rows = {r.url: r for r in latest_version(df, ["url"], "warc_ts", "crawl_id").collect()}
+    assert rows["u"].meta == {"v": "new"} and rows["u"].crawl_id == 2
+    assert rows["w"].meta == {"v": "only"}  # all-NULL-ts group still wins
+
+
+# -- two-phase salted group caps (VERDICT r5 Next #4) ------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_groups(spark):
+    # one hot group (120 rows), several small ones, plus a NULL group
+    return spark.createDataFrame(
+        [(f"k{i}", "hot" if i < 120 else f"g{i % 7}") for i in range(160)]
+        + [(f"z{i}", None) for i in range(9)],
+        "key string, grp string",
+    ).cache()
+
+
+def _key_sets(df):
+    return {r.key for r in df.select("key").collect()}
+
+
+def test_stratified_sample_output_independent_of_salt_parts(skew_groups):
+    from datacurator_jl_spark.operators.sampling import stratified_hash_sample
+
+    base = _key_sets(stratified_hash_sample(skew_groups, "grp", "key", 0.25,
+                                            salt_parts=1))
+    for parts in (4, 16):
+        assert _key_sets(stratified_hash_sample(
+            skew_groups, "grp", "key", 0.25, salt_parts=parts)) == base
+
+
+def test_group_cap_output_independent_of_salt_parts(skew_groups):
+    from datacurator_jl_spark.operators.sampling import group_cap_sample
+
+    for kw in ({"cap": 10}, {"alpha": 0.5}):
+        base = _key_sets(group_cap_sample(skew_groups, "grp", "key",
+                                          salt_parts=1, **kw))
+        for parts in (4, 16):
+            got = _key_sets(group_cap_sample(skew_groups, "grp", "key",
+                                             salt_parts=parts, **kw))
+            assert got == base, kw
+
+
+def test_domain_quota_batch_output_independent_of_salt_parts(skew_groups):
+    from datacurator_jl_spark.streaming.stream import domain_quota_batch
+
+    base = _key_sets(domain_quota_batch(skew_groups, 10, "grp", "key",
+                                        salt_parts=1))
+    for parts in (4, 16):
+        assert _key_sets(domain_quota_batch(
+            skew_groups, 10, "grp", "key", salt_parts=parts)) == base
+
+
+def test_cosine_topk_broadcast_guard(spark):
+    """cosine_topk broadcasts its query side; past max_broadcast_rows it
+    must fail fast with a pointer to ivf_topk, not OOM the driver
+    mid-broadcast (VERDICT r5 Next #7)."""
+    from datacurator_jl_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        cosine_topk(vecs, vecs, k=2, max_broadcast_rows=5)
+    # under the cap (and with the probe disabled) it still works
+    assert cosine_topk(vecs, vecs.limit(3), k=2).count() > 0
+    assert cosine_topk(vecs, vecs.limit(2), k=1,
+                       max_broadcast_rows=None).count() > 0
+
+
+def test_two_phase_cap_plan_has_salted_pre_window(spark, skew_groups):
+    """salt_parts>1 adds the (group, slice) pre-cap window; salt_parts=1
+    reproduces the single-window plan."""
+    from datacurator_jl_spark.operators.sampling import group_cap_sample
+
+    one = group_cap_sample(skew_groups, "grp", "key", cap=5, salt_parts=1)
+    two = group_cap_sample(skew_groups, "grp", "key", cap=5, salt_parts=16)
+    # count exec nodes precisely: Spark 4 also inserts WindowGroupLimit
+    # nodes (its own map-side pre-limit for CONSTANT rank predicates),
+    # which contain the substring "Window"
+    p1 = one._jdf.queryExecution().executedPlan().toString()
+    p2 = two._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Window [") == 1, p1
+    assert p2.count("Window [") == 2, p2
+    assert "pmod" in p2
