@@ -567,7 +567,14 @@ class Pipeline:
                     "streaming.streaming_dedup)"
                 )
             if spec.dedup == "exact":
-                df = drop_exact_dupes(df, spec.name_col, spec.text_col)
+                # id uniqueness is load-bearing for the semi-join-on-id
+                # plan; skip the probe only when a prior pre-pass already
+                # validated this id column
+                df = drop_exact_dupes(
+                    df, spec.name_col, spec.text_col,
+                    validate_ids=not ids_validated,
+                )
+                ids_validated = True
                 # materialize the survivor set once: the quit gate,
                 # counters, file lists and the final write each execute
                 # the plan — the dedup job must not run per action

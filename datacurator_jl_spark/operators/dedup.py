@@ -83,49 +83,71 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def drop_exact_dupes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def drop_exact_dupes(
+    df: DataFrame, id_col: str, text_col: str, validate_ids: bool = True
+) -> DataFrame:
     """Keep only the min-id representative of each distinct text.
 
-    Scale shape (round-6, VERDICT r5 #1): winners-aggregate + null-safe
-    LEFT SEMI join — NOT a per-key ``row_number`` window, and NOT a
-    ``min_by`` argmax either:
+    Scale shape (round-6, VERDICT r5 #1): winners-aggregate + LEFT SEMI
+    join ON THE ID ALONE — NOT a per-key ``row_number`` window, and NOT
+    a ``min_by`` argmax either:
 
     - winners = ``groupBy(md5(text)).agg(min(id))`` is a payload-free
       codegen'd HashAggregate with map-side partial aggregation — only
       (hash, min-id) pairs cross its exchange, so 10⁸–10⁹ identical
       copies of a viral page (ONE content-hash key at 100 TB) collapse
       to one candidate per input partition before any shuffle;
-    - the semi join's key ``(hash, id)`` is UNIQUE PER ROW, so the
-      payload shuffle is perfectly uniform no matter how hot any single
-      page is. The window variant dragged every copy's full row into a
-      single reducer task (sorted there — the task that dies at crawl
-      scale); a ``min_by(struct(all columns))`` argmax avoids the hot
-      reducer but compiles to a SortAggregate, which is outside
-      whole-stage codegen and measured 1.6–4x slower than this plan on
-      BOTH mega-dup and mostly-unique corpora (BENCH.md skew guard 7).
-      Cost note: the input lineage is evaluated twice (winners + probe
-      side) — upstream of the default engine pre-pass that is a pruned
-      parquet scan; callers with an expensive upstream should
-      checkpoint it first.
+    - because ids are unique (the validated engine contract), the
+      min-id winner SET identifies the kept rows by itself, so the semi
+      join keys on the id only: the probe side never recomputes the
+      content hash (one md5 pass total, and Catalyst prunes the text /
+      upstream normalization off the probe branch when the caller's
+      projection allows), the join key is unique-per-row (perfectly
+      uniform shuffle no matter how hot any page is), and AQE
+      broadcasts the winner-id set outright when it is small.
+
+    Alternatives measured and rejected (BENCH.md skew guard 7, ~2 KB
+    pages, full-row writes, both a degenerate all-identical corpus and
+    a mostly-unique one): this plan won BOTH shapes. The rank-1
+    ``row_number`` window is the single-reducer death plan on engines
+    without WindowGroupLimit (every copy's full row through one task);
+    Spark ≥ 3.5 bounds it with a map-side partial group-limit, but it
+    still payload-sorts each partition and re-sorts after the exchange,
+    and it measured slower on both shapes. A semi join keyed on
+    (hash, id) pays a SECOND full md5 pass on the probe side (up to 4x
+    slower). A ``min_by(struct(all columns))`` argmax compiles to a
+    SortAggregate, outside whole-stage codegen, 1.6–4x slower.
 
     Semantics, pinned: winner = min non-NULL id per distinct text
-    (``min`` ignores NULLs, so a NULL id loses to any real id — the
-    DuckDB oracle's NULLS LAST); NULL texts form one group of their own
-    (hash coalesced to a sentinel no md5 output can collide with); all
-    columns ride through untouched (maps included — nothing orders by
-    payload). Degenerate inputs, documented: ids are validated
-    non-null/unique by the engine pre-pass — without that, a dup group
-    whose ids are ALL NULL is dropped entirely (no winner id to match),
-    and a duplicated min-id keeps each of its copies.
+    (``min`` ignores NULLs — the DuckDB oracle's NULLS LAST); NULL
+    texts form one group of their own (hash coalesced to a sentinel no
+    md5 output can collide with); all columns ride through untouched
+    (maps included — nothing orders by payload). CONTRACT (load-bearing
+    since the join keys on the id alone): ids unique and non-null —
+    probed eagerly by ``validate_ids=True`` (memoized per frame object,
+    the shared validate_unique_ids guard; the engine pre-pass passes
+    False when its own probe already ran). Without the contract:
+    NULL-id rows never match the winner set and are dropped; a
+    duplicated id keeps every row carrying a winning id, whatever its
+    text.
 
     Reference analogue: the keep/drop core + dostep 3-tuple,
     /root/reference/src/DataCurator.jl:1544-1568."""
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(df, id_col, "drop_exact_dupes")
     # sentinel "\x00": md5() emits only hex chars, so no real hash
     # collides with it
     h = F.coalesce(F.md5(F.col(text_col)), F.lit("\x00"))
-    winners = df.groupBy(h.alias("_dc_h")).agg(F.min(id_col).alias("_dc_keep"))
-    cond = (h == winners["_dc_h"]) & (F.col(id_col) == winners["_dc_keep"])
-    return df.join(winners, cond, "left_semi")
+    winners = (
+        df.groupBy(h.alias("_dc_h"))
+        .agg(F.min(id_col).alias("_dc_keep"))
+        .select("_dc_keep")
+    )
+    return df.join(winners, F.col(id_col) == winners["_dc_keep"], "left_semi")
 
 
 def minhash_signature(
@@ -165,13 +187,38 @@ def minhash_signature(
     return out
 
 
+def _drop_over_cap(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row of a group (by ``keys``) larger than ``cap`` — the
+    shared skew-guard primitive behind ``max_bucket``/``max_block``.
+
+    Round-6 shape: a groupBy count (map-side partial aggregation — a
+    10⁹-row degenerate bucket reduces to one count per input partition
+    before its exchange) + a LEFT SEMI join on the under-cap keys. The
+    previous ``count(*) over (partition by keys)`` form shuffled every
+    row of the hot bucket into ONE task and buffered the whole
+    partition frame there just to evaluate the count — the guard
+    against degenerate buckets was itself a degenerate-bucket
+    bottleneck. The semi join's hot probe partition is streamed
+    (hashed, never buffered) and AQE can skew-split it; window
+    partitions cannot be split.
+
+    NULL keys: an equi-join never matches NULL, so NULL-key rows drop
+    here. Every caller's downstream pair join is itself an equi-join on
+    the same keys, where NULL rows can never pair — the output pair set
+    is unchanged (the prefilter='auto' histogram excludes NULL blocks
+    for the same reason)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    ok = counts.filter(F.col("_n") <= cap).select(*keys)
+    return df.join(ok, keys, "left_semi")
+
+
 def _band_buckets(
     sig: DataFrame, k: int, bands: int, max_bucket: int | None = None
 ) -> DataFrame:
     """Explode a signature table (``doc``, ``mh0..mh{k-1}``, plus any
     passthrough columns, which are carried) into (doc, band, key, ...)
-    LSH bucket rows; ``max_bucket`` drops degenerate buckets (window
-    count — the skew guard)."""
+    LSH bucket rows; ``max_bucket`` drops degenerate buckets via the
+    shared ``_drop_over_cap`` guard."""
     if bands < 1 or k % bands:
         raise ValueError(
             f"k must be a positive multiple of bands (k={k}, "
@@ -190,12 +237,7 @@ def _band_buckets(
         "doc", *extra, F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", *extra, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket:
-        w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        buckets = _drop_over_cap(buckets, ["band", "key"], max_bucket)
     return buckets
 
 
@@ -540,12 +582,7 @@ def ngram_containment_pairs(
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
     if max_block:
-        w = Window.partitionBy("blk")
-        prep = (
-            prep.withColumn("_bn", F.count("*").over(w))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
+        prep = _drop_over_cap(prep, ["blk"], max_block)
     prep = _materialize(prep, materialize)
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     mn = F.least(F.size(F.col("a.ws")), F.size(F.col("b.ws")))
@@ -591,12 +628,7 @@ def drop_contained_docs(
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
     if max_block:
-        w = Window.partitionBy("blk")
-        prep = (
-            prep.withColumn("_bn", F.count("*").over(w))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
+        prep = _drop_over_cap(prep, ["blk"], max_block)
     prep = _materialize(prep, materialize)
     na, nb = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
@@ -778,8 +810,8 @@ def ngram_jaccard_pairs(
     Skew guards (round-3, VERDICT #1 — Σ block² is the scale-killer):
 
     - ``max_block`` drops blocks larger than the cap BEFORE the self-join
-      (window count, same shape as ``lsh_candidate_pairs``'s
-      ``max_bucket``). A mega-block (one domain = 10⁷ docs) would emit
+      (the shared ``_drop_over_cap`` groupBy-count + semi-join guard,
+      same as ``lsh_candidate_pairs``'s ``max_bucket``). A mega-block (one domain = 10⁷ docs) would emit
       ~5·10¹³ pairs on a single join key; AQE skew-split only shares
       that pain, it cannot shrink the pair count. Default 100k keeps
       test-scale output byte-identical while bounding any block at
@@ -823,12 +855,7 @@ def ngram_jaccard_pairs(
         raise ValueError(f"prefilter must be auto|none|lsh, got {prefilter!r}")
 
     def _cap_blocks(p: DataFrame) -> DataFrame:
-        w = Window.partitionBy("blk")
-        return (
-            p.withColumn("_bn", F.count("*").over(w))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
+        return _drop_over_cap(p, ["blk"], max_block)
 
     # materialize ONCE: both self-join branches would otherwise re-scan
     # the source and re-run the signature UDF (the materialized frame —

@@ -280,12 +280,9 @@ def srp_near_dup_pairs(
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
     if max_bucket:
-        w = Window.partitionBy("band", "val")
-        buckets = (
-            buckets.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        from datacurator_jl_spark.operators.dedup import _drop_over_cap
+
+        buckets = _drop_over_cap(buckets, ["band", "val"], max_bucket)
     # materialize once: the self-join would otherwise run the projection
     # UDF on both branches
     buckets = _materialize(buckets, materialize)

@@ -135,21 +135,16 @@ def main() -> int:
         for c in levels
         if 4 * c in best
     )
-    # preserve the adversarial-skew section bench_skew.py maintains
+    # preserve every marked section other scripts maintain (bench_skew,
+    # bench_tokenizer)
     bench_path = os.path.join(REPO, "BENCH.md")
     skew_section = ""
     if os.path.exists(bench_path):
         prev = open(bench_path).read()
-        if "<!-- skew-bench-start -->" in prev:
-            skew_section = (
-                "\n"
-                + prev.split("<!-- skew-bench-start -->")[1].split(
-                    "<!-- skew-bench-end -->"
-                )[0].join(
-                    ["<!-- skew-bench-start -->", "<!-- skew-bench-end -->"]
-                )
-                + "\n"
-            )
+        for mark in ("skew-bench", "tokenizer-bench"):
+            a, b = f"<!-- {mark}-start -->", f"<!-- {mark}-end -->"
+            if a in prev and b in prev:
+                skew_section += "\n" + a + prev.split(a)[1].split(b)[0] + b + "\n"
     with open(bench_path, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule, sandbox protocol)
 
@@ -213,6 +208,15 @@ full-corpus parquet scan) and the headline warm number (min of the
 subsequent runs — steady-state throughput, page-cache resident). The
 same-session measurement this replaces was an artifact, not a
 throughput property of the engine.
+
+Since round 6 bench.py also emits the calibration burn in its JSON
+line (`calib_start_sec`, `calib_after_suite_sec`,
+`flagship_calibs_sec`; same fixed 1-thread burn as this script,
+quiet-host reference ~0.95-1.1 s): a driver-recorded BENCH_r{{N}} whose
+burns are materially above that reference was measured under neighbor
+load and must be read against the burns, not as a code regression
+(round 5's driver numbers inflated ~1.6-4x on unchanged code exactly
+this way).
 
 Reproduce: `python scripts/bench_scaling.py --low {args.low} --high {args.high} --docs {args.docs} --repeat {args.repeat} --ladder`
 {skew_section}""")

@@ -89,6 +89,9 @@ def main() -> None:
     ap.add_argument("--dup", type=int, default=2_000_000,
                     help="identical-copy count (~2 KB pages) for the "
                          "exact-dedup hot-key A/B")
+    ap.add_argument("--bigdomain", type=int, default=10_000_000,
+                    help="row count of the single domain for the "
+                         "two-phase salted-cap guard")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -160,6 +163,26 @@ def main() -> None:
     results["domain_cap"] = {"sec": round(t + t2, 2),
                              "mega_rows_kept": by_dom.get("mega.example")}
 
+    # -- guard 3b: two-phase salted cap on a 10^7-row mega-domain (round 6) --
+    # The exact window alone would sort all rows of the domain in ONE
+    # task (Spark's WindowGroupLimit bounds constant caps to
+    # cap x map_partitions residual rows — still one hot task at cluster
+    # partition counts); _rank_capped's phase 1 splits the domain over
+    # salt_parts slice-windows, phase 2 ranks <= salt_parts x cap rows.
+    big = (
+        spark.range(args.bigdomain)
+        .select(
+            F.concat(F.lit("b"), F.col("id")).alias("doc_id"),
+            F.lit("mega.example").alias("source"),
+        )
+        .repartition(args.cores * 2)
+        .localCheckpoint(eager=True)
+    )
+    kept_big, t = timed(lambda: group_cap_sample(
+        big, "source", "doc_id", cap=1000).count())
+    assert kept_big == 1000, kept_big
+    results["domain_cap_10m"] = {"sec": t, "rows": args.bigdomain}
+
     # -- guard 4: SRP max_bucket (round-4) — one hot embedding bucket --------
     emb = corpus.select(
         "doc_id",
@@ -230,22 +253,22 @@ def main() -> None:
             uncapped_ingest_pairs / rate / 3600, 1),
     }
 
-    # -- guard 7: exact-dedup winners+semi-join vs the hot-key window --------
-    # (round 6.) A web crawl's most duplicated page is ONE md5(text) key
-    # — and it is a full PAGE (kilobytes), not a short string. The
-    # round-6 plan hash-aggregates payload-free winners map-side and
-    # semi-joins on the per-row-unique (hash, id) key, so no task ever
-    # sees more than its uniform share; the pre-round-6 row_number
-    # window shuffled every copy's full row into a single reducer task
-    # and sorted the group there. Measured A/B on the same corpus:
-    # n_dup identical ~2 KB docs + the healthy tail, both variants
-    # asserted to keep exactly 1 + tail + 1 rows (one mega winner,
-    # every distinct tail doc, one s1/s2 winner). NB single-node
-    # caveat, documented in the table: identical-content shuffle blocks
-    # compress almost to nothing, so local wall clocks understate the
-    # window's true cluster cost (one reducer still deserializes and
-    # sorts every copy; its time grows linearly with copies in ONE
-    # thread while the semi-join spreads across the cluster).
+    # -- guard 7: exact-dedup winners + semi-join-on-id vs the window --------
+    # (round 6.) Two corpus shapes, ~2 KB pages (a crawl's duplicated
+    # page is a PAGE, not a short string), full-row noop WRITES -- under
+    # count() Catalyst prunes the text column out of the plans and
+    # hides the payload cost entirely. The shipped plan (winners
+    # hash-agg + left-semi join keyed on the unique id alone: one md5
+    # pass, probe branch prunable, uniform join key, AQE-broadcastable
+    # winner set) won BOTH shapes. The rank-1 row_number window is
+    # bounded on THIS engine only because Spark >= 3.5's
+    # WindowGroupLimit turns the constant rank-1 filter into a map-side
+    # partial group-limit -- without that rule it is the single-reducer
+    # death plan (every copy's full row through ONE task); it also
+    # payload-sorts each partition and re-sorts after the exchange.
+    # Earlier variants measured and rejected: (hash,id)-keyed semi join
+    # (second full md5 pass: 16.8 s mega / 4.0 s unique) and a
+    # min_by(struct) argmax (non-codegen SortAggregate: 6.5 / 7.0 s).
     n_dup = args.dup
     page = F.repeat(F.lit("identical viral boilerplate page body text "), 50)
     dup_corpus = (
@@ -259,10 +282,6 @@ def main() -> None:
         .repartition(args.cores * 2)
         .localCheckpoint(eager=True)
     )
-    # Timed as a full-row noop WRITE, not a count(): dedup's output is
-    # the winners WITH their payload, and under count() Catalyst prunes
-    # the text column out of the window's exchange (32-byte hashes
-    # shuffle instead of pages), hiding exactly the cost being measured.
     expect = args.tail + 2  # tail + mega winner + s1/s2 winner
 
     def _noop(df):
@@ -270,23 +289,41 @@ def main() -> None:
 
     from pyspark.sql import Window
 
-    agg_df = DD.drop_exact_dupes(dup_corpus, "doc_id", "text")
-    kept_agg = agg_df.count()  # contract probe, untimed
-    assert kept_agg == expect, (kept_agg, expect)
-    _, t_agg = timed(lambda: _noop(agg_df))
+    def _window_variant(df):
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
-    win_df = (
-        dup_corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    def _ab(df, expect_rows):
+        semi = DD.drop_exact_dupes(df, "doc_id", "text")
+        assert semi.count() == expect_rows, expect_rows  # contract, untimed
+        _, t_semi = timed(lambda: _noop(semi))
+        win = _window_variant(df)
+        assert win.count() == expect_rows, expect_rows
+        _, t_win = timed(lambda: _noop(win))
+        return t_semi, t_win
+
+    t_semi_mega, t_win_mega = _ab(dup_corpus, expect)
+
+    uniq_page = F.concat(page, F.lit(" v"), F.col("id").cast("string"))
+    uniq_corpus = (
+        spark.range(n_dup)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+            F.lit("many.example").alias("source"),
+            uniq_page.alias("text"),
+        )
+        .repartition(args.cores * 2)
+        .localCheckpoint(eager=True)
     )
-    kept_win = win_df.count()
-    assert kept_win == expect, (kept_win, expect)
-    _, t_win = timed(lambda: _noop(win_df))
-    results["exact_dedup_argmax"] = {
-        "dup_copies": n_dup, "sec_argmax": t_agg, "sec_window": t_win,
-        "kept": kept_agg,
+    t_semi_uniq, t_win_uniq = _ab(uniq_corpus, n_dup)
+    results["exact_dedup_ab"] = {
+        "dup_copies": n_dup,
+        "mega": {"sec_semijoin": t_semi_mega, "sec_window": t_win_mega},
+        "unique": {"sec_semijoin": t_semi_uniq, "sec_window": t_win_uniq},
     }
 
     # -- write BENCH.md section ---------------------------------------------
@@ -307,18 +344,24 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `prefilter="lsh"` + `lsh_max_bucket=10k` (d19) | {results['lsh_prefilter']['sec']} | 1 pair — mega bucket over cap, dropped | same Σ bucket² blow-up |
 | `prefilter="auto"` (rounds 4-5) | — | picks `{picked}` at {n:,} docs (threshold {DD.AUTO_LSH_THRESHOLD:,}); block-shape-aware since round 5: the {args.mega:,}-doc mega block > max_block routes to `{picked_shape}` regardless of count | n/a (selection guard) |
 | `domain_cap=1000` | {results['domain_cap']['sec']} | mega domain capped at exactly 1,000 rows | unbounded head domain |
+| `group_cap_sample` two-phase salted cap, ONE {args.bigdomain:,}-row domain (round 6) | {results['domain_cap_10m']['sec']} | exactly 1,000 rows kept; phase 1 splits the domain across 16 slice-windows (each sorts ~1/16th), phase 2 ranks ≤ 16,000 survivors — no task ever sorts the whole domain (WindowGroupLimit's residual alone is cap x map_partitions rows into one task at cluster partition counts) | single-task sort of 10⁷ rows |
 | `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 | `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
-| `drop_exact_dupes` winners+semi-join (round 6) | {results['exact_dedup_argmax']['sec_argmax']} | {n_dup:,} identical copies of ONE ~2 KB page ({n_dup * 2150 / 1e9:.1f} GB of text on one md5 key): payload-free winners hash-agg collapses copies map-side, and the semi-join key (hash, id) is unique per row, so NO task sees more than its uniform share ({results['exact_dedup_argmax']['kept']:,} rows kept, asserted — tail + 2 winners). The pre-round-6 row_number window on the same corpus: {results['exact_dedup_argmax']['sec_window']} s wall here — but every copy's full row passes through ONE reducer task (identical-content shuffle blocks compress ~to nothing on this single node, hiding the cost; the reducer still deserializes+sorts every copy single-threaded, linear in copies, while the semi-join spreads over the cluster — at a web crawl's 10⁸-10⁹ copies the window task simply dies). A min_by(struct) argmax alternative avoids the hot reducer but compiles to a non-codegen SortAggregate: measured 6.5 s mega-dup / 7.0 s mostly-unique vs this plan's 1.7 s / 4.0 s — rejected | single-task shuffle+sort of the hottest key |
+| `drop_exact_dupes` winners + semi-join-on-id A/B (round 6) | {results['exact_dedup_ab']['unique']['sec_semijoin']} (unique) / {results['exact_dedup_ab']['mega']['sec_semijoin']} (mega-dup) | {n_dup:,} ~2 KB pages, two shapes, full-row noop writes, row contracts asserted. Shipped plan vs the rank-1 window: unique shape {results['exact_dedup_ab']['unique']['sec_semijoin']} s vs {results['exact_dedup_ab']['unique']['sec_window']} s; all-identical mega-dup {results['exact_dedup_ab']['mega']['sec_semijoin']} s vs {results['exact_dedup_ab']['mega']['sec_window']} s. The window is competitive HERE only because Spark ≥3.5's WindowGroupLimit pre-limits the constant rank-1 filter map-side — without that rule it funnels every copy's full row through ONE reducer; the shipped plan is uniform by construction on any engine (unique id join key, payload-free winners agg, one md5 pass). Variants measured and rejected: (hash,id)-keyed semi join 16.8/4.0 s (second md5 pass), min_by argmax 6.5/7.0 s (non-codegen SortAggregate) | single-task shuffle+sort of the hottest key (engines without WindowGroupLimit) |
 
-Every guard is a pre-join window count on the bucket/block/group key:
-cost O(rows log rows) in the bucket, independent of bucket². The
+Every bucket/block guard is the shared `_drop_over_cap` primitive — a
+map-side-combinable groupBy count + left-semi join on the under-cap
+keys (round 6; previously a count-over-window, which buffered the
+whole hot bucket in ONE task to evaluate the count — the guard itself
+was a hot-key bottleneck; the semi join streams the hot probe
+partition and AQE can skew-split it). Cost O(rows), independent of
+bucket². The
 survivors prove the guards drop DEGENERATE keys, not data: the s1/s2
 pair (distinct small domain) appears in both jaccard outputs, and the
 tail domains pass `domain_cap` untouched.
 
-Reproduce: `python scripts/bench_skew.py --mega {args.mega} --tail {args.tail} --probe {args.probe} --cores {args.cores} --dup {args.dup}`
+Reproduce: `python scripts/bench_skew.py --mega {args.mega} --tail {args.tail} --probe {args.probe} --cores {args.cores} --dup {args.dup} --bigdomain {args.bigdomain}`
 {MARK_B}"""
 
     bench_md = os.path.join(REPO, "BENCH.md")

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 def test_drop_exact_dupes_null_text_and_null_id(spark):
     """md5(NULL) is NULL, so null-text rows form ONE dup group; a NULL id
-    loses to any real id (DuckDB NULLS LAST, pinned in the docstring)."""
+    loses to any real id (DuckDB NULLS LAST, pinned in the docstring).
+    validate_ids=False here because the degenerate NULL id under test is
+    exactly what the default probe rejects."""
     from datacurator_jl_spark.operators.dedup import drop_exact_dupes
 
     df = spark.createDataFrame(
@@ -26,9 +28,26 @@ def test_drop_exact_dupes_null_text_and_null_id(spark):
         ],
         "doc_id string, text string, meta string",
     )
-    kept = {r.doc_id for r in drop_exact_dupes(df, "doc_id", "text").collect()}
+    kept = {
+        r.doc_id
+        for r in drop_exact_dupes(
+            df, "doc_id", "text", validate_ids=False
+        ).collect()
+    }
     # "same" group: 'a' beats NULL id; null-text group: 'c' beats 'd'
     assert kept == {"a", "b", "c"}
+
+
+def test_drop_exact_dupes_rejects_bad_ids(spark):
+    """The semi-join keys on the id alone, so the uniqueness contract is
+    load-bearing — the default probe must fail fast on duplicate ids."""
+    from datacurator_jl_spark.operators.dedup import drop_exact_dupes
+
+    df = spark.createDataFrame(
+        [("a", "t1"), ("a", "t2")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        drop_exact_dupes(df, "doc_id", "text")
 
 
 def test_drop_exact_dupes_map_payload_passes_through(spark):
@@ -157,6 +176,47 @@ def test_domain_quota_batch_output_independent_of_salt_parts(skew_groups):
     for parts in (4, 16):
         assert _key_sets(domain_quota_batch(
             skew_groups, 10, "grp", "key", salt_parts=parts)) == base
+
+
+def test_vocab_fixture_deterministic_and_checked_in():
+    """The 1k-piece BPE-style fixture regenerates byte-identical and the
+    checked-in file matches the builder (the tokenizer bench and any
+    DC_TOKENIZER e2e run depend on it)."""
+    import json
+    import os
+
+    from datacurator_jl_spark.testing.vocab import VOCAB_SIZE, build_vocab
+
+    v = build_vocab()
+    assert v == build_vocab() and len(v) == VOCAB_SIZE
+    assert "the" in v and "ing" in v and "a" in v  # word/affix/char tiers
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "datacurator_jl_spark", "testing", "fixtures", "bpe_vocab_1k.json",
+    )
+    with open(path) as fh:
+        assert json.load(fh)["vocab"] == v
+
+
+def test_fixture_tokenizer_segments_realistically():
+    """Corpus-core words count as single pieces; OOV words decompose
+    into multiple subword pieces (greedy longest match)."""
+    import os
+
+    import pandas as pd
+
+    from datacurator_jl_spark.functions.tokenizer import JsonVocabTokenizer
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "datacurator_jl_spark", "testing", "fixtures", "bpe_vocab_1k.json",
+    )
+    t = JsonVocabTokenizer(path)
+    got = t.count_batch(
+        pd.Series(["the quick brown fox jumps over a lazy dog", "xylophonist"])
+    ).tolist()
+    assert got[0] == 9  # every word is a whole vocab piece
+    assert got[1] > 1  # OOV word splits into several pieces
 
 
 def test_cosine_topk_broadcast_guard(spark):
