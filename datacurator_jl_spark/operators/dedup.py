@@ -25,7 +25,7 @@ from __future__ import annotations
 import uuid
 import warnings
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datacurator_jl_spark.functions.text import words
@@ -106,17 +106,20 @@ def drop_exact_dupes(
       uniform shuffle no matter how hot any page is), and AQE
       broadcasts the winner-id set outright when it is small.
 
-    Alternatives measured and rejected (BENCH.md skew guard 7, ~2 KB
-    pages, full-row writes, both a degenerate all-identical corpus and
-    a mostly-unique one): this plan won BOTH shapes. The rank-1
-    ``row_number`` window is the single-reducer death plan on engines
-    without WindowGroupLimit (every copy's full row through one task);
-    Spark ≥ 3.5 bounds it with a map-side partial group-limit, but it
-    still payload-sorts each partition and re-sorts after the exchange,
-    and it measured slower on both shapes. A semi join keyed on
+    Alternatives (BENCH.md skew guard 7: ~2 KB pages, full-row writes,
+    a degenerate all-identical corpus AND a mostly-unique one): two
+    were rejected on decisive measurements — a semi join keyed on
     (hash, id) pays a SECOND full md5 pass on the probe side (up to 4x
-    slower). A ``min_by(struct(all columns))`` argmax compiles to a
-    SortAggregate, outside whole-stage codegen, 1.6–4x slower.
+    slower), and a ``min_by(struct(all columns))`` argmax compiles to a
+    non-codegen SortAggregate (1.6–4x slower). The rank-1
+    ``row_number`` window times within this shared VM's run-to-run
+    noise of the shipped plan on Spark 4 — but only because
+    WindowGroupLimit (Spark ≥ 3.5, constant rank predicates only)
+    pre-limits it map-side; without that rule it funnels every copy of
+    the hottest page through ONE reducer, and even with it, it
+    payload-sorts each partition and re-sorts after the exchange. The
+    shipped plan's safety is structural on any engine, which is why it
+    wins the tie.
 
     Semantics, pinned: winner = min non-NULL id per distinct text
     (``min`` ignores NULLs — the DuckDB oracle's NULLS LAST); NULL

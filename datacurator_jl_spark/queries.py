@@ -930,17 +930,25 @@ def q11(spark, sf):
 )
 def q12(spark, sf):
     """Group-level predicates (reference has_n_files / n_files_or_more,
-    src/DataCurator.jl:3251-3269): per-group count joined back via a
-    window — no second scan, one shuffle on the group key."""
-    from pyspark.sql import Window
-
+    src/DataCurator.jl:3251-3269): per-group counts via a map-side
+    combinable groupBy, broadcast-joined back null-safely (round-6
+    shape — the previous count-over-window buffered every row of a hot
+    group in one task just to count it, the same anti-pattern
+    _drop_over_cap replaced; the counts table is one row per group and
+    broadcasts)."""
     d = _t(spark, sf, "documents")
-    w = Window.partitionBy("source")
-    return d.select(
-        "doc_id",
-        "source",
-        F.count("*").over(w).alias("n_docs"),
-        (F.count("*").over(w) >= 20).alias("source_has_20_docs"),
+    counts = (
+        d.groupBy(F.col("source").alias("_src"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        d.join(F.broadcast(counts), F.col("source").eqNullSafe(F.col("_src")))
+        .select(
+            "doc_id",
+            "source",
+            "n_docs",
+            (F.col("n_docs") >= 20).alias("source_has_20_docs"),
+        )
     )
 
 
@@ -2778,7 +2786,7 @@ _DRIVER_PRIORITY = [
     # e01 gained the broadcast-size guard).
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
-    "d47_latest_version", "e01_cosine_topk",
+    "d47_latest_version", "e01_cosine_topk", "q12_group_counts",
     # tier 2: the 28-minus-overlap queries whose last driver CORRECTNESS
     # rows are r3/r4 or older (everything outside the r5 sample —
     # VERDICT r5 Next #2): the round-3 hygiene suite, the round-1

@@ -298,12 +298,15 @@ def main() -> None:
         )
 
     def _ab(df, expect_rows):
+        # min-of-2 per variant: this VM's run-to-run variance reaches
+        # ~4x on identical code (compare the probe row across rounds),
+        # so single draws rank variants by neighbor load, not by plan
         semi = DD.drop_exact_dupes(df, "doc_id", "text")
         assert semi.count() == expect_rows, expect_rows  # contract, untimed
-        _, t_semi = timed(lambda: _noop(semi))
+        t_semi = min(timed(lambda: _noop(semi))[1] for _ in range(2))
         win = _window_variant(df)
         assert win.count() == expect_rows, expect_rows
-        _, t_win = timed(lambda: _noop(win))
+        t_win = min(timed(lambda: _noop(win))[1] for _ in range(2))
         return t_semi, t_win
 
     t_semi_mega, t_win_mega = _ab(dup_corpus, expect)
@@ -348,7 +351,7 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `srp max_bucket=10k` (round 4) | {results['srp_max_bucket']['sec']} | {results['srp_max_bucket']['pairs']:,} pairs — the 200k-doc hot bucket dropped; the remainder are genuine hamming-0 twins among the {args.tail:,} random tail embeddings (16-bit signature space → expected birthday collisions), bounded by tail bucket sizes | ~{est_uncapped_h:,.0f} h |
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 | `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
-| `drop_exact_dupes` winners + semi-join-on-id A/B (round 6) | {results['exact_dedup_ab']['unique']['sec_semijoin']} (unique) / {results['exact_dedup_ab']['mega']['sec_semijoin']} (mega-dup) | {n_dup:,} ~2 KB pages, two shapes, full-row noop writes, row contracts asserted. Shipped plan vs the rank-1 window: unique shape {results['exact_dedup_ab']['unique']['sec_semijoin']} s vs {results['exact_dedup_ab']['unique']['sec_window']} s; all-identical mega-dup {results['exact_dedup_ab']['mega']['sec_semijoin']} s vs {results['exact_dedup_ab']['mega']['sec_window']} s. The window is competitive HERE only because Spark ≥3.5's WindowGroupLimit pre-limits the constant rank-1 filter map-side — without that rule it funnels every copy's full row through ONE reducer; the shipped plan is uniform by construction on any engine (unique id join key, payload-free winners agg, one md5 pass). Variants measured and rejected: (hash,id)-keyed semi join 16.8/4.0 s (second md5 pass), min_by argmax 6.5/7.0 s (non-codegen SortAggregate) | single-task shuffle+sort of the hottest key (engines without WindowGroupLimit) |
+| `drop_exact_dupes` winners + semi-join-on-id A/B (round 6) | {results['exact_dedup_ab']['unique']['sec_semijoin']} (unique) / {results['exact_dedup_ab']['mega']['sec_semijoin']} (mega-dup) | {n_dup:,} ~2 KB pages, two shapes, min-of-2 full-row noop writes, row contracts asserted. Shipped plan vs rank-1 window: unique {results['exact_dedup_ab']['unique']['sec_semijoin']} s vs {results['exact_dedup_ab']['unique']['sec_window']} s; mega-dup {results['exact_dedup_ab']['mega']['sec_semijoin']} s vs {results['exact_dedup_ab']['mega']['sec_window']} s — across repeated A/Bs the two are within this VM's run-to-run noise of each other (the box varies up to ~4x between runs of identical code), so the choice is STRUCTURAL: the winners agg is payload-free and map-side combinable, the semi join keys on the unique id (uniform shuffle on any engine — no reliance on Spark ≥3.5's WindowGroupLimit, without which the rank-1 window funnels every copy of the hottest page through ONE reducer), and the probe branch lets Catalyst prune upstream text transforms (d38/d39 compositions). Two variants WERE rejected on measurement, decisively: (hash,id)-keyed semi join (second full md5 pass, 14-17 s on mega-dup) and min_by argmax (non-codegen SortAggregate, 6.5-7 s both shapes) | single-task shuffle+sort of the hottest key (engines without WindowGroupLimit) |
 
 Every bucket/block guard is the shared `_drop_over_cap` primitive — a
 map-side-combinable groupBy count + left-semi join on the under-cap

@@ -178,6 +178,31 @@ def test_domain_quota_batch_output_independent_of_salt_parts(skew_groups):
             skew_groups, 10, "grp", "key", salt_parts=parts)) == base
 
 
+def test_drop_over_cap_matches_window_semantics(spark):
+    """The shared groupBy+semi-join cap guard keeps exactly the rows a
+    count-over-window filter kept (non-null keys; NULL-key rows drop —
+    they can never pair downstream, documented)."""
+    from pyspark.sql import Window
+
+    from datacurator_jl_spark.operators.dedup import _drop_over_cap
+
+    rows = [
+        (f"r{i}", "hot" if i >= 100 else (f"b{i % 7}" if i % 11 else None))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id string, blk string").cache()
+    got = {r.id for r in _drop_over_cap(df, ["blk"], 25).collect()}
+    w = Window.partitionBy("blk")
+    ref = {
+        r.id
+        for r in df.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= 25)
+        .collect()
+        if r.blk is not None
+    }
+    assert got == ref and got  # non-empty: some blocks are under the cap
+
+
 def test_vocab_fixture_deterministic_and_checked_in():
     """The 1k-piece BPE-style fixture regenerates byte-identical and the
     checked-in file matches the builder (the tokenizer bench and any
