@@ -141,7 +141,7 @@ def main() -> int:
     skew_section = ""
     if os.path.exists(bench_path):
         prev = open(bench_path).read()
-        for mark in ("skew-bench", "tokenizer-bench"):
+        for mark in ("skew-bench", "tokenizer-bench", "round-notes"):
             a, b = f"<!-- {mark}-start -->", f"<!-- {mark}-end -->"
             if a in prev and b in prev:
                 skew_section += "\n" + a + prev.split(a)[1].split(b)[0] + b + "\n"

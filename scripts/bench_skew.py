@@ -360,7 +360,7 @@ whole hot bucket in ONE task to evaluate the count — the guard itself
 was a hot-key bottleneck; the semi join streams the hot probe
 partition and AQE can skew-split it). Cost O(rows), independent of
 bucket². The
-survivors prove the guards drop DEGENERATE keys, not data: the s1/s2
+survivors prove the guards drop degenerate KEYS, not data: the s1/s2
 pair (distinct small domain) appears in both jaccard outputs, and the
 tail domains pass `domain_cap` untouched.
 
