@@ -306,3 +306,34 @@ def test_fuzz_latest_version_matches_python_reference(spark, rows):
         if k not in exp or cand > exp[k][0]:
             exp[k] = (cand, (t, tb, p))
     assert got == {k: v for k, (_, v) in exp.items()}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),                       # unique id (contract)
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", "dd", ""])),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_fuzz_drop_exact_dupes_matches_python_reference(spark, rows):
+    """Round-6 winners+semi-join exact dedup == the row-at-a-time min-id
+    per distinct text (null text = one group of its own), under the
+    unique-non-null-id contract the engine validates."""
+    from datacurator_jl_spark.operators.dedup import drop_exact_dupes
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id for r in drop_exact_dupes(df, "doc_id", "text").collect()}
+    exp: dict = {}
+    for i, t in rows:
+        if t not in exp or i < exp[t]:
+            exp[t] = i
+    assert got == set(exp.values())
