@@ -94,6 +94,9 @@ HEADLINE = [
     "d46_html_extract",
     "d47_latest_version",
     "d48_url_host",
+    # round-6-touched plans (exact-dedup semi-join, broadcast join-back)
+    "d11_drop_exact_dupes",
+    "q12_group_counts",
 ]
 
 
