@@ -337,3 +337,56 @@ def test_fuzz_drop_exact_dupes_matches_python_reference(spark, rows):
         if t not in exp or i < exp[t]:
             exp[t] = i
     assert got == set(exp.values())
+
+
+def _entity_token_strategy():
+    from datacurator_jl_spark.multimodal.binary import _NAMED_ENTITIES
+
+    words = st.text(alphabet="abcxyz019.,_-", min_size=1, max_size=8)
+    named = st.sampled_from([e for e, _ in _NAMED_ENTITIES] + ["&amp;"])
+    # valid, non-C1 code points (C1 128-159 is the documented deviation:
+    # browsers/html.unescape remap to cp1252, we decode literally) and
+    # no surrogates; includes supplementary planes
+    code = st.one_of(
+        st.integers(32, 127), st.integers(160, 55295),
+        st.integers(57344, 1_114_111),
+    )
+    numeric = st.builds(
+        lambda c, hx, up: (
+            f"&#{'X' if up else 'x'}{c:x};" if hx else f"&#{c};"
+        ),
+        code, st.booleans(), st.booleans(),
+    )
+    return st.one_of(words, named, numeric)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(tokens=st.lists(_entity_token_strategy(), min_size=1, max_size=12))
+def test_fuzz_entity_unescape_matches_html_spec_subset(spark, tokens):
+    """On the declared-supported subset (named table + valid non-C1
+    numeric refs, space-separated so no cross-token entity synthesis),
+    extract_html_text == Python's html.unescape composed with the pinned
+    NBSP->space normalization and ASCII whitespace collapse — i.e. the
+    chain implements real HTML semantics, not merely a self-consistent
+    triple."""
+    import html as html_mod
+    import re as re_mod
+
+    from pyspark.sql import functions as F
+
+    from datacurator_jl_spark.multimodal.binary import extract_html_text
+
+    soup = " ".join(tokens)
+    got = (
+        spark.createDataFrame([(f"<p>{soup}</p>",)], "html string")
+        .select(extract_html_text(F.col("html")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    ref = html_mod.unescape(soup).replace("\xa0", " ")
+    ref = re_mod.sub(r"[ \t\n\x0b\f\r]+", " ", ref).strip(" ")
+    assert got == ref, (soup, got, ref)
