@@ -567,6 +567,14 @@ class Pipeline:
                     "streaming.streaming_dedup)"
                 )
             if spec.dedup == "exact":
+                # share the upstream ONCE across the operator's three
+                # consumers (id-validation probe, winners aggregate,
+                # semi-join probe side): un-checkpointed pre-passes like
+                # blocklist/keep_latest would otherwise re-run per
+                # branch. Lazy: the validation probe is the first action
+                # and materializes it; same per-pre-pass checkpoint
+                # policy as boilerplate/paragraph_dedup above.
+                df = df.localCheckpoint(eager=False)
                 # id uniqueness is load-bearing for the semi-join-on-id
                 # plan; skip the probe only when a prior pre-pass already
                 # validated this id column

@@ -209,7 +209,14 @@ def _drop_over_cap(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     here. Every caller's downstream pair join is itself an equi-join on
     the same keys, where NULL rows can never pair — the output pair set
     is unchanged (the prefilter='auto' histogram excludes NULL blocks
-    for the same reason)."""
+    for the same reason).
+
+    Caller contract (round 6): MATERIALIZE the input first when its
+    lineage carries a UDF — this guard has two consumers (counts +
+    probe) and would re-run the lineage per consumer. For self-joins,
+    cap ONE side only: a pair needs its key on both sides, so an a-side
+    drop already kills every over-cap bucket's pairs, and the cap join
+    runs once instead of twice."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     ok = counts.filter(F.col("_n") <= cap).select(*keys)
     return df.join(ok, keys, "left_semi")
@@ -276,12 +283,21 @@ def lsh_candidate_pairs(
         sig.select(F.col(id_col).alias("doc"), *[f"mh{i}" for i in range(k)]),
         k,
         bands,
-        max_bucket=max_bucket,
+        max_bucket=None,
     )
-    # materialize the bucket frame once — the self-join would otherwise
-    # compute the signature UDF + explode on BOTH branches
+    # materialize BEFORE capping: _drop_over_cap has two consumers
+    # (counts + probe), and capping first would run the signature UDF +
+    # explode once per consumer. Post-materialize, the cap is applied to
+    # ONE side of the self-join only — output-identical (a pair needs
+    # its bucket key on BOTH sides, so an a-side drop kills the bucket's
+    # pairs outright) and the cap join itself runs once, not twice.
     buckets = _materialize(buckets, materialize)
-    a = buckets.alias("a")
+    capped = (
+        _drop_over_cap(buckets, ["band", "key"], max_bucket)
+        if max_bucket
+        else buckets
+    )
+    a = capped.alias("a")
     b = buckets.alias("b")
     return (
         a.join(b, ["band", "key"])
@@ -584,14 +600,16 @@ def ngram_containment_pairs(
         F.col(block_col).alias("blk"),
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
-    if max_block:
-        prep = _drop_over_cap(prep, ["blk"], max_block)
+    # materialize-then-cap, one side of the self-join only (see
+    # lsh_candidate_pairs): the Arrow wordset UDF runs once, the cap
+    # join once, and the pair set is identical
     prep = _materialize(prep, materialize)
+    a_src = _drop_over_cap(prep, ["blk"], max_block) if max_block else prep
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     mn = F.least(F.size(F.col("a.ws")), F.size(F.col("b.ws")))
     cont = F.when(mn > 0, inter.cast("double") / mn).otherwise(F.lit(0.0))
     return (
-        prep.alias("a")
+        a_src.alias("a")
         .join(prep.alias("b"), F.col("a.blk") == F.col("b.blk"))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -630,9 +648,8 @@ def drop_contained_docs(
         F.col(block_col).alias("blk"),
         hashed_wordset_arrow(F.col(text_col)).alias("ws"),
     )
-    if max_block:
-        prep = _drop_over_cap(prep, ["blk"], max_block)
     prep = _materialize(prep, materialize)
+    a_src = _drop_over_cap(prep, ["blk"], max_block) if max_block else prep
     na, nb = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     mn = F.least(na, nb)
@@ -857,9 +874,6 @@ def ngram_jaccard_pairs(
     if prefilter not in ("auto", "none", "lsh"):
         raise ValueError(f"prefilter must be auto|none|lsh, got {prefilter!r}")
 
-    def _cap_blocks(p: DataFrame) -> DataFrame:
-        return _drop_over_cap(p, ["blk"], max_block)
-
     # materialize ONCE: both self-join branches would otherwise re-scan
     # the source and re-run the signature UDF (the materialized frame —
     # id, block, hashed set — is a small fraction of the text it derives
@@ -891,14 +905,17 @@ def ngram_jaccard_pairs(
         prefilter = _select_prefilter(
             int(shape["n"] or 0), auto_threshold, int(shape["mx"] or 0), max_block
         )
-        # NB no _cap_blocks here: "none" is only selected when the
-        # histogram proved every block <= max_block, so the cap is a
-        # guaranteed no-op — which also removes round 4's
-        # double-materialize (and its orphaned dc-mat-* dir, ADVICE r4).
+        # NB no cap here: "none" is only selected when the histogram
+        # proved every block <= max_block, so the cap is a guaranteed
+        # no-op — which also removes round 4's double-materialize (and
+        # its orphaned dc-mat-* dir, ADVICE r4).
+        cap_a = False
     else:
-        if max_block and prefilter == "none":
-            prep = _cap_blocks(prep)
         prep = _materialize(prep, materialize)
+        # materialize-then-cap, one self-join side only (round 6, see
+        # lsh_candidate_pairs): capping before the materialize would run
+        # the Arrow wordset UDF once per _drop_over_cap consumer
+        cap_a = bool(max_block) and prefilter == "none"
     inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
     uni = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
     jac = F.when(uni > 0, inter.cast("double") / uni).otherwise(F.lit(0.0))
@@ -930,8 +947,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("a.blk") == F.col("b.blk"))
         )
     else:
+        a_src = _drop_over_cap(prep, ["blk"], max_block) if cap_a else prep
         joined = (
-            prep.alias("a")
+            a_src.alias("a")
             .join(prep.alias("b"), F.col("a.blk") == F.col("b.blk"))
             .filter(F.col("a.id") < F.col("b.id"))
         )

@@ -279,14 +279,19 @@ def srp_near_dup_pairs(
         F.col("srp_sig").alias("sig"),
         F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    # materialize BEFORE capping (round 6, see lsh_candidate_pairs):
+    # the self-join — and _drop_over_cap's two consumers — would
+    # otherwise run the projection UDF once per branch. The cap applies
+    # to ONE side of the self-join only: output-identical (a pair needs
+    # its bucket on both sides), and the cap join runs once.
+    buckets = _materialize(buckets, materialize)
     if max_bucket:
         from datacurator_jl_spark.operators.dedup import _drop_over_cap
 
-        buckets = _drop_over_cap(buckets, ["band", "val"], max_bucket)
-    # materialize once: the self-join would otherwise run the projection
-    # UDF on both branches
-    buckets = _materialize(buckets, materialize)
-    a, b = buckets.alias("a"), buckets.alias("b")
+        capped = _drop_over_cap(buckets, ["band", "val"], max_bucket)
+    else:
+        capped = buckets
+    a, b = capped.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
         a.join(b, ["band", "val"])
