@@ -714,18 +714,46 @@ def incremental_near_dup_survivors(
     containing a base doc base-rooted — a new doc survives iff its
     component label is (1, its own id). Base docs always survive (they
     are already in the corpus and are not returned).
+
+    Round-6 base-side prune: base-base pairs are excluded by
+    construction, so a base bucket row can only ever pair if its
+    (band, key) also occurs in the NEW batch's buckets. The base
+    signature table is therefore LEFT-SEMI pruned on the batch's band
+    keys BEFORE the union/cap/self-join — at corpus scale this turns
+    "shuffle every base signature into the pair join" into "scan the
+    base table against a batch-sized key set" (AQE broadcasts the key
+    side for any realistic batch, so the base side never shuffles at
+    all; past broadcast size, Spark's runtime bloom-filter join
+    pruning — spark.sql.optimizer.runtime.bloomFilter.enabled — covers
+    the same pattern approximately). Output-identical: pairs need a key
+    on both sides, and for every key the batch holds, the pruned union
+    carries exactly the rows the full union did, so ``max_bucket``
+    counts and drop decisions are unchanged too.
     """
     new_sigs = signature_table(new_df, id_col, text_col, k)
-    tagged = base_sigs.select(
-        "doc", *[f"mh{i}" for i in range(k)], F.lit(True).alias("is_base")
-    ).unionByName(
-        new_sigs.select(
-            "doc", *[f"mh{i}" for i in range(k)], F.lit(False).alias("is_base")
-        )
+    # materialize the batch buckets: minhash lineage carries the Arrow
+    # hash stage, and the buckets feed two consumers (union + key set)
+    new_buckets = _materialize(
+        _band_buckets(
+            new_sigs.select(
+                "doc", *[f"mh{i}" for i in range(k)], F.lit(False).alias("is_base")
+            ),
+            k,
+            bands,
+        ),
+        materialize,
     )
-    buckets = _materialize(
-        _band_buckets(tagged, k, bands, max_bucket=max_bucket), materialize
-    )
+    base_buckets = _band_buckets(
+        base_sigs.select(
+            "doc", *[f"mh{i}" for i in range(k)], F.lit(True).alias("is_base")
+        ),
+        k,
+        bands,
+    ).join(new_buckets.select("band", "key").distinct(), ["band", "key"], "left_semi")
+    buckets = new_buckets.unionByName(base_buckets.select(*new_buckets.columns))
+    if max_bucket:
+        buckets = _drop_over_cap(buckets, ["band", "key"], max_bucket)
+    buckets = _materialize(buckets, materialize)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b, ["band", "key"])

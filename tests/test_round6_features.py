@@ -277,3 +277,111 @@ def test_two_phase_cap_plan_has_salted_pre_window(spark, skew_groups):
     assert p1.count("Window [") == 1, p1
     assert p2.count("Window [") == 2, p2
     assert "pmod" in p2
+
+
+def test_incremental_base_prune_output_identical(spark):
+    """The round-6 base-side semi-join prune must be output-identical to
+    the old full-union shape, including ``max_bucket`` drop decisions on
+    buckets the base side dominates. Corpus: a base-only cluster whose
+    band keys never appear in the batch (prune fodder), a base/new
+    near-dup, a new-new dup pair, a token-less new doc, and a hot bucket
+    (3 base copies + 1 new copy of one text) that max_bucket=3 must drop
+    in BOTH shapes (count 4 > 3), rescuing the new copy."""
+    from datacurator_jl_spark.operators import dedup as DD
+    from datacurator_jl_spark.operators.dedup import (
+        _band_buckets,
+        _materialize,
+        _propagate_min_labels,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "base only cluster text that the batch never mentions"),
+            (2, "another purely base resident document kept around"),
+            (3, "shared near duplicate text spanning base and batch"),
+            (4, "hot bucket text repeated verbatim many times over"),
+            (5, "hot bucket text repeated verbatim many times over"),
+            (6, "hot bucket text repeated verbatim many times over"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "shared near duplicate text spanning base and batch"),
+            (12, "fresh content with no counterpart anywhere at all"),
+            (13, "batch internal duplicate appearing exactly twice here"),
+            (14, "batch internal duplicate appearing exactly twice here"),
+            (15, "hot bucket text repeated verbatim many times over"),
+            (16, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = DD.signature_table(base, "doc_id", "text")
+    for max_bucket in (3, 1000, None):
+        got = {
+            r["doc_id"]
+            for r in DD.incremental_near_dup_survivors(
+                new, sigs, "doc_id", "text", max_bucket=max_bucket
+            ).collect()
+        }
+
+        # old full-union shape, inlined (pre-prune reference semantics)
+        k, bands = 8, 4
+        new_sigs = DD.signature_table(new, "doc_id", "text", k)
+        tagged = sigs.select(
+            "doc", *[f"mh{i}" for i in range(k)], F.lit(True).alias("is_base")
+        ).unionByName(
+            new_sigs.select(
+                "doc", *[f"mh{i}" for i in range(k)], F.lit(False).alias("is_base")
+            )
+        )
+        buckets = _materialize(
+            _band_buckets(tagged, k, bands, max_bucket=max_bucket), "local"
+        )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        pairs = (
+            a.join(b, ["band", "key"])
+            .filter(
+                (F.col("a.doc") < F.col("b.doc"))
+                & ~(F.col("a.is_base") & F.col("b.is_base"))
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        edges = _materialize(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ).unionAll(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            ),
+            "local",
+        )
+        labels = _materialize(
+            sigs.select(
+                "doc",
+                F.struct(F.lit(0).alias("rank"), F.col("doc").alias("id")).alias(
+                    "comp"
+                ),
+            ).unionByName(
+                new.select(F.col("doc_id").alias("doc"))
+                .distinct()
+                .select(
+                    "doc",
+                    F.struct(F.lit(1).alias("rank"), F.col("doc").alias("id")).alias(
+                        "comp"
+                    ),
+                )
+            ),
+            "local",
+        )
+        labels = _propagate_min_labels(edges, labels, 25, "local")
+        want = {
+            r["doc"]
+            for r in labels.filter(
+                (F.col("comp.rank") == 1) & (F.col("comp.id") == F.col("doc"))
+            ).collect()
+        }
+        assert got == want, (max_bucket, got, want)
+    # sanity on the capped case: the hot bucket is dropped in both
+    # shapes, so the new copy 15 survives; 11 dies to base 3; 13 beats 14
+    assert got == want  # last iteration (max_bucket=None)
