@@ -282,3 +282,73 @@ def token_budget_sample(
         .drop("_pid", "_off", "_cum")
     )
     return out
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+    exact: bool = False,
+    accuracy: int = 10_000,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Label every row with its score's per-group quantile bucket — the
+    CCNet shape (Wenzek et al. 2019: rank each language's documents by
+    LM perplexity, split into head/middle/tail thirds, train on the
+    head) generalized to any score column and any quantile grid.
+
+    Scale shape: ONE aggregate computes all ``len(qs)`` thresholds per
+    group (map-side combinable), then the group->thresholds table —
+    ``n_groups`` rows, ~dozens for languages — broadcast-joins back onto
+    the corpus: no window, no per-group sort, no shuffle of the corpus
+    (with ``broadcast_thresholds=False`` the join-back is left to AQE,
+    for group columns with unbounded cardinality). ``exact=False``
+    (default) estimates thresholds with ``percentile_approx`` — a
+    t-digest sketch with bounded memory per group regardless of group
+    size, the only honest choice at 10⁹ docs/language; ``exact=True``
+    uses the exact interpolated ``percentile`` (buffers each group's
+    scores in its aggregate — fine at oracle scale, and what the DuckDB
+    ``quantile_cont`` twin computes bit-for-bit).
+
+    Pinned semantics: thresholds are computed over NON-NULL scores
+    only; bucket ``i`` is ``score < qs[i]``-threshold (strict, first
+    match wins), last label otherwise — ties at a threshold fall UP
+    into the higher bucket. A NULL score, NULL group, or group with no
+    scored rows yields a NULL bucket (a doc can't be ranked within an
+    unknown population; the engine never silently files it as 'tail').
+    """
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"need len(qs)+1 labels, got {len(qs)} quantiles / "
+            f"{len(labels)} labels"
+        )
+    if list(qs) != sorted(qs) or not all(0.0 < q < 1.0 for q in qs):
+        raise ValueError(f"qs must be strictly inside (0,1) and ascending: {qs}")
+    score = F.col(score_col)
+    pct = (
+        F.percentile(score, F.lit(list(qs)))
+        if exact
+        else F.percentile_approx(score, F.lit(list(qs)), F.lit(accuracy))
+    )
+    thr = (
+        df.filter(score.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(pct.alias("_qthr"))
+        .select(
+            F.col(group_col).alias("_qgrp"),
+            *[F.col("_qthr")[i].alias(f"_q{i}") for i in range(len(qs))],
+        )
+    )
+    if broadcast_thresholds:
+        thr = F.broadcast(thr)
+    joined = df.join(thr, df[group_col] == thr["_qgrp"], "left")
+    bucket = F.when(score.isNull() | F.col("_q0").isNull(), F.lit(None))
+    for i in range(len(qs)):
+        bucket = bucket.when(score < F.col(f"_q{i}"), F.lit(labels[i]))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.withColumn(out_col, bucket).drop(
+        "_qgrp", *[f"_q{i}" for i in range(len(qs))]
+    )

