@@ -413,3 +413,104 @@ def quality_score(
     sym = F.lit(1.0) - F.least(symbol_ratio(text) * F.lit(5.0), F.lit(1.0))
     alpha = alpha_ratio(text)
     return (sw * F.lit(0.35) + rep * F.lit(0.25) + sym * F.lit(0.2) + alpha * F.lit(0.2))
+
+
+# ---------------------------------------------------------------------------
+# Encoding-noise / mojibake signals (ftfy-style "badness", CCNet/
+# RefinedWeb-grade hygiene): a crawl that went through a wrong-charset
+# decode leaves three fingerprints — U+FFFD replacement characters
+# (decoder gave up), stray control characters (C1 block = UTF-8
+# continuation bytes decoded as Latin-1), and characteristic two-char
+# sequences like "Ã©"/"â€™" (UTF-8 bytes decoded as Latin-1/cp1252).
+# All three are counted with shared, pinned definitions so the Spark
+# expr, the per-row Python oracle, and the DuckDB SQL twin agree
+# byte-for-byte (graft analogue of the reference's content validators,
+# src/DataCurator.jl:902-916 describe/validate family).
+# ---------------------------------------------------------------------------
+
+REPLACEMENT_CHAR = "�"
+
+#: Control characters that should never appear in clean prose: C0 minus
+#: the legitimate \t \n \r, plus DEL, plus the whole C1 block (C1 chars
+#: in decoded text are the classic UTF-8-bytes-read-as-Latin-1 residue).
+CONTROL_CHARS = (
+    "".join(chr(c) for c in range(0x00, 0x20) if chr(c) not in "\t\n\r")
+    + "\x7f"
+    + "".join(chr(c) for c in range(0x80, 0xA0))
+)
+
+#: RE2/Java/Python-shared regex for the same set (ASCII escapes only —
+#: the DuckDB twin cannot embed raw NUL/control bytes in a SQL literal).
+CONTROL_CHARS_PATTERN_SQL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+
+#: What cp1252 decodes bytes 0x80-0x9F to (the printable remappings —
+#: the undefined bytes 81/8D/8F/90/9D fall back to C1 controls, which
+#: the -¿ range below already covers).
+MOJIBAKE_CP1252 = "".join(
+    chr(c)
+    for c in (
+        0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+        0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+        0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+        0x0153, 0x017E, 0x0178,
+    )
+)
+
+# A UTF-8 continuation byte (0x80-0xBF) decoded as Latin-1 lands in
+# U+0080-U+00BF; decoded as cp1252 it lands in MOJIBAKE_CP1252 (or the
+# same C1 char for the five undefined bytes). A mojibake sequence is a
+# 2-byte lead (0xC2-0xDF -> Â..ß) followed by ONE continuation char, or
+# a 3-byte lead (0xE0-0xEF -> à..ï) followed by TWO — requiring the
+# full continuation run keeps real text like "café”" (é + curly quote)
+# from matching while "Ã©" and "â€™" do. 4-byte leads (F0-F4, emoji)
+# are deliberately out of scope: their mojibake also contains a 3-byte-
+# shaped suffix this pattern already hits. The two alternatives have
+# disjoint lead ranges, so leftmost-first (Java/Python/RE2-Perl) and
+# leftmost-longest engines produce the same non-overlapping match list.
+_MOJI_CONT = "[\u0080-\u00bf" + MOJIBAKE_CP1252 + "]"
+MOJIBAKE_PATTERN = (
+    "[Â-ß]" + _MOJI_CONT + "|[à-ï]" + _MOJI_CONT + "{2}"
+)
+
+#: Same pattern with the class RANGES spelled as RE2 \x{..} escapes so
+#: the DuckDB twin carries no raw C1 bytes inside the SQL text (the
+#: cp1252 chars are printable and stay literal). Java accepts \x{..}
+#: too, but the Python re twin does not — hence two spellings, pinned
+#: equal by tests/test_round6_features.py.
+_MOJI_CONT_SQL = r"[\x{80}-\x{bf}" + MOJIBAKE_CP1252 + "]"
+MOJIBAKE_PATTERN_SQL = (
+    r"[\x{c2}-\x{df}]" + _MOJI_CONT_SQL
+    + r"|[\x{e0}-\x{ef}]" + _MOJI_CONT_SQL + "{2}"
+)
+
+
+def replacement_char_count(text: Column) -> Column:
+    """#U+FFFD replacement characters (a decoder already gave up here)."""
+    return _count_chars_in(text, REPLACEMENT_CHAR)
+
+
+def control_char_count(text: Column) -> Column:
+    """#control characters outside \\t \\n \\r (single translate pass —
+    no regex machinery; see _count_chars_in scaling note)."""
+    return _count_chars_in(text, CONTROL_CHARS)
+
+
+def mojibake_count(text: Column) -> Column:
+    """#non-overlapping mojibake sequences (UTF-8 read as Latin-1/cp1252)."""
+    return _count_matches(text, MOJIBAKE_PATTERN)
+
+
+def encoding_noise_ratio(text: Column) -> Column:
+    """(replacement + control + mojibake hits) / chars; 0.0 for empty.
+
+    The single-number mis-decode detector: clean prose scores 0.0, a
+    wrong-charset document scores roughly (multi-byte chars)/(chars).
+    Each mojibake SEQUENCE counts once (not per char) — the ratio is a
+    signal, not a byte accounting."""
+    n = F.length(text)
+    bad = (
+        replacement_char_count(text)
+        + control_char_count(text)
+        + mojibake_count(text)
+    )
+    return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))

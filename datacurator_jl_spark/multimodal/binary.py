@@ -80,9 +80,19 @@ def _code_to_char(seg: Column) -> Column:
     """Decode one marked numeric-reference segment ('8217' / 'x27' /
     'X2019') to its character — the Spark side of the pinned contract:
 
-    - invalid code points (0, surrogates D800-DFFF, > 0x10FFFF) re-emit
-      the ORIGINAL entity text (HTML browsers render U+FFFD; a text
-      pipeline must not inject replacement chars into clean text);
+    - invalid code points re-emit the ORIGINAL entity text (HTML
+      browsers render U+FFFD; a text pipeline must not inject
+      replacement chars into clean text). Invalid = 0, surrogates
+      D800-DFFF, > 0x10FFFF, plus (round 6, caught by the
+      html.unescape fuzz) the HTML5 numeric-character-reference error
+      set html.unescape silently DROPS: C0 controls other than
+      tab/lf/cr, DEL, and the 66 noncharacters (FDD0-FDEF and the
+      FFFE/FFFF pair of every plane). Dropping chars mid-pipeline
+      would silently edit text, so this engine keeps the reference
+      verbatim instead — same class as the surrogate rule, and d50's
+      encoding-noise metrics can still see it. C1 refs (128-159)
+      remain the documented deviation: html.unescape remaps them to
+      cp1252, this chain decodes them literally;
     - ``&#38;``/``&#x26;`` (ampersand) re-emits ``&amp;`` so the final
       &amp;-last named pass unescapes it exactly once — '&#38;lt;' must
       yield '&lt;', not '<' (the same no-double-unescape rule the named
@@ -97,7 +107,15 @@ def _code_to_char(seg: Column) -> Column:
         is_hex, F.conv(F.substring(seg, 2, 6), 16, 10).cast("bigint")
     ).otherwise(seg.cast("bigint"))
     invalid = (
-        (code < 1) | (code > 0x10FFFF) | ((code >= 0xD800) & (code <= 0xDFFF))
+        (code < 1)
+        | (code > 0x10FFFF)
+        | ((code >= 0xD800) & (code <= 0xDFFF))
+        | (code <= 0x8)
+        | (code == 0xB)
+        | ((code >= 0xE) & (code <= 0x1F))
+        | (code == 0x7F)
+        | ((code >= 0xFDD0) & (code <= 0xFDEF))
+        | (F.pmod(code, F.lit(0x10000)) >= 0xFFFE)
     )
     bmp = F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE")
     v = code - F.lit(0x10000)
@@ -194,6 +212,8 @@ def unescape_numeric_entities_sql(expr: str) -> str:
     c = _sql_code_expr("s")
     decode = (
         f"CASE WHEN {c} < 1 OR {c} > 1114111 OR ({c} BETWEEN 55296 AND 57343) "
+        f"OR {c} <= 8 OR {c} = 11 OR ({c} BETWEEN 14 AND 31) OR {c} = 127 "
+        f"OR ({c} BETWEEN 64976 AND 65007) OR ({c} % 65536) >= 65534 "
         "THEN '&#' || s || ';' "
         f"WHEN {c} = 38 THEN '&amp;' "
         f"WHEN {c} = 160 THEN ' ' "

@@ -228,7 +228,20 @@ def _band_buckets(
     """Explode a signature table (``doc``, ``mh0..mh{k-1}``, plus any
     passthrough columns, which are carried) into (doc, band, key, ...)
     LSH bucket rows; ``max_bucket`` drops degenerate buckets via the
-    shared ``_drop_over_cap`` guard."""
+    shared ``_drop_over_cap`` guard.
+
+    The bucket key is ``xxhash64`` over the band's minhash lanes —
+    64-bit ON PURPOSE (round 6): a band key only approximates
+    "all lanes equal", and with the 32-bit ``F.hash`` the birthday
+    regime starts at ~2¹⁶ distinct band values — a 2M-doc corpus
+    already produced ~2 false candidate pairs per 1k-doc ingest
+    (caught by bench_skew guard 8), and at 10⁹ docs per band nearly
+    every bucket would mix unrelated docs, turning the candidate
+    graph into false merges. 64 bits pushes the first expected
+    collision past ~4B distinct band values; candidates are still a
+    superset of true band-equality only up to hash collisions, which
+    the pair-level verifiers (estimated/exact Jaccard) or the oracle's
+    lane-equality join never see at test scale."""
     if bands < 1 or k % bands:
         raise ValueError(
             f"k must be a positive multiple of bands (k={k}, "
@@ -241,7 +254,9 @@ def _band_buckets(
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("key")).alias(f"b{b}")
+            F.struct(
+                F.lit(b).alias("band"), F.xxhash64(*cols).alias("key")
+            ).alias(f"b{b}")
         )
     buckets = sig.select(
         "doc", *extra, F.explode(F.array(*band_cols)).alias("bk")

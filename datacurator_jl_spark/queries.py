@@ -698,7 +698,8 @@ _D46_HTML_MID = (
 _D46_HTML_POST = (
     "</p>\n<p>&amp;lt; &quot;quoted&quot;&nbsp;&gt; &#39;s it&#8217;s "
     "&#x2019; &#38;lt; nb&#160;sp &#128512; &mdash; caf&eacute; "
-    "bad&#xD800; big&#1114112; nine&#999999999;</p>\n</body></html>"
+    "bad&#xD800; big&#1114112; nine&#999999999; "
+    "non&#65534; ncp&#xfdd0; del&#127; bel&#7;</p>\n</body></html>"
 )
 
 
@@ -2820,6 +2821,137 @@ ORACLES["d49_quantile_buckets"] = f"""
     """
 
 
+# Deterministic noise suffixes for d50: the driver's synthetic corpus is
+# clean ASCII, so (as with d46's page template) each doc gets a
+# doc_id-keyed suffix injected IDENTICALLY on both engines — mojibake
+# ("Ã©" = é as Latin-1, "â€œ" = “ as cp1252: printable-only so the SQL
+# literal carries no raw control bytes), replacement chars, and control
+# chars (SQL side spells those via chr(), Spark via Python escapes).
+_D50_MOJI = " cafÃ© â€œmojibake"
+_D50_REPL = " lost�bytes��"
+_D50_CTL = " ctl\x07\x1b\x9b"
+
+
+def _d50_sql() -> str:
+    from datacurator_jl_spark.functions.text import (
+        CONTROL_CHARS_PATTERN_SQL,
+        MOJIBAKE_PATTERN_SQL,
+    )
+
+    moji_pat = MOJIBAKE_PATTERN_SQL.replace("'", "''")
+    return f"""
+    WITH n AS (
+      SELECT doc_id, text || CASE
+        WHEN doc_id % 4 = 1 THEN '{_D50_MOJI}'
+        WHEN doc_id % 4 = 2 THEN '{_D50_REPL}'
+        WHEN doc_id % 4 = 3 THEN ' ctl' || chr(7) || chr(27) || chr(155)
+        ELSE '' END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, length(t) AS nc,
+             (length(t) - length(replace(t, chr(65533), '')))::INT AS repl_chars,
+             len(regexp_extract_all(t, '{CONTROL_CHARS_PATTERN_SQL}'))::INT AS ctrl_chars,
+             len(regexp_extract_all(t, '{moji_pat}'))::INT AS moji_seqs
+      FROM n)
+    SELECT doc_id, repl_chars, ctrl_chars, moji_seqs,
+           CASE WHEN nc > 0 THEN
+             round((repl_chars + ctrl_chars + moji_seqs)::DOUBLE / nc, 6)
+           ELSE 0.0 END AS noise_ratio
+    FROM c
+    """
+
+
+@_q("d50_encoding_noise", _d50_sql())
+def d50(spark, sf):
+    """Encoding-noise / mojibake metrics per doc (ftfy-style 'badness'
+    — the mis-decode detector every CCNet/RefinedWeb-grade crawl
+    pipeline runs before quality filtering): U+FFFD replacement-char
+    count, stray-control-char count (C0 minus tab/lf/cr, DEL, C1), and
+    non-overlapping UTF-8-as-Latin-1/cp1252 mojibake sequences
+    ("Ã©"/"â€™" shapes), plus their per-char ratio. The corpus is clean
+    synthetic ASCII, so a deterministic doc_id-keyed noise suffix is
+    injected identically on both engines (the d46 template pattern).
+    All three counters are single-pass translate/regexp_count exprs —
+    pure codegen, no UDF, no shuffle (functions/text.py encoding-noise
+    section; recipe condition ``encoding_noise_below``)."""
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    noisy = F.concat(
+        F.col("text"),
+        F.when(m == 1, F.lit(_D50_MOJI))
+        .when(m == 2, F.lit(_D50_REPL))
+        .when(m == 3, F.lit(_D50_CTL))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        X.replacement_char_count(noisy).cast("int").alias("repl_chars"),
+        X.control_char_count(noisy).cast("int").alias("ctrl_chars"),
+        X.mojibake_count(noisy).cast("int").alias("moji_seqs"),
+        F.round(X.encoding_noise_ratio(noisy), 6).alias("noise_ratio"),
+    )
+
+
+def _d51_sql() -> str:
+    from datacurator_jl_spark.operators.winnow import winnow_sql
+
+    return (
+        "SELECT doc AS doc_id, fp FROM ("
+        + winnow_sql("documents", "doc_id", "text", k=3, w=4)
+        + ")"
+    )
+
+
+@_q("d51_winnow_fingerprints", _d51_sql())
+def d51(spark, sf):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    partial-overlap detector): distinct sliding-window minima over
+    60-bit md5-prefix hashes of word 3-grams, window w=4 — any two docs
+    sharing a long enough token run are GUARANTEED to share a
+    fingerprint, at ~2/(w+1) the storage of the full gram set. ONE
+    Arrow pass per doc (window min runs numpy-side inside the batch —
+    no gram explode, no corpus-wide window function); the oracle states
+    the same selection declaratively (gram CTE + frame-bounded window
+    min + distinct), GENERATED from the same (k, w) via
+    operators/winnow.winnow_sql so the twins cannot drift."""
+    from datacurator_jl_spark.operators.winnow import winnow_fingerprint_table
+
+    return winnow_fingerprint_table(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, w=4
+    ).select(F.col("doc").alias("doc_id"), "fp")
+
+
+def _d52_sql() -> str:
+    from datacurator_jl_spark.operators.winnow import winnow_sql
+
+    return f"""
+    WITH fp AS ({winnow_sql("documents", "doc_id", "text", k=3, w=4)})
+    SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING count(*) >= 2
+    """
+
+
+@_q("d52_winnow_shared_passages", _d52_sql())
+def d52(spark, sf):
+    """Shared-passage candidate pairs: docs sharing >= 2 winnowed
+    fingerprints — the quote-reuse / template-splice signal set-based
+    Jaccard cannot see (a shared 10-line passage inside two otherwise
+    unrelated pages moves Jaccard by ~0 but must share a fingerprint).
+    Plan family = lsh_candidate_pairs: materialized fingerprint table,
+    `_drop_over_cap` on one self-join side (a boilerplate passage on
+    10⁷ pages is ONE hot fp key — the cap drops the degenerate KEY),
+    fp equi-join + map-side-combinable pair count. Cap default (1000)
+    cannot bind at sf0.01 (500 docs), so the oracle states the uncapped
+    join."""
+    from datacurator_jl_spark.operators.winnow import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", k=3, w=4, min_shared=2
+    ).select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"), "shared")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2835,6 +2967,9 @@ _DRIVER_PRIORITY = [
     # d24/d27 run the two-phase salted caps; d47 moved to max_by;
     # e01 gained the broadcast-size guard).
     "d49_quantile_buckets",  # NEW this round — never driver-checked
+    "d50_encoding_noise",  # NEW this round — never driver-checked
+    "d51_winnow_fingerprints",  # NEW this round — never driver-checked
+    "d52_winnow_shared_passages",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

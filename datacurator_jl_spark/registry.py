@@ -202,6 +202,11 @@ _cond("digit_ratio_below", 1, 1)(lambda ctx, r: X.digit_ratio(ctx.text) < float(
 _cond("uppercase_ratio_below", 1, 1)(
     lambda ctx, r: X.uppercase_ratio(ctx.text) < float(r)
 )
+# ftfy-style mis-decode detector (functions/text.py encoding-noise
+# section): U+FFFD + stray control chars + mojibake sequences per char.
+_cond("encoding_noise_below", 1, 1)(
+    lambda ctx, r: X.encoding_noise_ratio(ctx.text) < float(r)
+)
 _cond("stopword_ratio_above", 1, 1)(
     lambda ctx, r: X.stopword_ratio(ctx.text, ctx.warr, ctx.stats) > float(r)
 )

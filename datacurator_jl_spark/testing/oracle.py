@@ -69,6 +69,24 @@ def _symbol_ratio(t: str) -> float:
     return (len(t) - ok) / len(t)
 
 
+def _encoding_noise_ratio(t: str) -> float:
+    """Mirror of text.encoding_noise_ratio: (U+FFFD + control chars
+    outside tab/lf/cr + non-overlapping mojibake sequences) / chars.
+    NB no re.ASCII here — the pattern's classes are literal non-ASCII
+    codepoints, unaffected by the flag, but be explicit about intent."""
+    if not t:
+        return 0.0
+    from datacurator_jl_spark.functions.text import CONTROL_CHARS, MOJIBAKE_PATTERN
+
+    ctrl_set = set(CONTROL_CHARS)
+    bad = (
+        t.count("�")
+        + sum(1 for ch in t if ch in ctrl_set)
+        + len(re.findall(MOJIBAKE_PATTERN, t))
+    )
+    return bad / len(t)
+
+
 def _distinct_word_ratio(t: str) -> float:
     w = _words(t.lower())
     return len(set(w)) / len(w) if w else 1.0
@@ -188,6 +206,8 @@ def _eval_condition(expr, row) -> bool | None:
         return _max_word_length(t) < int(args[0])
     if name == "symbol_ratio_below":
         return _symbol_ratio(t) < float(args[0])
+    if name == "encoding_noise_below":
+        return _encoding_noise_ratio(t) < float(args[0])
     if name == "stopword_ratio_above":
         w = _words(t)
         r = (_stopword_hits(t) / len(w)) if w else 0.0

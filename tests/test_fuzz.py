@@ -345,11 +345,16 @@ def _entity_token_strategy():
     words = st.text(alphabet="abcxyz019.,_-", min_size=1, max_size=8)
     named = st.sampled_from([e for e, _ in _NAMED_ENTITIES] + ["&amp;"])
     # valid, non-C1 code points (C1 128-159 is the documented deviation:
-    # browsers/html.unescape remap to cp1252, we decode literally) and
-    # no surrogates; includes supplementary planes
+    # browsers/html.unescape remap to cp1252, we decode literally), no
+    # surrogates, and — since the fuzzer caught &#65534; — none of the
+    # HTML5 error set html.unescape silently DROPS (DEL + the 66
+    # noncharacters; this chain keeps those refs VERBATIM instead,
+    # pinned in test_multimodal): includes supplementary planes
     code = st.one_of(
-        st.integers(32, 127), st.integers(160, 55295),
+        st.integers(32, 126), st.integers(160, 55295),
         st.integers(57344, 1_114_111),
+    ).filter(
+        lambda n: not (0xFDD0 <= n <= 0xFDEF or (n % 0x10000) >= 0xFFFE)
     )
     numeric = st.builds(
         lambda c, hx, up: (

@@ -58,6 +58,14 @@ def test_numeric_entity_unescape(spark):
         ("<p>x&#xD800;y</p>", "x&#xD800;y"),  # surrogate: verbatim
         ("<p>&#1114112; &#0;</p>", "&#1114112; &#0;"),  # out of range
         ("<p>&#999999999;</p>", "&#999999999;"),  # 8+ digits: not a ref
+        # HTML5 error set html.unescape DROPS — this chain keeps the
+        # reference verbatim instead (round 6; fuzz caught &#65534;):
+        # DEL, plane-0 and supplementary noncharacters, FDD0 block, and
+        # C0 controls outside tab/lf/cr
+        ("<p>a&#65534;b</p>", "a&#65534;b"),
+        ("<p>a&#127;b &#xfdd0; &#x1fffe; &#7;</p>",
+         "a&#127;b &#xfdd0; &#x1fffe; &#7;"),
+        ("<p>c1&#147;quote</p>", "c1quote"),  # C1: literal (pinned deviation)
         ("<p>a&#160;b</p>", "a b"),  # NBSP normalized like &nbsp;
         ("<p>&mdash; caf&eacute; &hellip;</p>", "— café …"),
     ]

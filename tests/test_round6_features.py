@@ -385,3 +385,217 @@ def test_incremental_base_prune_output_identical(spark):
     # sanity on the capped case: the hot bucket is dropped in both
     # shapes, so the new copy 15 survives; 11 dies to base 3; 13 beats 14
     assert got == want  # last iteration (max_bucket=None)
+
+
+# -- encoding-noise / mojibake signals (functions/text.py, d50) --------------
+
+
+def _noise_corpus():
+    # built via chr() so no raw control/C1 bytes live in the source file
+    moji2 = "caf" + chr(0xC3) + chr(0xA9) + " naive"          # "cafÃ©"
+    moji3 = chr(0xE2) + chr(0x20AC) + chr(0x2122) + "clock"   # "â€™"-shape
+    real_latin1 = "’é“".encode("utf-8").decode("latin-1")     # 3 sequences
+    ctl = "bell" + chr(7) + " esc" + chr(27) + " c1" + chr(0x85) + chr(0x9D)
+    nul = "n" + chr(0) + "ul and del" + chr(0x7F)
+    legit = "caf" + chr(0xE9) + chr(0x201D) + " fine"         # é” = no match
+    return [
+        "plain english text.",
+        moji2,
+        moji3,
+        real_latin1,
+        "lost" + chr(0xFFFD) + "bytes" + chr(0xFFFD) * 2,
+        ctl,
+        nul,
+        "tab\tok\nnl\rcr",          # legitimate whitespace controls
+        legit,
+        "",
+        None,
+        "日本語テキスト",
+    ]
+
+
+def test_encoding_noise_matches_python_oracle(spark):
+    """Spark exprs vs the per-row Python oracle on an adversarial corpus:
+    mojibake (2- and 3-byte shapes, real latin-1/cp1252 round-trips),
+    control chars incl. NUL/DEL/C1, replacement chars, clean unicode,
+    the 'café”' near-miss, empty, and NULL."""
+    import re
+
+    from datacurator_jl_spark.functions import text as T
+    from datacurator_jl_spark.testing.oracle import _encoding_noise_ratio
+
+    texts = _noise_corpus()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, t string")
+    got = {
+        r["i"]: (r["repl"], r["ctrl"], r["moji"], r["ratio"])
+        for r in df.select(
+            "i",
+            T.replacement_char_count(F.col("t")).alias("repl"),
+            T.control_char_count(F.col("t")).alias("ctrl"),
+            T.mojibake_count(F.col("t")).alias("moji"),
+            F.round(T.encoding_noise_ratio(F.col("t")), 6).alias("ratio"),
+        ).collect()
+    }
+    ctrl_set = set(T.CONTROL_CHARS)
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, None, None, 0.0), (i, got[i])
+            continue
+        exp = (
+            t.count(chr(0xFFFD)),
+            sum(1 for ch in t if ch in ctrl_set),
+            len(re.findall(T.MOJIBAKE_PATTERN, t)),
+            round(_encoding_noise_ratio(t), 6),
+        )
+        assert got[i] == exp, (i, repr(t), got[i], exp)
+    # spot-pin the interesting rows so the oracle itself can't drift
+    assert got[1][2] == 1 and got[2][2] == 1 and got[3][2] == 3
+    assert got[4][0] == 3 and got[5][1] == 4 and got[6][1] == 2
+    assert got[7] == (0, 0, 0, 0.0) and got[8][2] == 0 and got[11][2] == 0
+
+
+def test_mojibake_sql_pattern_twin(tmp_path):
+    """MOJIBAKE_PATTERN (literal chars, Java/Python) and
+    MOJIBAKE_PATTERN_SQL (RE2 \\x{..} ranges for DuckDB) must match the
+    same sequences — fuzz both against the same corpus."""
+    import re
+
+    import duckdb
+
+    from datacurator_jl_spark.functions import text as T
+
+    texts = [t for t in _noise_corpus() if t is not None]
+    con = duckdb.connect()
+    pat = T.MOJIBAKE_PATTERN_SQL.replace("'", "''")
+    for t in texts:
+        lit = t.replace("'", "''").replace(chr(0), "")  # SQL can't carry NUL
+        n_sql = con.sql(
+            f"select len(regexp_extract_all('{lit}', '{pat}'))"
+        ).fetchone()[0]
+        n_py = len(re.findall(T.MOJIBAKE_PATTERN, t.replace(chr(0), "")))
+        assert n_sql == n_py, repr(t)
+
+
+def test_encoding_noise_below_condition_end_to_end(spark):
+    """Engine decision labels for encoding_noise_below match the per-row
+    Python oracle (the three-twin contract for the new condition)."""
+    import pandas as pd
+
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+    from datacurator_jl_spark.testing.oracle import oracle_labels
+
+    spec = parse_recipe(
+        {
+            "global": {"act_on_success": True},
+            "any": {
+                "conditions": [["not", ["encoding_noise_below", 0.05]]],
+                "actions": ["drop"],
+            },
+        }
+    )
+    texts = _noise_corpus()
+    pdf = pd.DataFrame(
+        {"url": [f"u{i:02d}" for i in range(len(texts))], "text": texts}
+    )
+    df = spark.createDataFrame(pdf.astype({"text": "object"}),
+                               "url string, text string")
+    got = (
+        Pipeline(spec).apply(df).df.select("url", "dc_kept", "dc_rule_id")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    exp = oracle_labels(pdf, spec).sort_values("url").reset_index(drop=True)
+    assert list(got["dc_kept"]) == list(exp["keep"])
+    assert list(got["dc_rule_id"]) == list(exp["rule_id"])
+    # the clean docs survive, the noisy ones die
+    kept = set(got[got["dc_kept"]]["url"])
+    assert "u00" in kept and "u07" in kept and "u11" in kept
+    assert "u01" not in kept and "u04" not in kept and "u05" not in kept
+
+
+# -- winnowing fingerprints (operators/winnow.py, d51/d52) -------------------
+
+
+def test_winnow_matches_python_mirror(spark):
+    """Arrow fingerprint arrays vs the per-row _winnow_one mirror on the
+    edge matrix: null text, < k tokens, exactly k tokens (one gram),
+    m == w (single window), m > w, repeated grams (tie invariance)."""
+    from datacurator_jl_spark.operators.winnow import (
+        _TOKEN_RE, _winnow_one, winnow_fingerprints_arrow,
+    )
+
+    texts = [
+        None,
+        "",
+        "a b",                       # < k tokens -> no fingerprints
+        "a b c",                     # exactly one gram
+        "a b c d e f",               # m=4=w: single global min
+        "one two three four five six seven eight nine ten",
+        "spam spam spam spam spam spam spam spam",  # all grams identical
+        "A B c D e F g H i J k L m N",              # lowercasing pin
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r["i"]: sorted(r["fps"])
+        for r in df.select(
+            "i", winnow_fingerprints_arrow(F.col("t"), k=3, w=4).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t.lower()) if t is not None else []
+        assert got[i] == _winnow_one(toks, 3, 4), (i, t)
+    assert got[0] == [] and got[2] == [] and len(got[3]) == 1
+    assert len(got[4]) == 1 and len(got[6]) == 1  # tie-invariant value set
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= w + k - 1 (here 6) share at least one fingerprint, and
+    winnow_candidate_pairs surfaces exactly that pair."""
+    from datacurator_jl_spark.operators.winnow import winnow_candidate_pairs
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            ("a", "intro words here " + shared_run + " closing remark"),
+            ("b", "совсем other start " + shared_run + " different tail"),
+            ("c", "unrelated content entirely distinct tokens only here"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(
+            df, "doc_id", "text", k=3, w=4, min_shared=1
+        ).collect()
+    }
+    assert ("a", "b") in pairs
+    assert not any("c" in p for p in pairs)
+
+
+def test_winnow_candidate_pairs_cap_drops_hot_key(spark):
+    """A fingerprint bucket over max_bucket (boilerplate passage on many
+    docs) is dropped as a KEY; a genuine small pair survives."""
+    from datacurator_jl_spark.operators.winnow import winnow_candidate_pairs
+
+    boiler = "all rights reserved copyright footer text here now"
+    rows = [(f"h{i}", f"u{i}niq filler w{i}ords " + boiler) for i in range(30)]
+    rows += [
+        ("s1", "rare shared sentence appearing twice only here today"),
+        ("s2", "rare shared sentence appearing twice only here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_candidate_pairs(
+            df, "doc_id", "text", k=3, w=4, min_shared=1, max_bucket=10
+        ).collect()
+    }
+    assert ("s1", "s2") in pairs
+    # every boilerplate fp bucket holds 30 docs > cap -> no h-h pairs
+    # via those keys; h docs may only pair through their unique fillers
+    # (impossible: fillers are distinct) — so no h pair at all
+    assert not any(a.startswith("h") and b.startswith("h") for a, b in pairs)
