@@ -97,6 +97,11 @@ HEADLINE = [
     # round-6-touched plans (exact-dedup semi-join, broadcast join-back)
     "d11_drop_exact_dupes",
     "q12_group_counts",
+    # round-6 ops
+    "d49_quantile_buckets",
+    "d50_encoding_noise",
+    "d51_winnow_fingerprints",
+    "d52_winnow_shared_passages",
 ]
 
 

@@ -432,6 +432,23 @@ def main() -> None:
         "sec_pruned": t_prune, "sec_full_union": t_old,
     }
 
+    # -- guard 9: winnow shared-passage hot fingerprint (round 6) -----------
+    # the mega docs are IDENTICAL, so all of them carry the same single
+    # winnowed fingerprint — one hot fp bucket = the boilerplate-passage
+    # worst case (an fp equi-join over it would be mega² pairs through
+    # ONE key). _drop_over_cap drops the key; the genuine s1/s2 shared
+    # sentence (also a single shared fp) must be the ONLY surviving
+    # pair: tail doc grams all contain the doc id, so tail fingerprints
+    # never collide (60-bit hash space, ~5e5 fps -> collision odds 1e-7).
+    from datacurator_jl_spark.operators.winnow import winnow_candidate_pairs
+
+    w_pairs, t_winnow = timed(lambda: winnow_candidate_pairs(
+        corpus, "doc_id", "text", k=3, w=4, min_shared=1, max_bucket=10_000
+    ).collect())
+    w_set = {(r["id_a"], r["id_b"]) for r in w_pairs}
+    assert w_set == {("s1", "s2")}, sorted(w_set)[:5]
+    results["winnow_hot_passage"] = {"sec": t_winnow, "pairs": len(w_set)}
+
     # -- write BENCH.md section ---------------------------------------------
     section = f"""{MARK_A}
 ## Adversarial skew: one mega-domain vs every guard (rounds 4-6)
@@ -455,6 +472,7 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 | `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
 | incremental ingest base-side prune A/B (round 6) | {results['incremental_base_prune']['sec_pruned']} (pruned) vs {results['incremental_base_prune']['sec_full_union']} (full union) | 1,000-doc batch vs a {results['incremental_base_prune']['base_sigs']:,}-signature healthy corpus, min-of-2, outputs asserted identical (999 fresh kept, base-dup dropped). The shipped plan LEFT-SEMI prunes base bucket rows on the batch's band-key set before the union/cap/pair join (sound because base-base pairs are excluded by construction), so the accumulated corpus never shuffles into the pair join — ingest cost tracks the BATCH size; the old full-union shape shuffled every base bucket row through the cap count and the pair join on every ingest, scaling with the CORPUS | full-union shape: O(corpus) shuffle per ingest, forever |
+| winnow shared-passage hot fp (d51/d52, round 6) | {results['winnow_hot_passage']['sec']} | the {args.mega:,} identical mega docs all collapse to ONE winnowed fingerprint — the boilerplate-passage worst case, {mega_pairs:,} potential pairs through one fp key; `_drop_over_cap` (max_bucket=10k) drops the degenerate KEY and the genuine s1/s2 shared sentence is asserted to be the ONLY surviving pair | mega² pairs through one join key |
 | `drop_exact_dupes` winners + semi-join-on-id A/B (round 6) | {results['exact_dedup_ab']['unique']['sec_semijoin']} (unique) / {results['exact_dedup_ab']['mega']['sec_semijoin']} (mega-dup) | {n_dup:,} ~2 KB pages, two shapes, min-of-2 full-row noop writes, row contracts asserted. Shipped plan vs rank-1 window: unique {results['exact_dedup_ab']['unique']['sec_semijoin']} s vs {results['exact_dedup_ab']['unique']['sec_window']} s; mega-dup {results['exact_dedup_ab']['mega']['sec_semijoin']} s vs {results['exact_dedup_ab']['mega']['sec_window']} s — across repeated A/Bs the two are within this VM's run-to-run noise of each other (the box varies up to ~4x between runs of identical code), so the choice is STRUCTURAL: the winners agg is payload-free and map-side combinable, the semi join keys on the unique id (uniform shuffle on any engine — no reliance on Spark ≥3.5's WindowGroupLimit, without which the rank-1 window funnels every copy of the hottest page through ONE reducer), and the probe branch lets Catalyst prune upstream text transforms (d38/d39 compositions). Two variants WERE rejected on measurement, decisively: (hash,id)-keyed semi join (second full md5 pass, 14-17 s on mega-dup) and min_by argmax (non-codegen SortAggregate, 6.5-7 s both shapes) | single-task shuffle+sort of the hottest key (engines without WindowGroupLimit) |
 
 Every bucket/block guard is the shared `_drop_over_cap` primitive — a

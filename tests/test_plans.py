@@ -225,3 +225,21 @@ def test_latest_version_is_single_aggregate_no_window(spark):
     assert "Window" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") == 2 or plan.count("SortAggregate") == 2, plan
+
+
+def test_winnow_extraction_single_arrow_no_shuffle(spark):
+    """d51 plan contract: fingerprint extraction is ONE ArrowEvalPython
+    stage and no Exchange (projection + generate only — the corpus
+    never shuffles to get fingerprinted)."""
+    plan = _phys(QUERIES["d51_winnow_fingerprints"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_pairs_no_cartesian_no_window(spark):
+    """d52 plan contract: the pair join is an fp equi-join (hash or
+    sort-merge), never a cartesian product, and the over-cap guard is
+    the groupBy+semi-join shape (no Window node)."""
+    plan = _phys(QUERIES["d52_winnow_shared_passages"](spark, "/root/testdata/sf0.001"))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Window" not in plan, plan
