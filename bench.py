@@ -104,6 +104,8 @@ HEADLINE = [
     "d52_winnow_shared_passages",
     "d53_dsir_weights",
     "d54_sequence_pack",
+    "d55_incremental_exact",
+    "d56_gumbel_resample",
 ]
 
 

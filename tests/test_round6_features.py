@@ -599,3 +599,74 @@ def test_winnow_candidate_pairs_cap_drops_hot_key(spark):
     # via those keys; h docs may only pair through their unique fillers
     # (impossible: fillers are distinct) — so no h pair at all
     assert not any(a.startswith("h") and b.startswith("h") for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_survivors_semantics(spark):
+    from datacurator_jl_spark.operators.dedup import (
+        exact_hash_table,
+        incremental_exact_survivors,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None)],
+        "id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),   # re-crawl of base 1 -> dropped
+            (11, "fresh one"),    # new -> kept
+            (12, "fresh one"),    # within-batch dupe -> loses to 11
+            (13, "fresh two"),    # new -> kept
+            (14, None),           # null text: base has a null too -> dropped
+        ],
+        "id bigint, text string",
+    )
+    bh = exact_hash_table(base, "text")
+    got = {
+        r["id"]
+        for r in incremental_exact_survivors(batch, bh, "id", "text").collect()
+    }
+    assert got == {11, 13}
+
+
+def test_incremental_exact_normalized_mode(spark):
+    from datacurator_jl_spark.operators.dedup import (
+        exact_hash_table,
+        incremental_exact_survivors,
+    )
+
+    base = spark.createDataFrame([(1, "Alpha  Beta")], "id bigint, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta\n"), (11, "alpha beta!")], "id bigint, text string"
+    )
+    bh = exact_hash_table(base, "text", normalized=True)
+    got = {
+        r["id"]
+        for r in incremental_exact_survivors(
+            batch, bh, "id", "text", normalized=True
+        ).collect()
+    }
+    assert got == {11}  # 10 is a normalized re-encoding of base 1
+
+
+def test_incremental_exact_rejects_duplicate_ids(spark):
+    import pytest
+
+    from datacurator_jl_spark.operators.dedup import (
+        exact_hash_table,
+        incremental_exact_survivors,
+    )
+
+    base = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    batch = spark.createDataFrame(
+        [(10, "a"), (10, "b")], "id bigint, text string"
+    )
+    with pytest.raises(Exception, match="unique"):
+        incremental_exact_survivors(
+            batch, exact_hash_table(base, "text"), "id", "text"
+        ).collect()
