@@ -578,10 +578,27 @@ class Pipeline:
                 # id uniqueness is load-bearing for the semi-join-on-id
                 # plan; skip the probe only when a prior pre-pass already
                 # validated this id column
-                df = drop_exact_dupes(
-                    df, spec.name_col, spec.text_col,
-                    validate_ids=not ids_validated,
-                )
+                if spec.dedup_base_hashes:
+                    # ingest mode: dedup within the batch AND against the
+                    # persisted corpus hash table (base side semi-pruned
+                    # on the batch's hashes — per-run cost tracks the
+                    # batch, the standing table is scanned, not shuffled)
+                    from datacurator_jl_spark.operators.dedup import (
+                        incremental_exact_survivors,
+                    )
+
+                    base_h = df.sparkSession.read.parquet(
+                        spec.dedup_base_hashes
+                    )
+                    df = incremental_exact_survivors(
+                        df, base_h, spec.name_col, spec.text_col,
+                        validate_ids=not ids_validated,
+                    )
+                else:
+                    df = drop_exact_dupes(
+                        df, spec.name_col, spec.text_col,
+                        validate_ids=not ids_validated,
+                    )
                 ids_validated = True
                 # materialize the survivor set once: the quit gate,
                 # counters, file lists and the final write each execute

@@ -65,21 +65,24 @@ from datacurator_jl_spark.operators.dedup import _materialize
 _TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 _BUCKET_CACHE: dict[str, int] = {}
-_CACHE_CAP = 4_000_000
 
 
 def _bucket(gram: str, salt: str, n_buckets: int) -> int:
     """Per-gram mirror of the pinned bucket hash (also the tests'
-    independent oracle). The cache is keyed on the raw gram — salt and
-    modulus are fixed per stage instance, so hits skip the md5."""
-    v = _BUCKET_CACHE.get(gram)
+    independent oracle). The cache is keyed on (salt, gram) and holds
+    the UN-modded hash, so any (salt, n_buckets) stage shares hits; the
+    smooth LRU eviction is the arrow_hash doctrine (clear-all drops the
+    whole Zipf head at once — round-2 lesson)."""
+    from datacurator_jl_spark.functions.arrow_hash import _lru_evict, _lru_get
+
+    key = salt + "\x00" + gram
+    v = _lru_get(_BUCKET_CACHE, key)
     if v is None:
         v = int.from_bytes(
             hashlib.md5((gram + "#" + salt).encode("utf-8")).digest()[:4], "big"
         )
-        if len(_BUCKET_CACHE) >= _CACHE_CAP:
-            _BUCKET_CACHE.clear()
-        _BUCKET_CACHE[gram] = v
+        _BUCKET_CACHE[key] = v
+        _lru_evict(_BUCKET_CACHE)
     return v % n_buckets
 
 

@@ -88,6 +88,14 @@ class RecipeSpec:
     # checkpoint) | 'reliable' (Spark checkpoint dir) | a directory path
     # (persisted parquet signature tables) — operators/dedup._materialize
     dedup_materialize: str = "local"
+    # optional INGEST mode for dedup = "exact": path to a persisted
+    # exact_hash_table parquet (one text_hash per distinct page of the
+    # already-curated corpus). The exact pre-pass then keeps only batch
+    # docs whose content is new to BOTH the batch and the standing
+    # corpus (dedup.incremental_exact_survivors — base side semi-pruned
+    # on the batch's hash set, so per-run cost tracks the batch).
+    # Refresh the table after a run with exact_hash_table(curated).
+    dedup_base_hashes: str | None = None
     # optional cross-document boilerplate pre-pass: remove every line
     # occurring in >= N distinct docs (operators/boilerplate.py) BEFORE
     # dedup and the rule chain — shared chrome inflates near-dup
@@ -147,6 +155,7 @@ _GLOBAL_KEYS = {
     "file_lists",
     "dedup",
     "dedup_materialize",
+    "dedup_base_hashes",
     "remove_boilerplate",
     "blocklist",
     "keep_latest",
@@ -190,6 +199,18 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
     )
     if spec.dedup not in (None, "exact", "near"):
         raise RecipeError(f"dedup must be 'exact' or 'near', got {spec.dedup!r}")
+    dbh = g.get("dedup_base_hashes")
+    if dbh is not None:
+        if not isinstance(dbh, str) or not dbh:
+            raise RecipeError(
+                f"dedup_base_hashes must be a parquet path string, got {dbh!r}"
+            )
+        if spec.dedup != "exact":
+            raise RecipeError(
+                "dedup_base_hashes requires dedup = 'exact' (it is the "
+                f"ingest mode of the exact pre-pass), got dedup={spec.dedup!r}"
+            )
+        spec.dedup_base_hashes = dbh
     bl = g.get("blocklist", [])
     if (
         isinstance(bl, str)

@@ -300,6 +300,78 @@ def incremental_dedup_stream(
     )
 
 
+def incremental_exact_dedup_stream(
+    docs: DataFrame,
+    hash_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    normalized: bool = False,
+):
+    """Streaming ingest EXACT dedup — the exact tier of
+    ``incremental_dedup_stream``: each micro-batch collapses its
+    within-batch duplicates and anti-joins the PERSISTED hash table of
+    everything admitted so far (operators/dedup.
+    incremental_exact_survivors, base side semi-pruned on the batch's
+    hashes); survivors are appended to ``out_dir`` and their distinct
+    content hashes to ``hash_dir`` — ~32 bytes per admitted page is the
+    whole standing state, shared with batch jobs and inspectable.
+
+    Same ``foreachBatch`` + ``_batch_id`` dynamic-partition-overwrite
+    idempotency as the near-dup stream, with one exact-tier twist: a
+    replayed epoch re-reads a hash table that already contains its OWN
+    prior write, and unlike the near-dup tier (where self-pairs are
+    excluded by id), a doc's own hash would drop it on replay —
+    silently emptying the partition. The base read therefore EXCLUDES
+    the current epoch's ``_batch_id`` partition (partition pruning
+    makes this a metadata-only skip), so a replay recomputes exactly
+    the first run's survivor set. ``normalized=True`` dedups on the
+    whitespace/case-normalized fingerprint instead of the raw text."""
+    from datacurator_jl_spark.operators.dedup import (
+        exact_hash_table,
+        incremental_exact_survivors,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        from pyspark.errors import AnalysisException
+
+        try:
+            raw = spark.read.parquet(hash_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            base = spark.createDataFrame([], "text_hash string")
+        else:
+            base = raw.filter(F.col("_batch_id") != int(batch_id)).select(
+                "text_hash"
+            )
+        kept = incremental_exact_survivors(
+            batch, base, id_col, text_col, normalized=normalized
+        ).localCheckpoint(eager=True)
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.withColumn("_batch_id", F.lit(int(batch_id))).write.mode(
+                "overwrite"
+            ).partitionBy("_batch_id").parquet(out_dir)
+            exact_hash_table(kept, text_col, normalized).withColumn(
+                "_batch_id", F.lit(int(batch_id))
+            ).write.mode("overwrite").partitionBy("_batch_id").parquet(hash_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_signature_table(
     spark: SparkSession, sig_dir: str, out_dir: str
 ) -> int:

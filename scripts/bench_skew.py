@@ -449,6 +449,57 @@ def main() -> None:
     assert w_set == {("s1", "s2")}, sorted(w_set)[:5]
     results["winnow_hot_passage"] = {"sec": t_winnow, "pairs": len(w_set)}
 
+    # -- guard 10: incremental EXACT dedup base-side prune A/B (round 6) ----
+    # the standing corpus rides as a distinct-hash table; the shipped
+    # plan LEFT-SEMI prunes it on the batch's hash set before the anti
+    # join, so per-ingest shuffle volume tracks the batch (~1k hashes)
+    # instead of the corpus (2M hashes through the anti-join exchange,
+    # forever, on every ingest).
+    from datacurator_jl_spark.operators.dedup import incremental_exact_survivors
+
+    n_bh = 2_000_000
+    base_h = (
+        spark.range(n_bh)
+        .select(
+            F.md5(F.concat(F.lit("base page "), F.col("id").cast("string")))
+            .alias("text_hash")
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact_batch = spark.createDataFrame(
+        [(f"f{i}", f"fresh doc {i} body") for i in range(998)]
+        + [("dupA", "duplicated fresh body"), ("dupB", "duplicated fresh body"),
+           ("re1", "base page 42")],
+        "doc_id string, text string",
+    ).localCheckpoint(eager=True)
+
+    def _noprune_exact(new_df, bh):
+        h = F.coalesce(F.md5(F.col("text")), F.lit("\x00"))
+        hdf = new_df.withColumn("_h", h)
+        winners = hdf.groupBy("_h").agg(F.min("doc_id").alias("k")).select("k")
+        kept = hdf.join(winners, F.col("doc_id") == F.col("k"), "left_semi")
+        return kept.join(bh, hdf["_h"] == bh["text_hash"], "left_anti").drop("_h")
+
+    kept_exact, _ = timed(lambda: {
+        r.doc_id for r in incremental_exact_survivors(
+            exact_batch, base_h, "doc_id", "text"
+        ).select("doc_id").collect()})
+    t_exact = min(timed(lambda: incremental_exact_survivors(
+        exact_batch, base_h, "doc_id", "text"
+    ).count())[1] for _ in range(2))
+    kept_noprune, _ = timed(lambda: {
+        r.doc_id for r in _noprune_exact(exact_batch, base_h)
+        .select("doc_id").collect()})
+    t_noprune = min(timed(lambda: _noprune_exact(exact_batch, base_h).count())[1]
+                    for _ in range(2))
+    assert kept_exact == kept_noprune, (len(kept_exact), len(kept_noprune))
+    assert "re1" not in kept_exact and "dupB" not in kept_exact
+    assert len(kept_exact) == 999, len(kept_exact)
+    results["incremental_exact_prune"] = {
+        "base_hashes": n_bh, "batch_rows": 1001,
+        "sec_pruned": t_exact, "sec_noprune": t_noprune,
+    }
+
     # -- write BENCH.md section ---------------------------------------------
     section = f"""{MARK_A}
 ## Adversarial skew: one mega-domain vs every guard (rounds 4-6)
@@ -472,6 +523,7 @@ block ({probe_pairs:,} pairs in {t_probe} s = {int(rate):,} pairs/s on
 | `remove_duplicated_spans` (d43, round 4) | {results['span_dedup']['sec']} | {results['span_dedup']['fully_stripped_docs']:,} docs fully stripped — cost linear in window occurrences (agg + equi-join), no pair term at all | n/a (structurally linear) |
 | `incremental ingest` vs mega signature table (d28 path, round 5) | {results['incremental_ingest']['sec']} | {n_ingest_mega:,} mega-dup ingest rows against a {args.mega:,}-signature hot bucket: fresh doc kept, base-dup dropped, over-cap bucket dropped before the join ({results['incremental_ingest']['kept']:,} kept, asserted) | ~{results['incremental_ingest']['extrapolated_uncapped_hours']:,} h ({uncapped_ingest_pairs / 1e9:.1f}B band-candidate pairs) |
 | incremental ingest base-side prune A/B (round 6) | {results['incremental_base_prune']['sec_pruned']} (pruned) vs {results['incremental_base_prune']['sec_full_union']} (full union) | 1,000-doc batch vs a {results['incremental_base_prune']['base_sigs']:,}-signature healthy corpus, min-of-2, outputs asserted identical (999 fresh kept, base-dup dropped). The shipped plan LEFT-SEMI prunes base bucket rows on the batch's band-key set before the union/cap/pair join (sound because base-base pairs are excluded by construction), so the accumulated corpus never shuffles into the pair join — ingest cost tracks the BATCH size; the old full-union shape shuffled every base bucket row through the cap count and the pair join on every ingest, scaling with the CORPUS | full-union shape: O(corpus) shuffle per ingest, forever |
+| incremental EXACT dedup base-side prune A/B (d55, round 6) | {results['incremental_exact_prune']['sec_pruned']} (pruned) vs {results['incremental_exact_prune']['sec_noprune']} (no prune) | 1,001-doc batch vs a {results['incremental_exact_prune']['base_hashes']:,}-hash standing corpus, min-of-2, outputs asserted identical (999 kept: re-crawled base copy dropped, within-batch dupe collapses). The shipped plan semi-prunes the base hash table on the batch's hash set before the anti join, so only batch-sized key sets shuffle — the no-prune shape drags all {results['incremental_exact_prune']['base_hashes']:,} hashes through the anti-join exchange on EVERY ingest | O(corpus) shuffle per ingest, forever |
 | winnow shared-passage hot fp (d51/d52, round 6) | {results['winnow_hot_passage']['sec']} | the {args.mega:,} identical mega docs all collapse to ONE winnowed fingerprint — the boilerplate-passage worst case, {mega_pairs:,} potential pairs through one fp key; `_drop_over_cap` (max_bucket=10k) drops the degenerate KEY and the genuine s1/s2 shared sentence is asserted to be the ONLY surviving pair | mega² pairs through one join key |
 | `drop_exact_dupes` winners + semi-join-on-id A/B (round 6) | {results['exact_dedup_ab']['unique']['sec_semijoin']} (unique) / {results['exact_dedup_ab']['mega']['sec_semijoin']} (mega-dup) | {n_dup:,} ~2 KB pages, two shapes, min-of-2 full-row noop writes, row contracts asserted. Shipped plan vs rank-1 window: unique {results['exact_dedup_ab']['unique']['sec_semijoin']} s vs {results['exact_dedup_ab']['unique']['sec_window']} s; mega-dup {results['exact_dedup_ab']['mega']['sec_semijoin']} s vs {results['exact_dedup_ab']['mega']['sec_window']} s — across repeated A/Bs the two are within this VM's run-to-run noise of each other (the box varies up to ~4x between runs of identical code), so the choice is STRUCTURAL: the winners agg is payload-free and map-side combinable, the semi join keys on the unique id (uniform shuffle on any engine — no reliance on Spark ≥3.5's WindowGroupLimit, without which the rank-1 window funnels every copy of the hottest page through ONE reducer), and the probe branch lets Catalyst prune upstream text transforms (d38/d39 compositions). Two variants WERE rejected on measurement, decisively: (hash,id)-keyed semi join (second full md5 pass, 14-17 s on mega-dup) and min_by argmax (non-codegen SortAggregate, 6.5-7 s both shapes) | single-task shuffle+sort of the hottest key (engines without WindowGroupLimit) |
 

@@ -670,3 +670,57 @@ def test_incremental_exact_rejects_duplicate_ids(spark):
         incremental_exact_survivors(
             batch, exact_hash_table(base, "text"), "id", "text"
         ).collect()
+
+
+def test_dedup_base_hashes_recipe_ingest(spark, tmp_path):
+    """[global] dedup='exact' + dedup_base_hashes: the exact pre-pass
+    dedups the batch against a persisted corpus hash table (within-batch
+    winner + anti-join on base content)."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.operators.dedup import exact_hash_table
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    base = spark.createDataFrame(
+        [("b1", "already curated page")], "url string, text string"
+    )
+    hpath = str(tmp_path / "hashes.parquet")
+    exact_hash_table(base, "text").write.parquet(hpath)
+
+    batch = spark.createDataFrame(
+        [
+            ("u1", "already curated page"),  # base re-crawl -> dropped
+            ("u2", "brand new page"),        # kept
+            ("u3", "brand new page"),        # batch dupe -> loses to u2
+        ],
+        "url string, text string",
+    )
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "dedup": "exact",
+                "dedup_base_hashes": hpath,
+            },
+            "any": {"conditions": [["has_text"]], "actions": ["keep"]},
+        }
+    )
+    res = Pipeline(spec).apply(batch)
+    assert {r["url"] for r in res.kept().collect()} == {"u2"}
+
+
+def test_dedup_base_hashes_requires_exact(spark):
+    import pytest
+
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    any_rule = {"conditions": [["has_text"]], "actions": ["keep"]}
+    with pytest.raises(RecipeError, match="dedup_base_hashes"):
+        parse_recipe(
+            {"global": {"dedup": "near", "dedup_base_hashes": "/x"},
+             "any": any_rule}
+        )
+    with pytest.raises(RecipeError, match="dedup_base_hashes"):
+        parse_recipe(
+            {"global": {"dedup_base_hashes": 7, "dedup": "exact"},
+             "any": any_rule}
+        )

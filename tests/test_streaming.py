@@ -403,3 +403,75 @@ def test_compact_signature_table_k_and_latest_wins(spark, tmp_path):
     bad.write.parquet(badp)
     with pytest.raises(ValueError, match="non-contiguous"):
         compact_signature_table(spark, badp, str(tmp_path / "bad_out"))
+
+
+def test_incremental_exact_dedup_stream(spark, tmp_path_factory):
+    """Exact-tier streaming ingest: batch-2 exact copies of admitted
+    content are dropped via the persisted hash table; the table carries
+    one hash per distinct admitted page."""
+    from datacurator_jl_spark.streaming.stream import (
+        incremental_exact_dedup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("excstream")
+    src, hsh, out, ckpt = (str(root / n) for n in ("src", "hsh", "out", "ckpt"))
+    os.makedirs(src)
+    b1 = [
+        ("u1", "first page body"),
+        ("u2", "first page body"),  # intra-batch exact dup
+        ("u3", "second page body"),
+    ]
+    spark.createDataFrame(b1, "url string, text string").write.parquet(
+        os.path.join(src, "b1")
+    )
+    q = incremental_exact_dedup_stream(
+        spark.readStream.schema("url string, text string").parquet(src + "/*"),
+        hsh, out, ckpt,
+    )
+    q.awaitTermination(120)
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == {"u1", "u3"}
+    b2 = [
+        ("u4", "first page body"),   # copy of admitted u1 -> dropped
+        ("u5", "third page body"),   # fresh
+    ]
+    spark.createDataFrame(b2, "url string, text string").write.parquet(
+        os.path.join(src, "b2")
+    )
+    q2 = incremental_exact_dedup_stream(
+        spark.readStream.schema("url string, text string").parquet(src + "/*"),
+        hsh, out, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == {
+        "u1", "u3", "u5"
+    }
+    hashes = spark.read.parquet(hsh).select("text_hash").collect()
+    assert len(hashes) == 3 and len({r["text_hash"] for r in hashes}) == 3
+
+
+def test_incremental_exact_stream_epoch_replay_is_idempotent(
+    spark, tmp_path_factory
+):
+    """A replayed epoch must NOT be emptied by its own persisted hashes:
+    the base read excludes the epoch's own _batch_id partition."""
+    from datacurator_jl_spark.streaming.stream import (
+        incremental_exact_dedup_stream,
+    )
+
+    root = tmp_path_factory.mktemp("excreplay")
+    src, hsh, out = (str(root / n) for n in ("src", "hsh", "out"))
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("u1", "replay me once"), ("u2", "replay me once")],
+        "url string, text string",
+    ).write.parquet(os.path.join(src, "b1"))
+    for attempt in ("ckpt_a", "ckpt_b"):  # second run = simulated replay
+        q = incremental_exact_dedup_stream(
+            spark.readStream.schema("url string, text string").parquet(
+                src + "/*"
+            ),
+            hsh, out, str(root / attempt),
+        )
+        q.awaitTermination(120)
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == {"u1"}
+    assert spark.read.parquet(hsh).count() == 1
