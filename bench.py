@@ -106,6 +106,7 @@ HEADLINE = [
     "d54_sequence_pack",
     "d55_incremental_exact",
     "d56_gumbel_resample",
+    "e08_semdedup_survivors",
 ]
 
 

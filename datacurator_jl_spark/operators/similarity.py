@@ -336,3 +336,86 @@ def srp_near_dup_survivors(
     )
     reps = comps.filter(F.col("doc") == F.col("comp")).select("doc")
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
+
+
+def semdedup_survivors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.95,
+    max_cluster: int | None = 100_000,
+    materialize: str = "local",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    exact cosine WITHIN embedding clusters, keeping the duplicate-group
+    member FURTHEST from its cluster centroid (the paper's
+    keep-the-outlier rule — it preserves diversity where min-id would
+    keep an arbitrary member).
+
+    Rule, pinned (the pairwise form — deterministic and join-expressible,
+    no clique recursion): a doc is dropped iff some same-cluster doc
+    with over-``threshold`` cosine has STRICTLY lower (centroid-sim,
+    id) — i.e. every over-threshold pair drops its
+    closer-to-centroid member (id breaks exact 6dp ties). Chains (a~b,
+    b~c, a!~c) therefore drop conservatively toward the furthest
+    member. Docs with a NULL cluster or vector never pair and always
+    survive; centroid similarities are rounded to 6dp so both engines
+    rank identically.
+
+    Scale shape — the same bounded-block family as every pair op here:
+    centroids are one explode+groupBy (rows x dim scalars) and ride as
+    a broadcast; the pair join is a cluster equi-join with
+    ``_drop_over_cap`` capping degenerate clusters on ONE side (caller
+    materialization contract as in lsh_candidate_pairs); losers
+    anti-join the corpus by id. The clusters themselves come from the
+    corpus' ``cluster_col`` (production: offline k-means ids, the IVF
+    posture) — this operator never builds an n² term.
+    """
+    from datacurator_jl_spark.operators.dedup import _drop_over_cap, _materialize
+
+    e = _materialize(
+        corpus.filter(
+            F.col(cluster_col).isNotNull() & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.col(cluster_col).alias("clu"),
+            F.col(vec_col).alias("v"),
+        ),
+        materialize,
+    )
+    cents = centroids_by(
+        e.select(F.col("clu").alias(cluster_col), F.col("v").alias(vec_col)),
+        cluster_col,
+        vec_col,
+    ).select(F.col(cluster_col).alias("clu"), "centroid")
+    cs = e.join(F.broadcast(cents), "clu").select(
+        "doc", "clu", "v",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cs"),
+    )
+    a = (
+        _drop_over_cap(cs, ["clu"], max_cluster) if max_cluster else cs
+    ).alias("a")
+    b = cs.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.clu") == F.col("b.clu"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(sim >= float(threshold))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("a.cs").alias("cs_a"),
+            F.col("b.doc").alias("doc_b"), F.col("b.cs").alias("cs_b"),
+        )
+    )
+    # the join pins doc_a < doc_b, so on an exact 6dp centroid-sim tie
+    # the greater id (b) is the loser — which IS the (cs, id) rule
+    closer_is_a = F.col("cs_a") > F.col("cs_b")
+    losers = pairs.select(
+        F.when(closer_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("loser")
+    ).distinct()
+    return corpus.join(
+        losers, corpus[id_col] == losers["loser"], "left_anti"
+    )

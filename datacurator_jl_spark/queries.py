@@ -3104,6 +3104,54 @@ def d56(spark, sf):
     )
 
 
+@_q(
+    "e08_semdedup_survivors",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    m AS (
+      SELECT label, i.i AS pos, avg(v[i.i]) AS mu
+      FROM e, (SELECT unnest(generate_series(1, len(v))) AS i) i
+      GROUP BY label, i.i
+    ),
+    c AS (SELECT label, list(mu ORDER BY pos) AS cv FROM m GROUP BY label),
+    cs AS (
+      SELECT e.vec_id, e.label, e.v,
+             round(list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+      FROM e JOIN c USING (label)
+    ),
+    p AS (
+      SELECT a.vec_id AS da, a.cs AS ca, b.vec_id AS db, b.cs AS cb
+      FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    ),
+    l AS (SELECT DISTINCT CASE WHEN ca > cb THEN da ELSE db END AS loser FROM p)
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT loser FROM l)
+    """,
+)
+def e08(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by exact cosine
+    within embedding clusters, keeping each duplicate pair's member
+    FURTHEST from the cluster centroid (the paper's keep-the-outlier
+    rule; 6dp-rounded centroid sims, id tiebreak). Complements e07's
+    SRP-band survivors: there the blocking is hash bands and the winner
+    is the component min; here the blocking is the cluster structure
+    itself and the winner is diversity-preserving. Centroids are one
+    explode+groupBy broadcast; the pair join is the capped
+    cluster-equi-join family (threshold 0.35 at synthetic scale;
+    production uses ~0.95+ on real embeddings)."""
+    from datacurator_jl_spark.operators.similarity import semdedup_survivors
+
+    return semdedup_survivors(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", "label",
+        threshold=0.35,
+    ).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3126,6 +3174,7 @@ _DRIVER_PRIORITY = [
     "d54_sequence_pack",  # NEW this round — never driver-checked
     "d55_incremental_exact",  # NEW this round — never driver-checked
     "d56_gumbel_resample",  # NEW this round — never driver-checked
+    "e08_semdedup_survivors",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -277,3 +277,12 @@ def test_gumbel_resample_is_take_ordered(spark):
     (per-partition heaps), never a global Sort + Limit."""
     plan = _phys(QUERIES["d56_gumbel_resample"](spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semdedup_no_window_broadcast_centroids(spark):
+    """e08 plan contract: centroid join is a broadcast, the pair join is
+    a cluster equi-join, losers anti-join by id — no window."""
+    plan = _phys(QUERIES["e08_semdedup_survivors"](spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -724,3 +724,83 @@ def test_dedup_base_hashes_requires_exact(spark):
             {"global": {"dedup_base_hashes": 7, "dedup": "exact"},
              "any": any_rule}
         )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _sem_reference(rows, thr):
+    """Independent mirror of the pinned SemDeDup rule: per over-threshold
+    same-cluster pair, drop the closer-to-centroid member ((cs, id)
+    order; 6dp rounding)."""
+    import numpy as np
+
+    by = {}
+    for i, lab, v in rows:
+        if lab is None or v is None:
+            continue
+        by.setdefault(lab, []).append((i, np.array(v, float)))
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    losers = set()
+    for lab, mem in by.items():
+        cent = np.mean([v for _, v in mem], axis=0)
+        cs = {i: round(cos(v, cent), 6) for i, v in mem}
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                (ia, va), (ib, vb) = sorted(
+                    [mem[x], mem[y]], key=lambda t: t[0]
+                )
+                if round(cos(va, vb), 6) >= thr:
+                    losers.add(ia if cs[ia] > cs[ib] else ib)
+    return losers
+
+
+def test_semdedup_matches_reference_and_keeps_outlier(spark):
+    from datacurator_jl_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        # cluster 0: a tight near-dup fan plus one genuine outlier
+        (1, 0, [10.0, 0.0, 0.0]),
+        (2, 0, [10.0, 1.0, 0.0]),
+        (3, 0, [20.0, 1.0, 0.0]),
+        (4, 0, [0.0, 0.0, 9.0]),   # orthogonal: never pairs
+        # cluster 1: two members below threshold of each other
+        (5, 1, [1.0, 5.0, 0.0]),
+        (6, 1, [5.0, 1.0, 0.0]),
+        # null cluster / null vector: always survive
+        (7, None, [1.0, 1.0, 1.0]),
+        (8, 2, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]
+        for r in semdedup_survivors(
+            df, "vec_id", "embedding", "label", threshold=0.95
+        ).collect()
+    }
+    losers = _sem_reference(rows, 0.95)
+    assert got == {i for i, _, _ in rows} - losers
+    assert losers  # the fan must actually drop someone
+    assert {4, 5, 6, 7, 8} <= got  # sub-threshold/null rows all survive
+
+
+def test_semdedup_cap_drops_degenerate_cluster(spark):
+    from datacurator_jl_spark.operators.similarity import semdedup_survivors
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(50)] + [(100, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    out = semdedup_survivors(
+        df, "vec_id", "embedding", "label", threshold=0.9, max_cluster=10
+    )
+    # the 50-identical cluster is over cap -> no pairs generated -> all
+    # survive (the cap drops the degenerate KEY, never the corpus)
+    assert out.count() == 51
