@@ -338,6 +338,164 @@ def srp_near_dup_survivors(
     return df.join(reps, df[id_col] == reps.doc, "left_semi")
 
 
+# ---------------------------------------------------------------------------
+# Deterministic k-means (Lloyd's): the missing producer for every
+# cluster-consuming op here (ivf_topk's index, semdedup_survivors'
+# blocking) — in production those ids come from an offline k-means; this
+# IS that job, as a Spark plan.
+# ---------------------------------------------------------------------------
+
+
+def _quantized_dims(pts: DataFrame) -> DataFrame:
+    """(doc, pos, qv): per-dimension micro-quantized values,
+    ``qv = round(v[pos] * 1e6)`` as bigint. Centroids are then built from
+    EXACT integer sums (order-free, partial-agg-safe) — the same
+    integer-determinism posture as operators/dsir.py's micro-nat model;
+    a float ``avg`` would make cluster means depend on partial-aggregation
+    order, and a 6dp-rounded assignment can flip on that ulp."""
+    return pts.select(
+        "doc", F.posexplode("v").alias("pos", "val")
+    ).select(
+        "doc",
+        "pos",
+        F.round(F.col("val").cast("double") * F.lit(1e6), 0)
+        .cast("long")
+        .alias("qv"),
+    )
+
+
+def _centroids_of(qt: DataFrame, members: DataFrame) -> DataFrame:
+    """(cid, centroid array<double>) from exact per-(cid, pos) bigint sums:
+    mean = sum(qv) / (n * 1e6), a pure function of exact integers —
+    identical across engines, retries, and input partitionings. Holds
+    while |sum(qv)| < 2^53 (~9e15): at qv ~ 1e6 that is ~10^9 members per
+    cluster — beyond it, pre-split clusters or raise the quantum."""
+    per_dim = (
+        qt.join(members, "doc")
+        .groupBy("cid", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid",
+            "pos",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(1e6))).alias("m"),
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid")
+    )
+
+
+def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """(doc, cid, csim): nearest centroid by 6dp-rounded cosine, exact
+    ties to the LOWEST cluster id — via the repo's min(struct) argmax
+    (map-side combinable), never a per-doc window. ``+ 0.0`` normalizes
+    any -0.0 the rounding produces, so the negated sort key cannot
+    diverge from the oracle's ``ORDER BY sim DESC`` (IEEE sorts
+    -0.0 < 0.0; SQL comparison treats them equal)."""
+    sim = F.round(cosine(F.col("v"), F.col("centroid")), 6) + F.lit(0.0)
+    best = (
+        pts.crossJoin(F.broadcast(cents))
+        .select(
+            "doc", F.struct((-sim).alias("ns"), F.col("cid").alias("cid")).alias("sc")
+        )
+        .groupBy("doc")
+        .agg(F.min("sc").alias("sc"))
+    )
+    return best.select(
+        "doc",
+        F.col("sc.cid").alias("cid"),
+        (-F.col("sc.ns") + F.lit(0.0)).alias("csim"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    materialize: str = "local",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column; returns
+    the centroid table (cid int, centroid array<double>).
+
+    Pinned semantics (three-engine reproducible — the SQL twin unrolls
+    the same iterations):
+
+    - corpus = rows with a non-null, non-zero-norm vector (cosine metric:
+      a zero vector has no direction; it is excluded from fit and gets a
+      NULL cluster from :func:`kmeans_assign`);
+    - init: the ``k`` lowest-id vectors, micro-quantized (cid = rank by
+      id, 0-based) — deterministic and restart-stable, no RNG state;
+    - each iteration: assign all points to the max-cosine centroid (6dp,
+      ties to the lowest cid), recompute centroids from exact integer
+      sums; an emptied cluster drops out (standard Lloyd's);
+    - exactly ``iters`` iterations — no convergence probe, so re-runs and
+      the oracle agree by construction.
+
+    Scale shape: per iteration, one broadcast crossJoin (corpus × k
+    centroids — narrow, no corpus shuffle) + one partial-combinable
+    (cid, pos) aggregate over rows × dim scalars; centroids are
+    re-materialized per iteration (``materialize`` policy as elsewhere)
+    so iteration k never replays 1..k-1. This is the offline-index job
+    whose output ivf_topk/semdedup consume; it shuffles rows × dim
+    scalars ``iters`` times and nothing else.
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    pts = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+        .filter(_dot(F.col("v"), F.col("v")) > 0)
+    )
+    pts = _materialize(pts, materialize)
+    qt = _materialize(_quantized_dims(pts), materialize)
+    init = (
+        pts.select("doc")
+        .orderBy("doc")
+        .limit(k)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("doc")) - F.lit(1)
+        )
+    )  # k-row frame: the single-partition window is bounded by k
+    cents = _centroids_of(qt, init)
+    for _ in range(max(0, int(iters))):
+        members = _assign(pts, cents).select("doc", "cid")
+        cents = _materialize(_centroids_of(qt, members), materialize)
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sim_col: str = "csim",
+) -> DataFrame:
+    """Label every row of ``df`` with its nearest centroid: appends
+    (cluster, csim 6dp); rows with a null or zero-norm vector get NULL
+    for both (they have no cosine direction). One broadcast crossJoin +
+    one min(struct) argmax — no corpus shuffle beyond the argmax's
+    partial-combinable aggregate. Feeds ``cluster_col`` straight into
+    :func:`semdedup_survivors` / :func:`ivf_topk` for a label-free
+    end-to-end semantic dedup."""
+    pts = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+        .filter(_dot(F.col("v"), F.col("v")) > 0)
+    )
+    a = _assign(pts, cents).select(
+        F.col("doc"),
+        F.col("cid").alias(cluster_col),
+        F.col("csim").alias(sim_col),
+    )
+    return df.join(a, df[id_col] == a["doc"], "left").drop("doc")
+
+
 def semdedup_survivors(
     corpus: DataFrame,
     id_col: str = "vec_id",

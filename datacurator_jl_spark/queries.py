@@ -3152,6 +3152,139 @@ def e08(spark, sf):
     ).select("vec_id")
 
 
+_D57_TERMS = ["spark", "merge", "window", "stream"]
+
+
+def _d57_sql() -> str:
+    from datacurator_jl_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(_D57_TERMS, k=15)
+
+
+@_q("d57_bm25_topk", _d57_sql())
+def d57(spark, sf):
+    """Okapi BM25 top-k keyword retrieval (Robertson & Walker, the
+    Lucene-smoothed idf): the "which docs are about X" spot-check /
+    decontamination-triage query. Tokens filter to the query terms
+    BEFORE any shuffle; tf/df/dl are exact integer aggregates; per-term
+    contributions combine in ONE fixed expression-tree order (never a
+    float SUM whose partial-combine order varies); top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, k rows
+    cross the wire). Oracle GENERATED from the same term list and
+    constants via operators/retrieval.bm25_topk_sql."""
+    from datacurator_jl_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _D57_TERMS, k=15)
+
+
+@_q(
+    "e09_kmeans_clusters",
+    """
+    WITH e AS (
+      SELECT vec_id AS doc, embedding::DOUBLE[] AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    q AS (
+      SELECT doc, i.i AS pos, CAST(round(v[i.i] * 1000000.0) AS BIGINT) AS qv
+      FROM e, (SELECT unnest(generate_series(1, len(v))) AS i) i
+    ),
+    init AS (
+      SELECT doc, row_number() OVER (ORDER BY doc) - 1 AS cid
+      FROM (SELECT doc FROM e ORDER BY doc LIMIT 6)
+    ),
+    c0 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT init.cid, q.pos,
+               CAST(sum(q.qv) AS DOUBLE) / (count(*) * 1000000.0) AS m
+        FROM q JOIN init USING (doc) GROUP BY init.cid, q.pos)
+      GROUP BY cid
+    ),
+    s1 AS (
+      SELECT e.doc, c.cid,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
+      FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT doc, cid FROM (
+        SELECT doc, cid,
+               row_number() OVER (PARTITION BY doc
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM s1)
+      WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT a1.cid, q.pos,
+               CAST(sum(q.qv) AS DOUBLE) / (count(*) * 1000000.0) AS m
+        FROM q JOIN a1 USING (doc) GROUP BY a1.cid, q.pos)
+      GROUP BY cid
+    ),
+    s2 AS (
+      SELECT e.doc, c.cid,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
+      FROM e CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT doc, cid FROM (
+        SELECT doc, cid,
+               row_number() OVER (PARTITION BY doc
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM s2)
+      WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT a2.cid, q.pos,
+               CAST(sum(q.qv) AS DOUBLE) / (count(*) * 1000000.0) AS m
+        FROM q JOIN a2 USING (doc) GROUP BY a2.cid, q.pos)
+      GROUP BY cid
+    ),
+    sf AS (
+      SELECT e.doc, c.cid,
+             round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) + 0.0 AS sim
+      FROM e CROSS JOIN c2 c
+    ),
+    af AS (
+      SELECT doc, cid, sim FROM (
+        SELECT doc, cid, sim,
+               row_number() OVER (PARTITION BY doc
+                                  ORDER BY sim DESC, cid ASC) AS rn
+        FROM sf)
+      WHERE rn = 1
+    )
+    SELECT emb.vec_id, af.cid AS cluster, af.sim AS csim
+    FROM embeddings emb LEFT JOIN af ON emb.vec_id = af.doc
+    """,
+)
+def e09(spark, sf):
+    """Deterministic Lloyd's k-means (k=6, 2 iterations) + full-corpus
+    assignment — the producer of the cluster ids every cluster-consuming
+    op here assumes (ivf_topk's IVF index, e08's SemDeDup blocking),
+    run as a Spark plan: init = the k lowest-id vectors, centroids from
+    EXACT micro-quantized integer sums (order-free across partial-agg
+    orders — the dsir micro-nat posture), assignment by 6dp cosine with
+    ties to the lowest cid via min(struct) argmax (no per-doc window).
+    The oracle unrolls the SAME two iterations as CTEs. Null/zero-norm
+    vectors take no part in fit and get NULL cluster/csim."""
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=6, iters=2)
+    return kmeans_assign(emb, cents, "vec_id", "embedding").select(
+        "vec_id", "cluster", "csim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3175,6 +3308,8 @@ _DRIVER_PRIORITY = [
     "d55_incremental_exact",  # NEW this round — never driver-checked
     "d56_gumbel_resample",  # NEW this round — never driver-checked
     "e08_semdedup_survivors",  # NEW this round — never driver-checked
+    "d57_bm25_topk",  # NEW this round — never driver-checked
+    "e09_kmeans_clusters",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

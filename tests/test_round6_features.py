@@ -804,3 +804,200 @@ def test_semdedup_cap_drops_degenerate_cluster(spark):
     # the 50-identical cluster is over cap -> no pairs generated -> all
     # survive (the cap drops the degenerate KEY, never the corpus)
     assert out.count() == 51
+
+
+# -- BM25 retrieval (d57) ----------------------------------------------------
+
+
+def _bm25_reference(rows, terms, k=10, k1=1.2, b=0.75):
+    """Independent per-row Python BM25 mirroring the pinned expression
+    order (operators/retrieval.py): exact-int tf/df/dl, fixed-order
+    per-term sum, 6dp round, (score desc, id asc) top-k."""
+    import math
+    import re
+
+    docs = {i: re.findall(r"\S+", t.lower()) for i, t in rows if t is not None}
+    n = len(docs)
+    sum_dl = sum(len(v) for v in docs.values())
+    avgdl = sum_dl / n
+    dft = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    out = []
+    for i, toks in docs.items():
+        score = 0.0
+        hit = False
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dft[t] == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            score = score + idf * (
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+            )
+        if hit:
+            out.append((i, round(score, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+def test_bm25_matches_reference(spark):
+    from datacurator_jl_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark merge spark window"),
+        (2, "spark"),
+        (3, "merge merge merge stream stream"),
+        (4, "nothing relevant here at all"),
+        (5, None),
+        (6, "window stream window stream window spark"),
+        (7, "spark merge"),  # same bag as 8 -> tie broken by id
+        (8, "merge spark"),
+    ]
+    terms = ["spark", "merge", "window", "stream"]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(df, terms, k=5).collect()
+    ]
+    assert got == _bm25_reference(rows, terms, k=5)
+    # non-matching / null-text docs never appear even with a huge k
+    all_ids = {r.doc_id for r in bm25_topk(df, terms, k=100).collect()}
+    assert 4 not in all_ids and 5 not in all_ids
+
+
+def test_bm25_rejects_bad_terms(spark):
+    import pytest as _pytest
+
+    from datacurator_jl_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match=">= 1 query term"):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError, match="distinct"):
+        bm25_topk(df, ["a", "a"])
+
+
+# -- deterministic k-means (e09) ----------------------------------------------
+
+
+def _kmeans_reference(vecs, k, iters):
+    """Independent NumPy/Python Lloyd's mirroring the pinned semantics:
+    micro-quantized exact-integer centroid sums, init = k lowest ids,
+    sequential-fold cosine rounded 6dp, ties to the lowest cid."""
+    import numpy as np
+
+    def quant(v):
+        x = np.asarray(v, dtype=np.float64) * 1e6
+        return np.where(
+            x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+        ).astype(np.int64)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos6(a, b):
+        import math
+
+        s = fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+        return round(s, 6) + 0.0
+
+    pts = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in vecs
+        if v is not None and fold_dot(v, v) > 0
+    }
+    q = {i: quant(v) for i, v in pts.items()}
+    init = sorted(pts)[:k]
+    cents = {c: q[i].astype(np.float64) / 1e6 for c, i in enumerate(init)}
+
+    def assign(cents):
+        a = {}
+        for i, v in pts.items():
+            best = min(
+                ((-cos6(v, cv), c) for c, cv in sorted(cents.items()))
+            )
+            a[i] = (best[1], -best[0] + 0.0)
+        return a
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums, counts = {}, {}
+        for i, (c, _s) in a.items():
+            sums[c] = sums.get(c, np.zeros(len(q[i]), dtype=np.int64)) + q[i]
+            counts[c] = counts.get(c, 0) + 1
+        cents = {
+            c: sums[c].astype(np.float64) / (counts[c] * 1e6) for c in sums
+        }
+    return assign(cents)
+
+
+def test_kmeans_matches_reference_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((3, 8)) * 3
+    vecs = [
+        (i, (centers[i % 3] + rng.standard_normal(8) * 0.3).tolist())
+        for i in range(40)
+    ]
+    rows = vecs + [(100, None), (101, [0.0] * 8)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = kmeans_fit(df, k=3, iters=2)
+    out = {
+        r.vec_id: (r.cluster, r.csim)
+        for r in kmeans_assign(df, cents).collect()
+    }
+    ref = _kmeans_reference(vecs, k=3, iters=2)
+    assert {i: c for i, (c, _s) in ref.items()} == {
+        i: out[i][0] for i in ref
+    }
+    for i, (_c, s) in ref.items():
+        assert abs(out[i][1] - s) < 1e-9
+    # null / zero-norm vectors: NULL cluster and csim, never dropped
+    assert out[100] == (None, None) and out[101] == (None, None)
+    # partitioning must not change anything (exact integer sums)
+    out7 = {
+        r.vec_id: (r.cluster, r.csim)
+        for r in kmeans_assign(
+            df, kmeans_fit(df.repartition(7), k=3, iters=2)
+        ).collect()
+    }
+    assert out7 == out
+
+
+def test_kmeans_feeds_semdedup_label_free(spark):
+    """The end-to-end label-free SemDeDup: kmeans_assign provides the
+    cluster column e08's operator blocks on."""
+    import numpy as np
+
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit, semdedup_survivors,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((4, 8))
+    rows = []
+    for i in range(24):  # 4 tight clusters of 6 near-identical vectors
+        rows.append((i, (base[i % 4] + rng.standard_normal(8) * 1e-3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    labeled = kmeans_assign(df, kmeans_fit(df, k=4, iters=2))
+    out = semdedup_survivors(
+        labeled, "vec_id", "embedding", "cluster", threshold=0.999
+    )
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    # near-identical members dedup within each k-means cluster
+    assert len(kept) < 24 and kept <= set(range(24))
