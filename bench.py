@@ -107,6 +107,9 @@ HEADLINE = [
     "d55_incremental_exact",
     "d56_gumbel_resample",
     "e08_semdedup_survivors",
+    "d57_bm25_topk",
+    "e09_kmeans_clusters",
+    "d58_distill_classifier",
 ]
 
 

@@ -3285,6 +3285,47 @@ def e09(spark, sf):
     )
 
 
+def _d58_sql() -> str:
+    from datacurator_jl_spark.operators.distill import distill_score_sql
+
+    label = (
+        "SELECT doc_id AS doc, CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y "
+        f"FROM ({_D04_SQL})"
+    )
+    return distill_score_sql(label, n_buckets=1024, salt="qw1",
+                             iters=2, lr=100.0)
+
+
+@_q("d58_distill_classifier", _d58_sql())
+def d58(spark, sf):
+    """Distill the d04 recipe's keep/drop labels into the hashed linear
+    classifier: 2 full-batch LR gradient steps over hashed-unigram
+    features (classifier bucket function), integer micro-unit weights so
+    every gradient sum is exact and order-free, then sigmoid scores 6dp
+    over the training docs. The oracle GENERATES the same 2 steps as
+    unrolled CTEs (operators/distill.distill_score_sql) from the d04
+    oracle's own label SQL — the FineWeb-Edu loop (rule-label → linear
+    probe → serve via DC_QUALITY_MODEL) closed inside the engine."""
+    from datacurator_jl_spark.operators.dedup import _materialize
+    from datacurator_jl_spark.operators.distill import (
+        lr_fit, lr_scores, unigram_feature_table,
+    )
+
+    labels = d04(spark, sf).select(
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("keep"), 1.0).otherwise(0.0).alias("y"),
+    )
+    feats = _materialize(
+        unigram_feature_table(
+            _t(spark, sf, "documents"), "doc_id", "text", 1024, "qw1"
+        ),
+        "local",
+    )
+    w, bias_u = lr_fit(feats, labels, iters=2, lr=100.0)
+    train_feats = feats.join(labels.select("doc"), "doc", "left_semi")
+    return lr_scores(train_feats, w, bias_u, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3310,6 +3351,7 @@ _DRIVER_PRIORITY = [
     "e08_semdedup_survivors",  # NEW this round — never driver-checked
     "d57_bm25_topk",  # NEW this round — never driver-checked
     "e09_kmeans_clusters",  # NEW this round — never driver-checked
+    "d58_distill_classifier",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -286,3 +286,43 @@ def test_semdedup_no_window_broadcast_centroids(spark):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_is_take_ordered_no_window(spark):
+    """d57 plan contract: top-k is TakeOrderedAndProject (per-partition
+    heaps, k rows cross the wire), df/stats sides broadcast, and no
+    window / cartesian anywhere (the 1-row stats crossJoin is a
+    broadcast nested loop, which is the cheap intended shape)."""
+    plan = _phys(QUERIES["d57_bm25_topk"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_assign_no_corpus_window_broadcast_centroids(spark):
+    """e09 plan contract: assignment is a broadcast (k-row centroid
+    side) + min(struct) argmax — the corpus side never windows or
+    cartesian-joins. (kmeans_fit's k-row init window is materialized
+    away inside fit; the assign lineage must stay window-free.)"""
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=4, iters=1)
+    plan = _phys(kmeans_assign(emb, cents))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_lr_scores_broadcast_weights_no_window(spark):
+    """d58 plan contract: scoring joins the (≤ n_buckets)-row weight
+    table as a broadcast and aggregates per doc — no window, no
+    cartesian anywhere in the served-score plan."""
+    plan = _phys(
+        QUERIES["d58_distill_classifier"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1001,3 +1001,173 @@ def test_kmeans_feeds_semdedup_label_free(spark):
     kept = {r.vec_id for r in out.select("vec_id").collect()}
     # near-identical members dedup within each k-means cluster
     assert len(kept) < 24 and kept <= set(range(24))
+
+
+# -- LR distillation trainer (d58) --------------------------------------------
+
+
+def _lr_reference(rows, labels, n_buckets=64, salt="qw1", iters=2, lr=100.0):
+    """Independent full-loop LR mirror (hashlib-direct buckets,
+    half-away-from-zero rounding — NOT Python's banker's round)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def rnd(x):
+        return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+    tok = re.compile(r"\S+", re.ASCII)
+    feats = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        c = Counter(h32(f"{w}#{salt}") % n_buckets for w in tok.findall(t.lower()))
+        if c:
+            feats[i] = c
+    train = {i: c for i, c in feats.items() if labels.get(i) is not None}
+    n = len(train)
+    w = {b: 0 for c in train.values() for b in c}
+    bias = 0
+
+    def margin(c, dl):
+        s = sum(cnt * w[b] for b, cnt in sorted(c.items()))
+        return (float(bias) + float(s) / float(dl)) / 1000000.0
+
+    for _ in range(iters):
+        r = {}
+        for i, c in train.items():
+            dl = sum(c.values())
+            p = 1.0 / (1.0 + math.exp(-margin(c, dl)))
+            r[i] = rnd(1000000.0 * (p - labels[i]))
+        grad = {b: 0 for b in w}
+        for i, c in train.items():
+            dl = sum(c.values())
+            for b, cnt in c.items():
+                grad[b] += rnd((float(r[i]) * cnt) / dl)
+        for b in w:
+            w[b] -= rnd(lr * float(grad[b]) / n)
+        bias -= rnd(lr * float(sum(r.values())) / n)
+    out = {}
+    for i, c in train.items():
+        dl = sum(c.values())
+        out[i] = round(1.0 / (1.0 + math.exp(-margin(c, dl))), 6)
+    return out
+
+
+def _lr_corpus():
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    bad = "zzz qqq xxx www kkk jjj vvv zzz qqq xxx"
+    rows, labels = [], {}
+    for i in range(12):
+        rows.append((i, good + f" extra{i % 3}"))
+        labels[i] = 1.0
+    for i in range(12, 24):
+        rows.append((i, bad + f" junk{i % 3}"))
+        labels[i] = 0.0
+    rows += [(100, None), (101, "  \t "), (102, "unlabeled doc text")]
+    labels[102] = None
+    return rows, labels
+
+
+def test_lr_fit_matches_reference_and_partition_invariant(spark):
+    from datacurator_jl_spark.operators.distill import (
+        lr_fit, lr_scores, unigram_feature_table,
+    )
+
+    rows, labels = _lr_corpus()
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ldf = spark.createDataFrame(
+        [(i, y) for i, y in labels.items()], "doc bigint, y double"
+    )
+    feats = unigram_feature_table(df, n_buckets=64, salt="qw1")
+    w, bias_u = lr_fit(feats, ldf, iters=2, lr=100.0)
+    train_feats = feats.join(
+        ldf.filter(F.col("y").isNotNull()).select("doc"), "doc", "left_semi"
+    )
+    got = {
+        r.doc_id: r.score for r in lr_scores(train_feats, w, bias_u).collect()
+    }
+    ref = _lr_reference(rows, labels, n_buckets=64)
+    assert got == ref
+    # learnable separation: every good doc outscores every bad doc
+    assert min(got[i] for i in range(12)) > max(got[i] for i in range(12, 24))
+    # null-text / whitespace-only / unlabeled docs never trained
+    assert 100 not in got and 101 not in got and 102 not in got
+    # partitioning must not change anything (exact integer sums)
+    w7, bias7 = lr_fit(
+        unigram_feature_table(df.repartition(7), n_buckets=64, salt="qw1"),
+        ldf,
+        iters=2,
+        lr=100.0,
+    )
+    got7 = {
+        r.doc_id: r.score
+        for r in lr_scores(train_feats, w7, bias7).collect()
+    }
+    assert got7 == got and bias7 == bias_u
+
+
+def test_lr_model_round_trips_into_quality_scorer(spark):
+    """to_quality_model output drives the shipped DC_QUALITY_MODEL
+    scorer: sigmoid(linear_score_arrow(weights)) reproduces lr_scores
+    (float-mean vs exact-int-sum, so tolerance not equality)."""
+    import math
+
+    from datacurator_jl_spark.functions.classifier import linear_score_arrow
+    from datacurator_jl_spark.operators.distill import (
+        lr_fit, lr_scores, to_quality_model, unigram_feature_table,
+    )
+
+    rows, labels = _lr_corpus()
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ldf = spark.createDataFrame(
+        [(i, y) for i, y in labels.items() if y is not None],
+        "doc bigint, y double",
+    )
+    feats = unigram_feature_table(df, n_buckets=64, salt="qw1")
+    w, bias_u = lr_fit(feats, ldf, iters=2, lr=100.0)
+    model = to_quality_model(w, bias_u, 64)
+    assert len(model["weights"]) == 64
+    scored = df.filter(F.col("doc_id") < 24).select(
+        "doc_id",
+        linear_score_arrow(
+            F.col("text"),
+            n_buckets=64,
+            salt="qw1",
+            weights=model["weights"],
+            bias=model["bias"],
+        ).alias("margin"),
+    )
+    via_scorer = {
+        r.doc_id: 1.0 / (1.0 + math.exp(-r.margin)) for r in scored.collect()
+    }
+    exact = {
+        r.doc_id: r.score
+        for r in lr_scores(
+            feats.join(ldf.select("doc"), "doc", "left_semi"), w, bias_u
+        ).collect()
+    }
+    # exact path is 6dp-rounded; the scorer path is not (and its float
+    # token-mean drifts ~1e-12) — bound by the rounding radius
+    for i, p in exact.items():
+        assert abs(via_scorer[i] - p) < 6e-7
+
+
+def test_lr_fit_validation(spark):
+    import pytest as _pytest
+
+    from datacurator_jl_spark.operators.distill import (
+        lr_fit, unigram_feature_table,
+    )
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    feats = unigram_feature_table(df, n_buckets=8)
+    empty = spark.createDataFrame([], "doc bigint, y double")
+    with _pytest.raises(ValueError, match="empty training set"):
+        lr_fit(feats, empty)
+    with _pytest.raises(ValueError, match="iters"):
+        lr_fit(feats, spark.createDataFrame([(1, 1.0)], "doc bigint, y double"), iters=0)
