@@ -54,6 +54,23 @@ def main(argv: list[str] | None = None) -> int:
         "and after curation — and print both",
     )
     ap.add_argument(
+        "--distill-model",
+        metavar="PATH",
+        help="after the rule pass, fit the hashed linear classifier on "
+        "this run's own keep/drop labels (in-engine logistic regression, "
+        "operators/distill.py) and write the DC_QUALITY_MODEL JSON to "
+        "PATH — point DC_QUALITY_MODEL at it to serve the distilled "
+        "filter corpus-wide through the Arrow scorer",
+    )
+    ap.add_argument(
+        "--distill-buckets",
+        type=int,
+        default=65536,
+        metavar="N",
+        help="hashed feature buckets for --distill-model (default 65536, "
+        "the scorer default)",
+    )
+    ap.add_argument(
         "--check",
         action="store_true",
         help="validate the recipe (parse + eager compile-time checks) "
@@ -134,6 +151,34 @@ def main(argv: list[str] | None = None) -> int:
         quit_requested = result.quit_requested()
         if args.verbose:
             print(result.counters().toPandas().to_string(index=False))
+        if args.distill_model:
+            # BEFORE write_outputs for the same inplace-safety reason as
+            # quit_requested: training re-executes the decision plan
+            import json
+
+            from pyspark.sql import functions as F
+
+            from datacurator_jl_spark.operators.distill import (
+                lr_fit, to_quality_model, unigram_feature_table,
+            )
+
+            labels = result.df.select(
+                F.col(spec.name_col).alias("doc"),
+                F.when(F.col("dc_kept"), 1.0).otherwise(0.0).alias("y"),
+            )
+            feats = unigram_feature_table(
+                df, spec.name_col, spec.text_col,
+                n_buckets=args.distill_buckets,
+            )
+            w, bias_u = lr_fit(feats, labels)
+            model = to_quality_model(w, bias_u, args.distill_buckets)
+            with open(args.distill_model, "w") as fh:
+                json.dump(model, fh)
+            print(
+                f"distilled model -> {args.distill_model} "
+                f"({args.distill_buckets} buckets, "
+                f"bias {model['bias']:.6f})"
+            )
         write_outputs(result, output_dir, input_path=input_path)
         if args.report:
             from datacurator_jl_spark.operators.report import corpus_report

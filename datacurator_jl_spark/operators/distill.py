@@ -31,6 +31,14 @@ per-row Python mirror — the dsir/e09 integer-determinism posture):
   exact integers. |s| ≤ dl·max|w_u| — at lr=100 and a few iterations,
   < 2^63 for any doc under ~10^4 tokens per unit weight; document-scale
   safe (same bounded-int argument as e09's centroid sums).
+- init: w_u = 0 over the training corpus's distinct buckets;
+  ``bias_u = round(1e6 · ln((n_pos + 0.5) / (n − n_pos + 0.5)))`` — the
+  smoothed label log-odds, a pure function of the exact integer label
+  counts. Starting at the base rate keeps the first residuals centered,
+  so the aggressive default lr drives the WEIGHTS instead of slamming
+  the bias past saturation on imbalanced labels (the cold-start
+  failure: 90%-keep labels at lr=100 jump the bias to ~+40 in one
+  step and sigmoid flatlines).
 - per iteration t (exactly ``iters`` iterations, no convergence probe):
   residual ``r_u = round(1e6 · (sigmoid(m) − y))`` (bigint, per doc);
   per-(doc, b) gradient quantum ``gq = round((r_u · c) / dl)`` (bigint);
@@ -183,15 +191,26 @@ def lr_fit(
         ),
         materialize,
     )
-    n = train.select("doc").distinct().count()
+    counts = (
+        train.select("doc", "y")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("np"))
+        .collect()[0]
+    )
+    n = int(counts["n"])
     if n == 0:
         raise ValueError("lr_fit: empty training set (no labeled docs "
                          "with >= 1 token)")
+    n_pos = float(counts["np"])
     w = _materialize(
         train.select("b").distinct().withColumn("w", F.lit(0).cast("long")),
         materialize,
     )
-    bias_u = 0
+    import math
+
+    bias_u = _round_away(
+        1000000.0 * math.log((n_pos + 0.5) / (float(n) - n_pos + 0.5))
+    )
     for _ in range(int(iters)):
         r = _materialize(_residuals(_margins(train, w, bias_u)), materialize)
         gq = train.join(r.select("doc", "r"), "doc").select(
@@ -314,7 +333,10 @@ def distill_score_sql(
     ),
     n AS (SELECT count(DISTINCT doc) AS n FROM train),
     w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM train),
-    bias0 AS (SELECT CAST(0 AS BIGINT) AS bu)"""
+    bias0 AS (
+      SELECT CAST(round(1000000.0 * ln((sum(y) + 0.5) / (count(*) - sum(y) + 0.5))) AS BIGINT) AS bu
+      FROM (SELECT DISTINCT doc, y FROM train)
+    )"""
     ]
     for t in range(1, int(iters) + 1):
         parts.append(f""",

@@ -1031,7 +1031,8 @@ def _lr_reference(rows, labels, n_buckets=64, salt="qw1", iters=2, lr=100.0):
     train = {i: c for i, c in feats.items() if labels.get(i) is not None}
     n = len(train)
     w = {b: 0 for c in train.values() for b in c}
-    bias = 0
+    npos = sum(labels[i] for i in train)
+    bias = rnd(1000000.0 * math.log((npos + 0.5) / (n - npos + 0.5)))
 
     def margin(c, dl):
         s = sum(cnt * w[b] for b, cnt in sorted(c.items()))
