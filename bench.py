@@ -110,6 +110,7 @@ HEADLINE = [
     "d57_bm25_topk",
     "e09_kmeans_clusters",
     "d58_distill_classifier",
+    "d59_decision_diff",
 ]
 
 

@@ -84,3 +84,56 @@ def top_terms(
         .filter(F.col("rank") <= int(k))
         .select(*keys, "term", "n", "rank")
     )
+
+
+def decision_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    keep_col: str = "keep",
+    rule_col: str = "rule_id",
+) -> DataFrame:
+    """Recipe A/B diff: the (rule_from, rule_to) transition flows between
+    two curation runs over the same corpus — "what changed when I edited
+    the recipe", per deciding rule, before anything ships.
+
+    Input: two frames of per-doc decisions (id, keep bool, rule_id) —
+    the engine's output shape (dc_kept/dc_rule_id aliased, or d04-style
+    query output). Output: one row per (rule_from, rule_to) pair with
+
+    - ``flow``: 'keep->keep' | 'keep->drop' | 'drop->keep' |
+      'drop->drop' | 'absent->…' | '…->absent' (a doc present in only
+      one run — row-set drift — is surfaced, never silently dropped:
+      full outer join);
+    - ``n_docs``: documents taking that transition.
+
+    Scale shape: one full-outer equi-join on the id (both sides hash
+    partition on the same key — single co-partitioned shuffle each) +
+    one partial-combinable aggregate over ≤ |rules_a| × |rules_b| group
+    keys. No window, no collect; output is rule-pair-bounded, not
+    corpus-bounded. Reference analogue: the validate/report dual modes
+    (src/DataCurator.jl:2483-2523) — this is their cross-run composite.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(keep_col).alias(f"keep_{tag}"),
+            F.col(rule_col).alias(f"rule_{tag}"),
+        )
+
+    j = side(old, "a").join(side(new, "b"), "id", "full_outer")
+    lab = lambda keep, rule: F.when(  # noqa: E731 - local label expr
+        rule.isNull(), F.lit("absent")
+    ).otherwise(F.when(keep, F.lit("keep")).otherwise(F.lit("drop")))
+    return (
+        j.groupBy(
+            F.coalesce(F.col("rule_a"), F.lit("absent")).alias("rule_from"),
+            F.coalesce(F.col("rule_b"), F.lit("absent")).alias("rule_to"),
+            F.concat(
+                lab(F.col("keep_a"), F.col("rule_a")),
+                F.lit("->"),
+                lab(F.col("keep_b"), F.col("rule_b")),
+            ).alias("flow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

