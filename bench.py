@@ -112,6 +112,7 @@ HEADLINE = [
     "d58_distill_classifier",
     "d59_decision_diff",
     "d60_lm_xent",
+    "d61_mixture_sample",
 ]
 
 

@@ -439,3 +439,113 @@ def sequence_pack(
         .drop("_pid", "_off", "_cum", "_w")
     )
     return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict,
+    n_total: int,
+    salt: str = "mix_v1",
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Data mixing: draw a ``n_total``-row corpus whose group shares
+    follow the target ``weights`` (The Pile / LLaMA-style source-mixture
+    proportions), deterministically.
+
+    Pinned semantics:
+
+    - ``weights`` = {group value: non-negative weight}; normalized over
+      its OWN entries (``p_g = w_g / Σw``). Groups absent from
+      ``weights`` (and NULL groups) take no part — the mix is a
+      whitelist.
+    - quota_g = half-away-from-zero ``round(p_g * n_total)``, computed
+      driver-side in exact Python so BOTH engines see integer literals
+      (no float in any plan); a group smaller than its quota contributes
+      everything it has — the shortfall is REPORTED by the output share
+      itself, never silently refilled from other groups (silent
+      refilling changes the mixture, which is the one thing this op
+      promises; rebalance by editing ``weights`` and re-running).
+    - within a group, rows are chosen by the portable md5 ``_h32`` key
+      order, tie-broken by the key (the d24 contract) — retries,
+      resumes, and engines pick the same rows.
+
+    Scale shape: one pre-filter to the whitelisted groups (pushed to the
+    scan), then the two-phase salted cap of ``_rank_capped`` — a hot
+    source's sort spreads over ``salt_parts`` tasks, output provably
+    independent of ``salt_parts``. Rounding means Σ quota_g can differ
+    from ``n_total`` by at most ``len(weights)/2`` rows — pass exact
+    integer shares if that matters.
+    """
+    if not weights:
+        raise ValueError("mixture_sample needs >= 1 weighted group")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be non-negative")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    if n_total < 0:
+        raise ValueError(f"n_total must be >= 0, got {n_total}")
+
+    def _away(x: float) -> int:
+        import math
+
+        return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+    quotas = {g: _away(w / tot * float(n_total)) for g, w in weights.items()}
+    live = {g: q for g, q in quotas.items() if q > 0}
+    base = df.filter(F.col(group_col).isin(list(live)))
+    if not live:
+        return base  # empty by construction
+    target = None
+    for g, q in live.items():
+        target = (
+            F.when(F.col(group_col) == g, F.lit(q))
+            if target is None
+            else target.when(F.col(group_col) == g, F.lit(q))
+        )
+    return _rank_capped(base, group_col, key_col, salt, target, salt_parts)
+
+
+def mixture_sample_sql(
+    weights: dict,
+    n_total: int,
+    table: str = "documents",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix_v1",
+    select: str = "doc_id, source",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample`, GENERATED from the same
+    weights dict so the quota arithmetic (Python-exact, half-away
+    rounding) is literally shared — the engines only ever see the same
+    integer literals."""
+    import math
+
+    tot = float(sum(weights.values()))
+    quotas = {
+        g: int(
+            math.floor(w / tot * float(n_total) + 0.5)
+            if w >= 0
+            else math.ceil(w / tot * float(n_total) - 0.5)
+        )
+        for g, w in weights.items()
+    }
+    live = {g: q for g, q in quotas.items() if q > 0}
+    in_list = ", ".join("'" + str(g).replace("'", "''") + "'" for g in live)
+    cases = " ".join(
+        f"WHEN '{str(g)}' THEN {q}" for g, q in live.items()
+    )
+    return f"""
+    WITH r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY {group_col}
+               ORDER BY ('0x' || substr(md5({key_col}::VARCHAR || '#{salt}'), 1, 8))::BIGINT,
+                        {key_col}) AS rn
+      FROM {table} WHERE {group_col} IN ({in_list})
+    )
+    SELECT {select} FROM r
+    WHERE rn <= CASE {group_col} {cases} END
+    """

@@ -3392,6 +3392,32 @@ def d60(spark, sf):
     )
 
 
+_D61_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+
+
+def _d61_sql() -> str:
+    from datacurator_jl_spark.operators.sampling import mixture_sample_sql
+
+    return mixture_sample_sql(_D61_WEIGHTS, n_total=40)
+
+
+@_q("d61_mixture_sample", _d61_sql())
+def d61(spark, sf):
+    """Data mixing to target source proportions (The Pile / LLaMA-style
+    mixture weights): 60/20/20 over three whitelisted sources at a
+    40-row budget — per-group integer quotas computed driver-side in
+    exact Python (both engines see the same literals), rows chosen by
+    the portable d24 hash order via the two-phase salted cap. A group
+    smaller than its quota contributes everything (the shortfall shows
+    in the output share — never silently refilled, that would change
+    the mixture). Oracle GENERATED from the same weights dict."""
+    from datacurator_jl_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf, "documents"), "source", "doc_id", _D61_WEIGHTS, 40
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3420,6 +3446,7 @@ _DRIVER_PRIORITY = [
     "d58_distill_classifier",  # NEW this round — never driver-checked
     "d59_decision_diff",  # NEW this round — never driver-checked
     "d60_lm_xent",  # NEW this round — never driver-checked
+    "d61_mixture_sample",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

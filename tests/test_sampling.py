@@ -388,3 +388,57 @@ def test_sequence_pack_validation(spark):
         sequence_pack(df, "w", 0, "id")
     with _pytest.raises(ValueError, match="materialize"):
         sequence_pack(df, "w", 8, "id", materialize="parquet")
+
+
+# -- mixture_sample (d61) -------------------------------------------------------
+
+
+def test_mixture_sample_quotas_and_shortfall(spark):
+    from datacurator_jl_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(f"a{i}", "A") for i in range(30)]
+        + [(f"b{i}", "B") for i in range(30)]
+        + [(f"c{i}", "C") for i in range(4)]  # smaller than its quota
+        + [(f"x{i}", "X") for i in range(10)]  # unweighted -> excluded
+        + [(f"n{i}", None) for i in range(5)]  # NULL group -> excluded
+    )
+    df = spark.createDataFrame(rows, "key string, grp string")
+    out = mixture_sample(
+        df, "grp", "key", {"A": 2.0, "B": 1.0, "C": 1.0}, 20
+    )
+    shares = {
+        r.grp: r.n for r in out.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    # quotas: A 10, B 5, C 5 -> C has only 4 (shortfall reported, not
+    # refilled); X and NULL never appear
+    assert shares == {"A": 10, "B": 5, "C": 4}
+    # deterministic + salt_parts-invariant row set
+    k1 = {r.key for r in out.collect()}
+    k2 = {
+        r.key
+        for r in mixture_sample(
+            df.repartition(7), "grp", "key",
+            {"A": 2.0, "B": 1.0, "C": 1.0}, 20, salt_parts=4,
+        ).collect()
+    }
+    assert k1 == k2
+
+
+def test_mixture_sample_validation(spark):
+    import pytest as _pytest
+
+    from datacurator_jl_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([("k", "A")], "key string, grp string")
+    with _pytest.raises(ValueError, match=">= 1 weighted group"):
+        mixture_sample(df, "grp", "key", {}, 10)
+    with _pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(df, "grp", "key", {"A": -1.0}, 10)
+    with _pytest.raises(ValueError, match="sum to > 0"):
+        mixture_sample(df, "grp", "key", {"A": 0.0}, 10)
+    with _pytest.raises(ValueError, match="n_total"):
+        mixture_sample(df, "grp", "key", {"A": 1.0}, -1)
+    # all-zero quotas (n_total=0) -> empty frame, no error
+    assert mixture_sample(df, "grp", "key", {"A": 1.0}, 0).count() == 0
