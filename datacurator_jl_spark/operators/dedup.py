@@ -70,6 +70,17 @@ def _h32(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(base), 1, 8), 16, 10).cast("bigint")
 
 
+def _round_away(x: float) -> int:
+    """Half-away-from-zero rounding — the Spark ``F.round`` / DuckDB
+    ``round`` convention every driver-side quantization must share
+    (Python's builtin ``round`` is banker's and MUST NOT be used on
+    any oracle-twinned path). The single shared copy — distill/lm
+    quantization and mixture quotas all import this."""
+    import math
+
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: one representative (min id) per
     distinct text + multiplicity. Single hash aggregate (map-side

@@ -74,9 +74,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datacurator_jl_spark.functions.classifier import _h32_py
-from datacurator_jl_spark.operators.dedup import _materialize
-
-_TOKEN_RE = __import__("re").compile(r"\S+", __import__("re").ASCII)
+from datacurator_jl_spark.operators.dedup import _materialize, _round_away
+from datacurator_jl_spark.operators.dsir import _TOKEN_RE
 
 
 def _doc_buckets(text, salt: str, n_buckets: int) -> Counter:
@@ -237,15 +236,6 @@ def lr_fit(
             _round_away(float(lr) * float(gb) / float(n))
         )
     return w, bias_u
-
-
-def _round_away(x: float) -> int:
-    """Half-away-from-zero rounding (Spark F.round / DuckDB round
-    convention — Python's builtin round is banker's and MUST NOT be
-    used on this path)."""
-    import math
-
-    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
 
 
 def lr_scores(

@@ -58,6 +58,15 @@ def bm25_topk(
     if len(set(terms)) != len(terms):
         raise ValueError("bm25_topk terms must be distinct (duplicate "
                          "terms would double-count their contribution)")
+    import re as _re
+
+    for t in terms:
+        if t != t.lower() or _re.search(r"\s", t) or not t:
+            raise ValueError(
+                f"bm25_topk term {t!r} can never match a token: terms "
+                "must be non-empty, lowercase, and whitespace-free "
+                "(the corpus side is lowercased \\S+ tokens)"
+            )
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         words(F.lower(F.col(text_col))).alias("toks"),
@@ -126,9 +135,13 @@ def bm25_topk_sql(
     ``extract_html_text_sql`` / ``dsir_score_sql``). Whitespace class
     spelled explicitly (RE2 ``\\s`` excludes vertical tab)."""
     ws = r"[^ \t\n\x0b\f\r]+"
-    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    quoted = ", ".join(q(t) for t in terms)
     cases = ",\n        ".join(
-        f"sum(CASE WHEN term = '{t}' THEN contrib END) AS _c{i}"
+        f"sum(CASE WHEN term = {q(t)} THEN contrib END) AS _c{i}"
         for i, t in enumerate(terms)
     )
     add = " + ".join(f"coalesce(_c{i}, 0.0)" for i in range(len(terms)))

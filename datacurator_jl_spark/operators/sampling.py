@@ -478,23 +478,7 @@ def mixture_sample(
     from ``n_total`` by at most ``len(weights)/2`` rows — pass exact
     integer shares if that matters.
     """
-    if not weights:
-        raise ValueError("mixture_sample needs >= 1 weighted group")
-    if any(w < 0 for w in weights.values()):
-        raise ValueError("mixture weights must be non-negative")
-    tot = float(sum(weights.values()))
-    if tot <= 0:
-        raise ValueError("mixture weights must sum to > 0")
-    if n_total < 0:
-        raise ValueError(f"n_total must be >= 0, got {n_total}")
-
-    def _away(x: float) -> int:
-        import math
-
-        return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
-
-    quotas = {g: _away(w / tot * float(n_total)) for g, w in weights.items()}
-    live = {g: q for g, q in quotas.items() if q > 0}
+    live = _mixture_quotas(weights, n_total)
     base = df.filter(F.col(group_col).isin(list(live)))
     if not live:
         return base  # empty by construction
@@ -508,6 +492,28 @@ def mixture_sample(
     return _rank_capped(base, group_col, key_col, salt, target, salt_parts)
 
 
+def _mixture_quotas(weights: dict, n_total: int) -> dict:
+    """Shared validation + quota arithmetic for mixture_sample AND its
+    SQL twin (ONE copy — the engines only ever see the same integer
+    literals): p_g = w_g/Σw, quota_g = half-away round(p_g * n_total),
+    zero-quota groups dropped."""
+    from datacurator_jl_spark.operators.dedup import _round_away
+
+    if not weights:
+        raise ValueError("mixture_sample needs >= 1 weighted group")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be non-negative")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("mixture weights must sum to > 0")
+    if n_total < 0:
+        raise ValueError(f"n_total must be >= 0, got {n_total}")
+    quotas = {
+        g: _round_away(w / tot * float(n_total)) for g, w in weights.items()
+    }
+    return {g: q for g, q in quotas.items() if q > 0}
+
+
 def mixture_sample_sql(
     weights: dict,
     n_total: int,
@@ -517,26 +523,19 @@ def mixture_sample_sql(
     salt: str = "mix_v1",
     select: str = "doc_id, source",
 ) -> str:
-    """DuckDB twin of :func:`mixture_sample`, GENERATED from the same
-    weights dict so the quota arithmetic (Python-exact, half-away
-    rounding) is literally shared — the engines only ever see the same
-    integer literals."""
-    import math
+    """DuckDB twin of :func:`mixture_sample`, GENERATED through the SAME
+    ``_mixture_quotas`` call (one copy of validation + quota math). An
+    all-zero-quota mix yields a valid WHERE FALSE query, mirroring the
+    Spark twin's empty frame."""
+    live = _mixture_quotas(weights, n_total)
 
-    tot = float(sum(weights.values()))
-    quotas = {
-        g: int(
-            math.floor(w / tot * float(n_total) + 0.5)
-            if w >= 0
-            else math.ceil(w / tot * float(n_total) - 0.5)
-        )
-        for g, w in weights.items()
-    }
-    live = {g: q for g, q in quotas.items() if q > 0}
-    in_list = ", ".join("'" + str(g).replace("'", "''") + "'" for g in live)
-    cases = " ".join(
-        f"WHEN '{str(g)}' THEN {q}" for g, q in live.items()
-    )
+    def q(g) -> str:
+        return "'" + str(g).replace("'", "''") + "'"
+
+    if not live:
+        return f"SELECT {select} FROM {table} WHERE FALSE"
+    in_list = ", ".join(q(g) for g in live)
+    cases = " ".join(f"WHEN {q(g)} THEN {n}" for g, n in live.items())
     return f"""
     WITH r AS (
       SELECT *,

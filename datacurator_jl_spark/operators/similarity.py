@@ -488,12 +488,15 @@ def kmeans_assign(
         .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
         .filter(_dot(F.col("v"), F.col("v")) > 0)
     )
+    # collision-proof join-key name (the _rank_capped `_grp_` pattern):
+    # drop("doc") would delete a caller column that happens to be named
+    # doc from the labeled output
     a = _assign(pts, cents).select(
-        F.col("doc"),
+        F.col("doc").alias("_km_doc"),
         F.col("cid").alias(cluster_col),
         F.col("csim").alias(sim_col),
     )
-    return df.join(a, df[id_col] == a["doc"], "left").drop("doc")
+    return df.join(a, df[id_col] == a["_km_doc"], "left").drop("_km_doc")
 
 
 def semdedup_survivors(

@@ -3317,9 +3317,14 @@ def d58(spark, sf):
         lr_fit, lr_scores, unigram_feature_table,
     )
 
-    labels = d04(spark, sf).select(
-        F.col("doc_id").alias("doc"),
-        F.when(F.col("keep"), 1.0).otherwise(0.0).alias("y"),
+    # materialize the labels too: otherwise the post-fit semi-join
+    # replays the whole d04 engine decision plan a second time
+    labels = _materialize(
+        d04(spark, sf).select(
+            F.col("doc_id").alias("doc"),
+            F.when(F.col("keep"), 1.0).otherwise(0.0).alias("y"),
+        ),
+        "local",
     )
     feats = _materialize(
         unigram_feature_table(

@@ -816,7 +816,8 @@ def _bm25_reference(rows, terms, k=10, k1=1.2, b=0.75):
     import math
     import re
 
-    docs = {i: re.findall(r"\S+", t.lower()) for i, t in rows if t is not None}
+    tok = re.compile(r"\S+", re.ASCII)  # repo-wide tokenization pin
+    docs = {i: tok.findall(t.lower()) for i, t in rows if t is not None}
     n = len(docs)
     sum_dl = sum(len(v) for v in docs.values())
     avgdl = sum_dl / n
