@@ -113,6 +113,7 @@ HEADLINE = [
     "d59_decision_diff",
     "d60_lm_xent",
     "d61_mixture_sample",
+    "d62_mixture_tokens",
 ]
 
 

@@ -548,3 +548,142 @@ def mixture_sample_sql(
     SELECT {select} FROM r
     WHERE rn <= CASE {group_col} {cases} END
     """
+
+
+def mixture_token_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    weights: dict,
+    token_total: int,
+    salt: str = "mix_v1",
+    materialize: str = "local",
+) -> DataFrame:
+    """Token-budget data mixing: like :func:`mixture_sample` but the
+    target shares are over an integer weight column (token counts —
+    how The Pile / LLaMA mixes actually budget), not row counts.
+
+    Pinned semantics: per-group budget_g = half-away
+    ``round(p_g * token_total)`` (same ``_mixture_quotas`` call as the
+    row variant — whitelist, zero-budget groups dropped); within a
+    group, rows in portable ``_h32(key)`` hash order (tie-break: key)
+    are kept while the INCLUSIVE running weight sum is <= budget_g
+    (the ``token_budget_sample`` boundary contract). ``weight_col`` is
+    cast to BIGINT (null ⇒ 0): integer running sums are exact and
+    summation-order-free, so Spark's sequential window and DuckDB's
+    segment-tree window agree — a double weight column would NOT be
+    cross-engine stable here; pre-round it.
+
+    Scale shape: the weighted prefix CANNOT use the salted two-phase
+    pre-cap (_rank_capped's rank proof does not carry: a dropped
+    over-budget row in another slice hides weight a survivor's prefix
+    sum needs — rank counts are monotone under superset prefixes, sums
+    are not). Instead this is the ``token_budget_sample`` TeraSort
+    generalized per group: one range exchange on (group, hash, key),
+    per-(partition, group) totals (≤ partitions × |weights| rows — the
+    whitelist bounds the collect), driver-side per-group prefix
+    offsets broadcast back, and a window bounded by (partition, group)
+    — never a whole group in one task.
+    """
+    from datacurator_jl_spark.operators.dedup import _materialize
+
+    if materialize not in ("local", "reliable"):
+        raise ValueError(
+            "mixture_token_sample materialize must be 'local' or "
+            f"'reliable', got {materialize!r}"
+        )
+    budgets = _mixture_quotas(weights, token_total)
+    base = df.filter(F.col(group_col).isin(list(budgets)))
+    if not budgets:
+        return base
+    h = _h32(F.col(key_col).cast("string"), f"#{salt}")
+    order = [F.col(group_col), h, F.col(key_col)]
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    s = (
+        base.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    s = _materialize(s, materialize)
+
+    totals = sorted(
+        s.groupBy("_pid", group_col).agg(F.sum(w).alias("_t")).collect(),
+        key=lambda r: (r["_pid"]),
+    )
+    acc: dict = {}
+    off_rows = []
+    for r in totals:
+        g = r[group_col]
+        off_rows.append((int(r["_pid"]), g, int(acc.get(g, 0))))
+        acc[g] = acc.get(g, 0) + int(r["_t"] or 0)
+    if not off_rows:
+        return s.drop("_pid")  # empty after the whitelist filter
+    offsets = df.sparkSession.createDataFrame(
+        off_rows, ["_pid", "_g", "_off"]
+    )
+
+    budget = None
+    for g, b in budgets.items():
+        budget = (
+            F.when(F.col(group_col) == g, F.lit(int(b)))
+            if budget is None
+            else budget.when(F.col(group_col) == g, F.lit(int(b)))
+        )
+    run_w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.join(
+            F.broadcast(offsets),
+            (s["_pid"] == offsets["_pid"]) & (s[group_col] == offsets["_g"]),
+        )
+        .drop(offsets["_pid"])
+        .withColumn("_cum", F.col("_off") + F.sum(w).over(run_w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_pid", "_g", "_off", "_cum")
+    )
+
+
+def mixture_token_sample_sql(
+    weights: dict,
+    token_total: int,
+    table: str = "documents",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    salt: str = "mix_v1",
+    select: str = "doc_id, source",
+) -> str:
+    """DuckDB twin of :func:`mixture_token_sample` — same
+    ``_mixture_quotas`` call, same integer cumulative-sum contract (the
+    bigint cast makes DuckDB's segment-tree window and Spark's
+    sequential window exactly equal)."""
+    live = _mixture_quotas(weights, token_total)
+
+    def q(g) -> str:
+        return "'" + str(g).replace("'", "''") + "'"
+
+    if not live:
+        return f"SELECT {select} FROM {table} WHERE FALSE"
+    in_list = ", ".join(q(g) for g in live)
+    cases = " ".join(f"WHEN {q(g)} THEN {n}" for g, n in live.items())
+    return f"""
+    WITH r AS (
+      SELECT *,
+             sum(coalesce(CAST({weight_col} AS BIGINT), 0)) OVER (
+               PARTITION BY {group_col}
+               ORDER BY ('0x' || substr(md5({key_col}::VARCHAR || '#{salt}'), 1, 8))::BIGINT,
+                        {key_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM {table} WHERE {group_col} IN ({in_list})
+    )
+    SELECT {select} FROM r
+    WHERE cum <= CASE {group_col} {cases} END
+    """

