@@ -18,7 +18,7 @@ from datacurator_jl_spark.functions.text import words
 
 
 def corpus_report(
-    df: DataFrame, group_col: str, text_col: str
+    df: DataFrame, group_col: str, text_col: str, approx: bool = False
 ) -> DataFrame:
     """Per-group curation dashboard: doc counts, null-text count, char
     and token totals, mean tokens/doc, and the exact-dup rate
@@ -27,8 +27,24 @@ def corpus_report(
     Tokens = the pinned ASCII ``\\S+`` list; token/char sums are null-safe
     (null text contributes 0); ratios are 6dp-rounded doubles so both
     engines emit identical decimals.
+
+    The distinct count runs over ``md5(text)``, not the text itself —
+    the distinct-aggregate's shuffle ships 32 hex chars per doc instead
+    of whole documents (at 100 TB that is the difference between a
+    metadata-sized exchange and re-shuffling the corpus). Exactness
+    caveat: two distinct texts sharing an md5 would undercount by one —
+    cryptographically negligible, and the same fingerprint the d01/d05
+    dedup tier already equates on. ``approx=True`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++, ~2% rsd): no distinct
+    shuffle at all — the dashboard answer for a quick look at a
+    petabyte; approximate, so keep it off anything oracle-compared.
     """
     nw = F.size(words(F.col(text_col)))
+    nd = (
+        F.approx_count_distinct(text_col)
+        if approx
+        else F.countDistinct(F.md5(F.col(text_col)))
+    )
     return (
         df.groupBy(group_col)
         .agg(
@@ -37,7 +53,7 @@ def corpus_report(
             F.sum(F.coalesce(F.length(text_col), F.lit(0))).alias("total_chars"),
             F.sum(F.coalesce(nw, F.lit(0))).alias("total_tokens"),
             F.count(text_col).alias("_nt"),
-            F.countDistinct(text_col).alias("_nd"),
+            nd.alias("_nd"),
         )
         .select(
             group_col,

@@ -438,3 +438,20 @@ def test_top_terms_tie_break_deterministic(spark):
     df = spark.createDataFrame([("b a",), ("a b",)], "text string")
     got = [(r["term"], r["rank"]) for r in top_terms(df, "text", 2).orderBy("rank").collect()]
     assert got == [("a", 1), ("b", 2)]  # equal counts -> term order
+
+
+def test_corpus_report_approx_distinct_close_and_plan_free_of_expand(spark):
+    """approx=True keeps dup_rate within HLL tolerance of the exact
+    report; the exact path's distinct runs over md5, not raw text."""
+    from datacurator_jl_spark.operators.report import corpus_report
+
+    rows = [(i, "g", "dup text" if i % 3 == 0 else f"unique {i}")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, text string")
+    exact = corpus_report(df, "grp", "text").collect()[0]
+    approx = corpus_report(df, "grp", "text", approx=True).collect()[0]
+    assert abs(exact.dup_rate - approx.dup_rate) < 0.05
+    assert exact.n_docs == approx.n_docs == 300
+    plan = corpus_report(df, "grp", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "md5" in plan, plan
