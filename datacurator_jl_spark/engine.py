@@ -676,6 +676,30 @@ class Pipeline:
                 df, spec.domain_cap_col, spec.name_col, cap=spec.domain_cap
             ).select(*cols)
             df = df.localCheckpoint(eager=False)
+        # optional data mixing ([global] mixture + mixture_total): LAST
+        # — select the training mix from the fully-hygienic corpus
+        # (mixing before dedup/caps would let duplicates consume quota)
+        if spec.mixture is not None:
+            _need("mixture", spec.mixture_col, spec.name_col)
+            from datacurator_jl_spark.operators.sampling import mixture_sample
+
+            if df.isStreaming:
+                from datacurator_jl_spark.recipe import RecipeError
+
+                raise RecipeError(
+                    "mixture is batch-only (target shares need the whole "
+                    "corpus; streaming: cap per-source flow with "
+                    "streaming.domain_quota_stream)"
+                )
+            cols = df.columns
+            df = mixture_sample(
+                df,
+                spec.mixture_col,
+                spec.name_col,
+                spec.mixture,
+                spec.mixture_total,
+            ).select(*cols)
+            df = df.localCheckpoint(eager=False)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps
         # the projections separate (CollapseProject refuses to inline a

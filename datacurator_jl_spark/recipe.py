@@ -134,6 +134,14 @@ class RecipeSpec:
     # whole-doc dedup misses
     max_dup_ngram_fraction: float | None = None
     dup_ngram_n: int = 3
+    # optional data mixing LAST in the pre-pass chain (select the
+    # training mix from the already-hygienic corpus): target shares per
+    # ``mixture_col`` value at a ``mixture_total`` row budget —
+    # sampling.mixture_sample semantics (whitelist, shortfall reported
+    # never refilled)
+    mixture: dict | None = None
+    mixture_total: int | None = None
+    mixture_col: str = "source"
 
     @property
     def rules(self) -> list[Rule]:
@@ -165,6 +173,9 @@ _GLOBAL_KEYS = {
     "domain_cap_col",
     "max_dup_ngram_fraction",
     "dup_ngram_n",
+    "mixture",
+    "mixture_total",
+    "mixture_col",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -256,6 +267,41 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
             f"domain_cap_col must be a column-name string, got {dcc!r}"
         )
     spec.domain_cap_col = dcc
+    mix = g.get("mixture")
+    mix_total = g.get("mixture_total")
+    if (mix is None) != (mix_total is None):
+        raise RecipeError(
+            "mixture and mixture_total must be given together "
+            "(target shares need a row budget)"
+        )
+    if mix is not None:
+        if not isinstance(mix, dict) or not all(
+            isinstance(k, str) for k in mix
+        ):
+            raise RecipeError(
+                f"mixture must be a table of group -> weight, got {mix!r}"
+            )
+        if isinstance(mix_total, bool) or not isinstance(mix_total, int):
+            raise RecipeError(
+                f"mixture_total must be an integer row budget, got "
+                f"{mix_total!r}"
+            )
+        from datacurator_jl_spark.operators.sampling import _mixture_quotas
+
+        try:
+            # eager validation: surface bad weights at parse time, not
+            # mid-job (the recipe contract)
+            _mixture_quotas(mix, mix_total)
+        except ValueError as e:
+            raise RecipeError(f"mixture: {e}") from None
+        spec.mixture = dict(mix)
+        spec.mixture_total = mix_total
+    mixc = g.get("mixture_col", "source")
+    if not isinstance(mixc, str):
+        raise RecipeError(
+            f"mixture_col must be a column-name string, got {mixc!r}"
+        )
+    spec.mixture_col = mixc
     mdf = g.get("max_dup_ngram_fraction")
     if mdf is not None:
         if isinstance(mdf, bool) or not isinstance(mdf, (int, float)) or not (

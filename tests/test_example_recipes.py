@@ -30,8 +30,9 @@ def test_recipe_parses_and_runs(spark, docs_df, path):
     res = Pipeline(spec).apply(df)
     total = res.df.count()
     kept = res.df.filter("dc_kept").count()
-    if spec.dedup:
-        assert 0 < total <= docs_df.count()  # dedup pre-pass removes rows
+    if spec.dedup or spec.mixture is not None:
+        # dedup / mixture pre-passes remove rows
+        assert 0 < total <= docs_df.count()
     else:
         assert total == docs_df.count()
     assert 0 <= kept <= total

@@ -1319,3 +1319,82 @@ def test_lm_whole_corpus_training_default(spark):
     assert got == ref
     # the repetitive doc is more predictable under the joint model
     assert got[1] < got[2]
+
+
+# -- [global] mixture recipe pre-pass ------------------------------------------
+
+
+def test_recipe_mixture_prepass_end_to_end(spark):
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "act_on_success": True,
+                "name_col": "doc_id",
+                "text_col": "text",
+                "mixture": {"A": 3.0, "B": 1.0},
+                "mixture_total": 16,
+                "mixture_col": "src",
+            },
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    rows = (
+        [(f"a{i}", "A", "text a") for i in range(20)]
+        + [(f"b{i}", "B", "text b") for i in range(20)]
+        + [(f"x{i}", "X", "text x") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, src string, text string")
+    out = Pipeline(spec).apply(df).df
+    shares = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert shares == {"A": 12, "B": 4}  # 75/25 of 16; X excluded
+
+
+def test_recipe_mixture_validation():
+    import pytest as _pytest
+
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    base = {"any": {"conditions": ["always"], "actions": ["keep"]}}
+    with _pytest.raises(RecipeError, match="given together"):
+        parse_recipe({"global": {"mixture": {"A": 1.0}}, **base})
+    with _pytest.raises(RecipeError, match="given together"):
+        parse_recipe({"global": {"mixture_total": 10}, **base})
+    with _pytest.raises(RecipeError, match="non-negative"):
+        parse_recipe(
+            {"global": {"mixture": {"A": -1.0}, "mixture_total": 10}, **base}
+        )
+    with _pytest.raises(RecipeError, match="integer row budget"):
+        parse_recipe(
+            {"global": {"mixture": {"A": 1.0}, "mixture_total": True}, **base}
+        )
+    with _pytest.raises(RecipeError, match="table of group"):
+        parse_recipe(
+            {"global": {"mixture": [1, 2], "mixture_total": 10}, **base}
+        )
+
+
+def test_recipe_mixture_missing_column_fails_fast(spark):
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "name_col": "doc_id",
+                "text_col": "text",
+                "mixture": {"A": 1.0},
+                "mixture_total": 5,
+                "mixture_col": "nope",
+            },
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    with pytest.raises(RecipeError, match="nope"):
+        Pipeline(spec).apply(df)
