@@ -681,7 +681,9 @@ class Pipeline:
         # (mixing before dedup/caps would let duplicates consume quota)
         if spec.mixture is not None:
             _need("mixture", spec.mixture_col, spec.name_col)
-            from datacurator_jl_spark.operators.sampling import mixture_sample
+            from datacurator_jl_spark.operators.sampling import (
+                mixture_sample, mixture_token_sample,
+            )
 
             if df.isStreaming:
                 from datacurator_jl_spark.recipe import RecipeError
@@ -692,13 +694,24 @@ class Pipeline:
                     "streaming.domain_quota_stream)"
                 )
             cols = df.columns
-            df = mixture_sample(
-                df,
-                spec.mixture_col,
-                spec.name_col,
-                spec.mixture,
-                spec.mixture_total,
-            ).select(*cols)
+            if spec.mixture_weight_col is not None:
+                _need("mixture", spec.mixture_weight_col)
+                df = mixture_token_sample(
+                    df,
+                    spec.mixture_col,
+                    spec.name_col,
+                    spec.mixture_weight_col,
+                    spec.mixture,
+                    spec.mixture_total,
+                ).select(*cols)
+            else:
+                df = mixture_sample(
+                    df,
+                    spec.mixture_col,
+                    spec.name_col,
+                    spec.mixture,
+                    spec.mixture_total,
+                ).select(*cols)
             df = df.localCheckpoint(eager=False)
         # Pre-project the tokenization and token-stats fold ONCE: every
         # word-based rule then reads these shared columns. Catalyst keeps

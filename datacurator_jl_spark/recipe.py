@@ -142,6 +142,10 @@ class RecipeSpec:
     mixture: dict | None = None
     mixture_total: int | None = None
     mixture_col: str = "source"
+    # optional: budget the mixture by an integer weight column (token/
+    # char counts) instead of rows — mixture_total then counts that
+    # unit (sampling.mixture_token_sample semantics)
+    mixture_weight_col: str | None = None
 
     @property
     def rules(self) -> list[Rule]:
@@ -176,6 +180,7 @@ _GLOBAL_KEYS = {
     "mixture",
     "mixture_total",
     "mixture_col",
+    "mixture_weight_col",
     "common_conditions",
     "common_actions",
     "inputdirectory",
@@ -302,6 +307,18 @@ def parse_recipe(cfg: dict) -> RecipeSpec:
             f"mixture_col must be a column-name string, got {mixc!r}"
         )
     spec.mixture_col = mixc
+    mixw = g.get("mixture_weight_col")
+    if mixw is not None:
+        if not isinstance(mixw, str):
+            raise RecipeError(
+                f"mixture_weight_col must be a column-name string, got "
+                f"{mixw!r}"
+            )
+        if mix is None:
+            raise RecipeError(
+                "mixture_weight_col needs a mixture table to budget"
+            )
+        spec.mixture_weight_col = mixw
     mdf = g.get("max_dup_ngram_fraction")
     if mdf is not None:
         if isinstance(mdf, bool) or not isinstance(mdf, (int, float)) or not (

@@ -335,3 +335,15 @@ def test_lm_xent_broadcast_model_no_window(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_mixture_plans_no_cartesian_broadcast_offsets(spark):
+    """d61/d62 plan contract: no cartesian anywhere; d62's offsets join
+    is a broadcast and its windows are (partition, group)-bounded —
+    never a plain per-group window over the raw corpus."""
+    p61 = _phys(QUERIES["d61_mixture_sample"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p61, p61
+    p62 = _phys(QUERIES["d62_mixture_tokens"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p62, p62
+    assert "BroadcastHashJoin" in p62, p62
+    assert "_pid" in p62, p62  # windows keyed on the pinned partition id

@@ -1398,3 +1398,45 @@ def test_recipe_mixture_missing_column_fails_fast(spark):
     df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
     with pytest.raises(RecipeError, match="nope"):
         Pipeline(spec).apply(df)
+
+
+def test_recipe_mixture_token_budget_variant(spark):
+    """mixture_weight_col switches the pre-pass to token-budget mixing:
+    quotas count the weight column's units, not rows."""
+    from datacurator_jl_spark.engine import Pipeline
+    from datacurator_jl_spark.recipe import RecipeError, parse_recipe
+
+    spec = parse_recipe(
+        {
+            "global": {
+                "name_col": "doc_id",
+                "text_col": "text",
+                "mixture": {"A": 1.0, "B": 1.0},
+                "mixture_total": 40,
+                "mixture_col": "src",
+                "mixture_weight_col": "w",
+            },
+            "any": {"conditions": ["always"], "actions": ["keep"]},
+        }
+    )
+    rows = [(f"a{i}", "A", "t", 7) for i in range(20)] + [
+        (f"b{i}", "B", "t", 3) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, src string, text string, w int"
+    )
+    out = Pipeline(spec).apply(df).df
+    tok = {
+        r.src: r.t
+        for r in out.groupBy("src").agg(F.sum("w").alias("t")).collect()
+    }
+    # 20-unit budget per group, inclusive prefix: A fits 2 docs (14),
+    # B fits 6 docs (18)
+    assert tok == {"A": 14, "B": 18}
+    with pytest.raises(RecipeError, match="needs a mixture table"):
+        parse_recipe(
+            {
+                "global": {"mixture_weight_col": "w"},
+                "any": {"conditions": ["always"], "actions": ["keep"]},
+            }
+        )
