@@ -114,6 +114,7 @@ HEADLINE = [
     "d60_lm_xent",
     "d61_mixture_sample",
     "d62_mixture_tokens",
+    "e10_semantic_pipeline",
 ]
 
 

@@ -3183,10 +3183,10 @@ def d57(spark, sf):
     return bm25_topk(_t(spark, sf, "documents"), _D57_TERMS, k=15)
 
 
-@_q(
-    "e09_kmeans_clusters",
-    """
-    WITH e AS (
+# the k-means CTE chain (shared by e09 and e10's oracle — one copy):
+# ends at `af` = (doc, cid, sim), the final assignment
+_E09_CTES = """
+    e AS (
       SELECT vec_id AS doc, embedding::DOUBLE[] AS v
       FROM embeddings
       WHERE embedding IS NOT NULL
@@ -3266,6 +3266,12 @@ def d57(spark, sf):
         FROM sf)
       WHERE rn = 1
     )
+"""
+
+
+@_q(
+    "e09_kmeans_clusters",
+    "WITH " + _E09_CTES + """
     SELECT emb.vec_id, af.cid AS cluster, af.sim AS csim
     FROM embeddings emb LEFT JOIN af ON emb.vec_id = af.doc
     """,
@@ -3454,6 +3460,57 @@ def d62(spark, sf):
     ).select("doc_id", "source")
 
 
+@_q(
+    "e10_semantic_pipeline",
+    "WITH " + _E09_CTES + """,
+    se AS (
+      SELECT emb.vec_id, af.cid AS label, emb.embedding::DOUBLE[] AS v
+      FROM embeddings emb JOIN af ON af.doc = emb.vec_id
+    ),
+    sm AS (
+      SELECT label, i.i AS pos, avg(v[i.i]) AS mu
+      FROM se, (SELECT unnest(generate_series(1, len(v))) AS i) i
+      GROUP BY label, i.i
+    ),
+    sc AS (SELECT label, list(mu ORDER BY pos) AS cv FROM sm GROUP BY label),
+    scs AS (
+      SELECT se.vec_id, se.label, se.v,
+             round(list_dot_product(se.v, sc.cv) /
+                   (sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(sc.cv, sc.cv))), 6) AS cs
+      FROM se JOIN sc USING (label)
+    ),
+    sp AS (
+      SELECT a.vec_id AS da, a.cs AS ca, b.vec_id AS db, b.cs AS cb
+      FROM scs a JOIN scs b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    ),
+    sl AS (SELECT DISTINCT CASE WHEN ca > cb THEN da ELSE db END AS loser FROM sp)
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT loser FROM sl)
+    """,
+)
+def e10(spark, sf):
+    """The fully label-free semantic dedup pipeline, driver-checked
+    end-to-end: e09's deterministic k-means supplies the cluster ids,
+    e08's SemDeDup drops each over-threshold pair's
+    closer-to-centroid member within them — no pre-existing label
+    column anywhere. The oracle is e09's CTE chain (ONE shared copy,
+    _E09_CTES) feeding e08's oracle logic; null/zero-norm vectors get
+    no cluster, pair with nothing, and survive."""
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit, semdedup_survivors,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    labeled = kmeans_assign(
+        emb, kmeans_fit(emb, "vec_id", "embedding", k=6, iters=2),
+        "vec_id", "embedding",
+    )
+    return semdedup_survivors(
+        labeled, "vec_id", "embedding", "cluster", threshold=0.35
+    ).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver checks a 50-query sample of this
 # registry, apparently in insertion order — so queries that have never
@@ -3484,6 +3541,7 @@ _DRIVER_PRIORITY = [
     "d60_lm_xent",  # NEW this round — never driver-checked
     "d61_mixture_sample",  # NEW this round — never driver-checked
     "d62_mixture_tokens",  # NEW this round — never driver-checked
+    "e10_semantic_pipeline",  # NEW this round — never driver-checked
     "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
     "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
     "d47_latest_version", "e01_cosine_topk", "q12_group_counts",
