@@ -446,6 +446,10 @@ def kmeans_fit(
     """
     from datacurator_jl_spark.operators.dedup import _materialize
 
+    if k < 1:
+        raise ValueError(f"kmeans_fit needs k >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"kmeans_fit needs iters >= 0, got {iters}")
     pts = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))

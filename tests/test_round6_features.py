@@ -1440,3 +1440,24 @@ def test_recipe_mixture_token_budget_variant(spark):
                 "any": {"conditions": ["always"], "actions": ["keep"]},
             }
         )
+
+
+def test_kmeans_validation_and_small_corpus(spark):
+    """k/iters validation; k larger than the corpus degrades gracefully
+    (fewer clusters — every vector is its own init point)."""
+    from datacurator_jl_spark.operators.similarity import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_fit(df, k=0)
+    with pytest.raises(ValueError, match="iters >= 0"):
+        kmeans_fit(df, iters=-1)
+    cents = kmeans_fit(df, k=10, iters=1)
+    assert cents.count() == 2  # clusters bounded by corpus size
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+    assert out == {1: 0, 2: 1}
