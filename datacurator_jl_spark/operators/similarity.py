@@ -76,14 +76,28 @@ def cosine_topk(
                 "query set, raise the cap only if the executors/driver "
                 "can hold it, or pass max_broadcast_rows=None"
             )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # per-row norms below the join (round-7, guide §1.2 step 2): the
+    # per-pair similarity then folds ONE interpreted HOF (the dot)
+    # instead of three — ||qv|| was being recomputed for every corpus
+    # row and ||cv|| for every query. Projections do not collapse
+    # across a join, so each norm is evaluated once per row.
+    # Bit-identical: same sqrt, same product order as
+    # ``_norm(qv) * _norm(cv)``.
+    q = q.withColumn("_qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_cn", _norm(F.col("cv")))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -134,8 +148,16 @@ def ivf_topk(
     cluster id, prunable by partition when the corpus is written
     partitioned by cluster).
     """
-    cents = centroids_by(corpus, cluster_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # per-row norms below each join (round-7, see cosine_topk): ||qv||
+    # is computed once per query (and carried through the probe table),
+    # ||centroid|| once per centroid, ||cv|| once per corpus row — the
+    # per-pair cosine folds only the dot. Same sqrt, same product order.
+    cents = centroids_by(corpus, cluster_col, vec_col).withColumn(
+        "_cn", _norm(F.col("centroid"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_qn", _norm(F.col("qv")))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("csim"), F.asc(cluster_col)
     )
@@ -144,23 +166,32 @@ def ivf_topk(
         .select(
             "query_id",
             "qv",
+            "_qn",
             cluster_col,
-            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("csim"),
+            F.round(
+                _dot(F.col("qv"), F.col("centroid"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("csim"),
         )
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
-        .select("query_id", "qv", cluster_col)
+        .select("query_id", "qv", "_qn", cluster_col)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(cluster_col), F.col(vec_col).alias("cv")
-    )
+    ).withColumn("_cvn", _norm(F.col("cv")))
     sims = (
         c.join(F.broadcast(probes), cluster_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("_qn") * F.col("_cvn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -395,9 +426,22 @@ def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     any -0.0 the rounding produces, so the negated sort key cannot
     diverge from the oracle's ``ORDER BY sim DESC`` (IEEE sorts
     -0.0 < 0.0; SQL comparison treats them equal)."""
-    sim = F.round(cosine(F.col("v"), F.col("centroid")), 6) + F.lit(0.0)
+    # per-row norms below the join (round-7, see cosine_topk): ||v||
+    # once per doc, ||centroid|| once per centroid — the k-way argmax
+    # folds one dot per (doc, cid) instead of three aggregates. Same
+    # sqrt, same product order as ``_norm(v) * _norm(centroid)``.
+    cn = cents.withColumn("_nc", _norm(F.col("centroid")))
+    sim = (
+        F.round(
+            _dot(F.col("v"), F.col("centroid"))
+            / (F.col("_nv") * F.col("_nc")),
+            6,
+        )
+        + F.lit(0.0)
+    )
     best = (
-        pts.crossJoin(F.broadcast(cents))
+        pts.withColumn("_nv", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cn))
         .select(
             "doc", F.struct((-sim).alias("ns"), F.col("cid").alias("cid")).alias("sc")
         )
@@ -511,6 +555,7 @@ def semdedup_survivors(
     threshold: float = 0.95,
     max_cluster: int | None = 100_000,
     materialize: str = "local",
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     exact cosine WITHIN embedding clusters, keeping the duplicate-group
@@ -554,15 +599,47 @@ def semdedup_survivors(
         cluster_col,
         vec_col,
     ).select(F.col(cluster_col).alias("clu"), "centroid")
-    cs = e.join(F.broadcast(cents), "clu").select(
-        "doc", "clu", "v",
-        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cs"),
+    # materialize cs too (round-7, ADVICE r6): it feeds THREE consumers
+    # (the cap's count aggregate, the capped a-side, and the uncapped
+    # b-side) — un-materialized, each re-ran the e scan and the per-doc
+    # centroid-cosine projection (broadcast-exchange reuse only shares
+    # the centroid side). One checkpoint = one cosine pass. The
+    # checkpoint also carries ``nv`` = ||v|| (round-7, guide §1.2 step
+    # 2): the pair similarity below then evaluates ONE interpreted HOF
+    # fold per pair (the dot) instead of three — the norms were being
+    # re-folded for every pair a row appears in. Bit-identical:
+    # ``sqrt(dot(v,v))`` is the same IEEE value whether computed per
+    # row or per pair, and ``na * nb`` is the same product the old
+    # ``_norm(a)*_norm(b)`` built.
+    cs = _materialize(
+        e.join(F.broadcast(cents), "clu").select(
+            "doc", "clu", "v",
+            F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cs"),
+            _norm(F.col("v")).alias("nv"),
+        ),
+        materialize,
     )
     a = (
         _drop_over_cap(cs, ["clu"], max_cluster) if max_cluster else cs
     ).alias("a")
     b = cs.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    # bounded-count broadcast probe (round-7, the cosine_topk pattern):
+    # cs is already materialized, so the row probe is a cheap cached
+    # scan. When the corpus side fits comfortably, broadcasting it keeps
+    # the pair join's PROBE side on its input partitioning — a few
+    # distinct cluster ids would otherwise cap a sort-merge join's
+    # parallelism at the cluster count (measured: e10's 6-cluster SMJ
+    # ran its 330k interpreted pair-cosines in ≤6 tasks, 11 s). At
+    # 100-TB scale the probe exceeds the cap, nothing is broadcast, and
+    # the cluster-keyed SMJ parallelizes over the (many) cluster ids.
+    if (
+        max_broadcast_rows is not None
+        and cs.limit(int(max_broadcast_rows) + 1).count() <= max_broadcast_rows
+    ):
+        b = F.broadcast(cs.alias("b"))
+    sim = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 6
+    )
     pairs = (
         a.join(
             b,
@@ -578,9 +655,27 @@ def semdedup_survivors(
     # the join pins doc_a < doc_b, so on an exact 6dp centroid-sim tie
     # the greater id (b) is the loser — which IS the (cs, id) rule
     closer_is_a = F.col("cs_a") > F.col("cs_b")
-    losers = pairs.select(
-        F.when(closer_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("loser")
-    ).distinct()
+    # materialize the loser set (round-7): the anti join is its only
+    # consumer, but a checkpointed loser table makes the broadcast probe
+    # below a cached scan — and when the losers fit, a broadcast
+    # LeftAnti skips shuffling the CORPUS side entirely (at 100 TB the
+    # drop set is usually a small fraction of the corpus; past the cap
+    # the plan falls back to the sort-merge anti join unchanged).
+    losers = _materialize(
+        pairs.select(
+            F.when(closer_is_a, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("loser")
+        ).distinct(),
+        materialize,
+    )
+    lj = losers
+    if (
+        max_broadcast_rows is not None
+        and losers.limit(int(max_broadcast_rows) + 1).count()
+        <= max_broadcast_rows
+    ):
+        lj = F.broadcast(losers)
     return corpus.join(
-        losers, corpus[id_col] == losers["loser"], "left_anti"
+        lj, corpus[id_col] == losers["loser"], "left_anti"
     )

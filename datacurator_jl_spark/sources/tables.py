@@ -48,6 +48,55 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+#: memoized scan partition counts per resolved path — load_table is
+#: called once per query per table, and the count cannot change within a
+#: session for an immutable input directory
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose split count is below the
+    session's core parallelism (round-7, guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Why: a parquet file smaller than ``maxPartitionBytes`` (or with one
+    row group) scans as ONE task, and every narrow stage built on it —
+    Arrow UDF signatures, codegen projections, and the probe side of the
+    broadcast pair joins, which all PRESERVE input partitioning —
+    inherits that single task: the whole pair-compute of a blocked
+    self-join serializes on one core while the other 31 idle (measured:
+    d08 9.3 s with its 623k array_intersect pairs in one task).
+
+    Scale posture: the spread only fires when the scan has FEWER splits
+    than ``spark.sparkContext.defaultParallelism`` — a 100-TB table has
+    ~10⁵-10⁶ splits and is untouched; a single unsplittable file (the
+    gzip case in the guide) is exactly what this exists for. Catalyst
+    pushes filters and column pruning THROUGH a Repartition node, so
+    PushedFilters/ReadSchema at the scan are unchanged (pinned by
+    test_plans). Disable or resize via the
+    ``spark.datacurator.scan.minParallelism`` conf (0 disables).
+    """
+    try:
+        p = int(
+            spark.conf.get(
+                "spark.datacurator.scan.minParallelism",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        )
+    except ValueError:
+        p = spark.sparkContext.defaultParallelism
+    if p <= 1:
+        return df
+    n = _SCAN_PARTS.get(path)
+    if n is None:
+        # a pure scan plan: building the RDD runs no job (no AQE stage)
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = n
+    if 0 < n < p:
+        return df.repartition(p)
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, with_lineage: bool = False
 ) -> DataFrame:
@@ -56,10 +105,13 @@ def load_table(
     ``with_lineage=True`` appends ``dc_source`` (the reference's
     ``dc_filename`` provenance column, src/DataCurator.jl:2534-2536).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if with_lineage:
+        # input_file_name() only resolves inside the scan stage — attach
+        # lineage BEFORE any repartition moves rows off their scan task
         df = df.withColumn("dc_source", F.input_file_name())
-    return df
+    return _spread_small_scan(spark, df, path)
 
 
 def load_corpus(
