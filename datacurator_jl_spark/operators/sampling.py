@@ -34,6 +34,8 @@ def _rank_capped(
     salt: str,
     target,
     salt_parts: int = 16,
+    needs_n: bool = True,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Rows whose 1-based portable-hash rank within the group (tie-broken
     by the key) is <= ``target`` — a Column that may reference ``_n``,
@@ -73,14 +75,30 @@ def _rank_capped(
     treat it as one) — the count join must be NULL-SAFE, or every
     null-group row silently vanishes from the sample (an equi-join
     never matches NULL==NULL).
+
+    Group-size join (round-7, VERDICT r6 #1): the ``_n`` column only
+    exists for VARIABLE targets (fraction / alpha caps). Constant-cap
+    callers pass ``needs_n=False`` and the group-count aggregate + join
+    never run at all — at web scale the group is the URL host (~10⁸
+    distinct keys), so the old unconditional ``F.broadcast(counts)``
+    was a several-GB broadcast serving a column nothing referenced.
+    For variable targets, ``broadcast_counts=False`` defers the
+    join strategy to AQE (the ``quantile_buckets``
+    ``broadcast_thresholds`` escape hatch) when the group cardinality
+    is too large to broadcast.
     """
     h = _h32(F.col(key_col).cast("string"), f"#{salt}")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    cg = f"_grp_{group_col}"
-    counts = counts.withColumnRenamed(group_col, cg)
-    base = df.join(
-        F.broadcast(counts), F.col(group_col).eqNullSafe(F.col(cg))
-    ).drop(cg)
+    if needs_n:
+        counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        cg = f"_grp_{group_col}"
+        counts = counts.withColumnRenamed(group_col, cg)
+        if broadcast_counts:
+            counts = F.broadcast(counts)
+        base = df.join(
+            counts, F.col(group_col).eqNullSafe(F.col(cg))
+        ).drop(cg)
+    else:
+        base = df
     if salt_parts and salt_parts > 1:
         sl = F.pmod(h, F.lit(int(salt_parts)))
         wp = Window.partitionBy(group_col, sl).orderBy(h, F.col(key_col))
@@ -104,17 +122,22 @@ def stratified_hash_sample(
     fraction: float,
     salt: str = "dc",
     salt_parts: int = 16,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Keep EXACTLY ``ceil(fraction * n_g)`` rows of every group g,
     chosen by portable key-hash order (tie-broken by the key itself) —
     deterministic, engine-stable, restart-stable. Scale shape: see
     ``_rank_capped`` (two-phase salted cap; output independent of
-    ``salt_parts``).
+    ``salt_parts``). ``broadcast_counts=False`` defers the group-size
+    join to AQE for extreme group cardinality (VERDICT r6 #1).
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     target = F.ceil(F.lit(float(fraction)) * F.col("_n"))
-    return _rank_capped(df, group_col, key_col, salt, target, salt_parts)
+    return _rank_capped(
+        df, group_col, key_col, salt, target, salt_parts,
+        broadcast_counts=broadcast_counts,
+    )
 
 
 def group_cap_sample(
@@ -126,6 +149,7 @@ def group_cap_sample(
     scale: float = 1.0,
     salt: str = "dc",
     salt_parts: int = 16,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Cap every group at a target size, keeping the first ``target_g``
     rows by portable hash order — the head-domain suppressor:
@@ -147,7 +171,12 @@ def group_cap_sample(
 
     Exactly one of ``cap`` / ``alpha`` must be given. Scale shape: see
     ``_rank_capped`` (two-phase salted cap; output independent of
-    ``salt_parts``).
+    ``salt_parts``). The constant ``cap=`` path never builds or joins
+    the group-count table at all (``_n`` is unreferenced — VERDICT r6
+    #1: at web scale the group is the URL host, and broadcasting ~10⁸
+    group counts to serve an unused column is an OOM, not a plan);
+    ``alpha`` targets need ``_n`` — ``broadcast_counts=False`` defers
+    that join to AQE when the cardinality is extreme.
     """
     if (cap is None) == (alpha is None):
         raise ValueError("give exactly one of cap= or alpha=")
@@ -155,13 +184,18 @@ def group_cap_sample(
         if cap < 0:
             raise ValueError(f"cap must be >= 0, got {cap}")
         target = F.lit(int(cap))
-    else:
-        if alpha < 0 or alpha > 1:
-            raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-        n = F.col("_n").cast("double")
-        grown = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
-        target = F.ceil(F.lit(float(scale)) * grown)
-    return _rank_capped(df, group_col, key_col, salt, target, salt_parts)
+        return _rank_capped(
+            df, group_col, key_col, salt, target, salt_parts, needs_n=False
+        )
+    if alpha < 0 or alpha > 1:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    n = F.col("_n").cast("double")
+    grown = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    target = F.ceil(F.lit(float(scale)) * grown)
+    return _rank_capped(
+        df, group_col, key_col, salt, target, salt_parts,
+        broadcast_counts=broadcast_counts,
+    )
 
 
 def top_fraction(
@@ -489,7 +523,11 @@ def mixture_sample(
             if target is None
             else target.when(F.col(group_col) == g, F.lit(q))
         )
-    return _rank_capped(base, group_col, key_col, salt, target, salt_parts)
+    # the quota CASE is a pure function of the group value — no ``_n``
+    # reference, so the group-count join is skipped (VERDICT r6 #1)
+    return _rank_capped(
+        base, group_col, key_col, salt, target, salt_parts, needs_n=False
+    )
 
 
 def _mixture_quotas(weights: dict, n_total: int) -> dict:

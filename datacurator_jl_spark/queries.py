@@ -47,6 +47,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _tn(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table WITHOUT the small-scan spread (round-7): for
+    shuffle-first queries — aggregations, windows, key/band joins —
+    whose first exchange redistributes rows anyway, the spread's extra
+    round-robin exchange is pure overhead (measured per query in
+    OPTIMIZATION_r07.md; at production split counts the spread is a
+    no-op either way, so this is a bench-scale-honest per-consumer
+    choice, not a semantic one)."""
+    return load_table(spark, sf_dir, name, spread=False)
+
+
 # ---------------------------------------------------------------------------
 # Relational operator suite (reference §2.5 table ops)
 # ---------------------------------------------------------------------------
@@ -71,7 +82,7 @@ def q01(spark, sf):
     """groupbycolumn-style hash aggregate (reference src/DataCurator.jl:941-965)
     over a pushed-down timestamp filter. Partial agg map-side; 6 aggs, one
     shuffle on a 2-col low-cardinality key."""
-    li = _t(spark, sf, "lineitem")
+    li = _tn(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -99,7 +110,7 @@ def q01(spark, sf):
 def q02(spark, sf):
     """buildcomp strict `between` (reference src/DataCurator.jl:2218-2229:
     exclusive BOTH sides, unlike SQL BETWEEN) AND-combined (extract)."""
-    li = _t(spark, sf, "lineitem")
+    li = _tn(spark, sf, "lineitem")
     return DO.extract(
         li,
         [("l_quantity", "between", (10, 15)), ("l_discount", "between", (0.02, 0.08))],
@@ -168,7 +179,7 @@ def q05(spark, sf):
 def q06(spark, sf):
     """groupbycolumn with named agg outputs (reference
     src/DataCurator.jl:941-947 signature: columns, targets, functions, names)."""
-    c = _t(spark, sf, "customer")
+    c = _tn(spark, sf, "customer")
     out = DO.groupbycolumn(
         c,
         ["c_mktsegment"],
@@ -267,7 +278,7 @@ def q09(spark, sf):
     """Mode band-pass (reference handle_mode, src/DataCurator.jl:2231-2246):
     keep rows with mode+k·σ < x < mode+j·σ. Two-phase: distributed agg →
     broadcast scalars → filter."""
-    li = _t(spark, sf, "lineitem")
+    li = _tn(spark, sf, "lineitem")
     return mode_bandpass(li, "l_quantity", -0.3, 0.3).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
@@ -321,7 +332,7 @@ def _sql_set_count(wordlist: list[str]) -> str:
 def d01(spark, sf):
     """Exact dedup: hash-groupBy, min-id representative (single shuffle,
     map-side partial agg)."""
-    return DD.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+    return DD.exact_dedup(_tn(spark, sf, "documents"), "doc_id", "text")
 
 
 @_q(
@@ -488,7 +499,7 @@ def _sql_minhash(i: int) -> str:
 def d06(spark, sf):
     """MinHash signatures: per-row array fold, no shuffle, no UDF; hash =
     md5-derived 32-bit so the oracle reproduces it bit-exactly."""
-    d = DD.minhash_signature(_t(spark, sf, "documents"), "text", k=4)
+    d = DD.minhash_signature(_tn(spark, sf, "documents"), "text", k=4)
     return d.select("doc_id", "mh0", "mh1", "mh2", "mh3")
 
 
@@ -498,7 +509,7 @@ def d06(spark, sf):
 )
 def d07(spark, sf):
     """16-bit SimHash fingerprint, pure array folds (no shuffle)."""
-    return DD.simhash(_t(spark, sf, "documents"), "text", bits=16).select(
+    return DD.simhash(_tn(spark, sf, "documents"), "text", bits=16).select(
         "doc_id", "simhash"
     )
 
@@ -773,7 +784,7 @@ def d47(spark, sf):
     from datacurator_jl_spark.operators.dataframe_ops import latest_version
 
     return latest_version(
-        _t(spark, sf, "events").select(
+        _tn(spark, sf, "events").select(
             "user_id", "event_type", "ts", "event_id", "value"
         ),
         ["user_id", "event_type"], "ts", "event_id",
@@ -943,7 +954,7 @@ def q12(spark, sf):
     group in one task just to count it, the same anti-pattern
     _drop_over_cap replaced; the counts table is one row per group and
     broadcasts)."""
-    d = _t(spark, sf, "documents")
+    d = _tn(spark, sf, "documents")
     counts = (
         d.groupBy(F.col("source").alias("_src"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -972,7 +983,7 @@ def q12(spark, sf):
 )
 def d11(spark, sf):
     """Exact-dedup survivors: min-id representative per distinct text."""
-    return DD.drop_exact_dupes(_t(spark, sf, "documents"), "doc_id", "text").select(
+    return DD.drop_exact_dupes(_tn(spark, sf, "documents"), "doc_id", "text").select(
         "doc_id"
     )
 
@@ -1036,7 +1047,7 @@ def d37(spark, sf):
     per doc, never the text or word sets
     (operators/dedup.estimate_jaccard_pairs)."""
     return DD.estimate_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", k=8, bands=4,
+        _tn(spark, sf, "documents"), "doc_id", "text", k=8, bands=4,
         threshold=0.5,
     )
 
@@ -1219,7 +1230,7 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 def e01(spark, sf):
     """Brute-force cosine top-5 for query vectors vec_id<10: broadcast
     cross join + native array fold + windowed top-k."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tn(spark, sf, "embeddings")
     return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1263,7 +1274,7 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 def e02(spark, sf):
     """IVF-bucketed ANN (scale path): probe the nearest label-cluster
     centroid only, exact search within it."""
-    emb = _t(spark, sf, "embeddings")
+    emb = _tn(spark, sf, "embeddings")
     return SIM.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), cluster_col="label", k=5, nprobe=1
     )
@@ -1287,7 +1298,7 @@ def e02(spark, sf):
 def v01(spark, sf):
     """Tumbling-window rollup (batch form of the streaming aggregation;
     streaming/ wraps the same expression over readStream)."""
-    ev = _t(spark, sf, "events")
+    ev = _tn(spark, sf, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
@@ -1318,7 +1329,7 @@ def v01(spark, sf):
 def v02(spark, sf):
     """Sessionization via gap detection (30-min inactivity): windowed lag
     + conditional sum — the batch analogue of session windows."""
-    ev = _t(spark, sf, "events")
+    ev = _tn(spark, sf, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1561,7 +1572,7 @@ def d28(spark, sf):
     order as doc_id + 10^15 for new docs in a recursive reachability
     CTE. Same 2x4 banding as d15 (operators/dedup.py:
     incremental_near_dup_survivors scale notes)."""
-    docs = _t(spark, sf, "documents")
+    docs = _tn(spark, sf, "documents")
     base = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     base_sigs = DD.signature_table(base, "doc_id", "text", k=8)
@@ -1668,7 +1679,7 @@ def d38(spark, sf):
     explicitly per the RE2 rule."""
     from datacurator_jl_spark.functions.transforms import normalize_whitespace
 
-    docs = _t(spark, sf, "documents")
+    docs = _tn(spark, sf, "documents")
     v = docs.select("doc_id", F.col("text").alias("_t")).unionAll(
         docs.select(
             (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -1713,7 +1724,7 @@ def d39(spark, sf):
         (F.col("doc_id") % 100).cast("string"),
         F.lit("?utm_source=x"),
     )
-    d = _t(spark, sf, "documents").withColumn("canon", canonical_url(messy))
+    d = _tn(spark, sf, "documents").withColumn("canon", canonical_url(messy))
     return DD.drop_exact_dupes(d, "doc_id", "canon").select("doc_id", "canon")
 
 
@@ -1776,7 +1787,7 @@ def d34(spark, sf):
     map-side partial combine (operators/report.corpus_report)."""
     from datacurator_jl_spark.operators.report import corpus_report
 
-    return corpus_report(_t(spark, sf, "documents"), "source", "text")
+    return corpus_report(_tn(spark, sf, "documents"), "source", "text")
 
 
 @_q(
@@ -1803,7 +1814,7 @@ def d35(spark, sf):
     table, deterministic tie-break (operators/report.top_terms)."""
     from datacurator_jl_spark.operators.report import top_terms
 
-    return top_terms(_t(spark, sf, "documents"), "text", 5, group_col="source")
+    return top_terms(_tn(spark, sf, "documents"), "text", 5, group_col="source")
 
 
 @_q("d36_compression_ratio")  # no oracle_sql: SQL has no DEFLATE —
@@ -1816,7 +1827,7 @@ def d36(spark, sf):
     null (functions/compress.py)."""
     from datacurator_jl_spark.functions.compress import compression_ratio_arrow
 
-    return _t(spark, sf, "documents").select(
+    return _tn(spark, sf, "documents").select(
         "doc_id", compression_ratio_arrow(F.col("text")).alias("comp_ratio")
     )
 
@@ -1834,7 +1845,7 @@ def d16(spark, sf):
     selection as a pure key-hash filter — restart/engine-stable, unlike
     rand()-based df.sample(); pushdown-friendly, no shuffle."""
     return DO.hash_sample(
-        _t(spark, sf, "documents"), "doc_id", 0.25, salt="corpus_v1"
+        _tn(spark, sf, "documents"), "doc_id", 0.25, salt="corpus_v1"
     ).select("doc_id", "source")
 
 
@@ -1909,7 +1920,7 @@ def e05(spark, sf):
     from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
 
     return srp_near_dup_pairs(
-        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _tn(spark, sf, "embeddings"), "vec_id", "embedding",
         _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -1946,7 +1957,7 @@ def e06(spark, sf):
     from datacurator_jl_spark.operators.similarity import srp_near_dup_pairs
 
     return srp_near_dup_pairs(
-        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _tn(spark, sf, "embeddings"), "vec_id", "embedding",
         _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
         max_bucket=30,
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -2040,7 +2051,7 @@ def v05(spark, sf):
     from datacurator_jl_spark.streaming.stream import domain_quota_batch
 
     return domain_quota_batch(
-        _t(spark, sf, "documents"), 20, "source", "doc_id"
+        _tn(spark, sf, "documents"), 20, "source", "doc_id"
     ).select("source", "doc_id")
 
 
@@ -2343,7 +2354,7 @@ def d22(spark, sf):
         remove_boilerplate_lines,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _tn(spark, sf, "documents")
     t2 = F.concat(
         F.lit("HDR "), F.col("source"), F.lit("\n"), F.col("text"),
         F.lit("\nFOOTER shared across the corpus"),
@@ -2387,7 +2398,7 @@ def d23(spark, sf):
     collide); production uses n=8..13 via the same operator."""
     from datacurator_jl_spark.operators.decontam import decontaminate
 
-    d = _t(spark, sf, "documents")
+    d = _tn(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 41 == 0)
     rest = d.filter(F.col("doc_id") % 41 != 0)
     out = decontaminate(rest, "doc_id", "text", bench, "text", n=3)
@@ -2420,7 +2431,7 @@ def d24(spark, sf):
     from datacurator_jl_spark.operators.sampling import stratified_hash_sample
 
     return stratified_hash_sample(
-        _t(spark, sf, "documents"), "source", "doc_id", 0.2,
+        _tn(spark, sf, "documents"), "source", "doc_id", 0.2,
         salt="corpus_v1",
     ).select("doc_id", "source")
 
@@ -2453,7 +2464,7 @@ def d27(spark, sf):
     from datacurator_jl_spark.operators.sampling import group_cap_sample
 
     return group_cap_sample(
-        _t(spark, sf, "documents"), "source", "doc_id",
+        _tn(spark, sf, "documents"), "source", "doc_id",
         alpha=0.5, scale=2.0, salt="corpus_v1",
     ).select("doc_id", "source")
 
@@ -2480,7 +2491,7 @@ def d32(spark, sf):
     from datacurator_jl_spark.operators.sampling import top_fraction
 
     return top_fraction(
-        _t(spark, sf, "documents"), "n_chars", 0.3, "doc_id"
+        _tn(spark, sf, "documents"), "n_chars", 0.3, "doc_id"
     ).select("doc_id", "n_chars")
 
 
@@ -2570,7 +2581,7 @@ def d26(spark, sf):
     exchange (operators/paragraph_dedup.py scale notes)."""
     from datacurator_jl_spark.operators.paragraph_dedup import dedup_paragraphs
 
-    d = _t(spark, sf, "documents").select(
+    d = _tn(spark, sf, "documents").select(
         "doc_id",
         F.concat(
             F.lit("NAV chrome shared by every doc\n\n"),
@@ -2634,7 +2645,7 @@ def d41(spark, sf):
 
     raw = F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030a"))
     return (
-        _t(spark, sf, "documents")
+        _tn(spark, sf, "documents")
         .select("doc_id", raw.alias("raw"))
         .withColumn("norm_text", nfc_normalize(F.col("raw")))
         .select(
@@ -2682,7 +2693,7 @@ def d42(spark, sf):
     (operators/decontam.dup_ngram_stats scale notes)."""
     from datacurator_jl_spark.operators.decontam import dup_ngram_stats
 
-    return dup_ngram_stats(_t(spark, sf, "documents"), "doc_id", "text", n=3).select(
+    return dup_ngram_stats(_tn(spark, sf, "documents"), "doc_id", "text", n=3).select(
         "doc_id", "n_grams", "dup_grams", "dup_fraction"
     )
 
@@ -2772,7 +2783,7 @@ def e07(spark, sf):
     )
 
     return srp_near_dup_survivors(
-        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        _tn(spark, sf, "embeddings"), "vec_id", "embedding",
         _SRP_DIM, _SRP_BITS, bands=4, seed=_SRP_SEED, max_hamming=3,
     ).select("vec_id")
 
@@ -3021,7 +3032,7 @@ def d54(spark, sf):
     window cumsum."""
     from datacurator_jl_spark.operators.sampling import sequence_pack
 
-    d = _t(spark, sf, "documents").select(
+    d = _tn(spark, sf, "documents").select(
         "doc_id",
         F.when(F.col("text").isNotNull(), F.size(X.words(F.col("text"))))
         .otherwise(F.lit(0))
@@ -3059,7 +3070,7 @@ def d55(spark, sf):
     left-semi pruned on the batch's hash set before the anti join
     (guard-8 pattern: per-ingest cost tracks the batch, the standing
     corpus hash table is scanned, never shuffled)."""
-    d = _t(spark, sf, "documents")
+    d = _tn(spark, sf, "documents")
     base = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     batch = (
         d.filter(F.col("doc_id") % 3 != 0)
@@ -3180,7 +3191,7 @@ def d57(spark, sf):
     constants via operators/retrieval.bm25_topk_sql."""
     from datacurator_jl_spark.operators.retrieval import bm25_topk
 
-    return bm25_topk(_t(spark, sf, "documents"), _D57_TERMS, k=15)
+    return bm25_topk(_tn(spark, sf, "documents"), _D57_TERMS, k=15)
 
 
 # the k-means CTE chain (shared by e09 and e10's oracle — one copy):
@@ -3425,7 +3436,7 @@ def d61(spark, sf):
     from datacurator_jl_spark.operators.sampling import mixture_sample
 
     return mixture_sample(
-        _t(spark, sf, "documents"), "source", "doc_id", _D61_WEIGHTS, 40
+        _tn(spark, sf, "documents"), "source", "doc_id", _D61_WEIGHTS, 40
     ).select("doc_id", "source")
 
 

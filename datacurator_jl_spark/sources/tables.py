@@ -98,12 +98,22 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFra
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, with_lineage: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    with_lineage: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Read one parquet table from an sf directory.
 
     ``with_lineage=True`` appends ``dc_source`` (the reference's
     ``dc_filename`` provenance column, src/DataCurator.jl:2534-2536).
+    ``spread=False`` skips the small-scan repartition: right for
+    SHUFFLE-FIRST consumers (aggregations, windows, key joins), whose
+    first exchange redistributes the rows anyway — for them the spread
+    is a pure extra shuffle (measured: q01 0.26 s -> 0.87 s). Narrow
+    compute-heavy consumers (Arrow signature UDFs, pair-join probes)
+    keep the default.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -111,7 +121,7 @@ def load_table(
         # input_file_name() only resolves inside the scan stage — attach
         # lineage BEFORE any repartition moves rows off their scan task
         df = df.withColumn("dc_source", F.input_file_name())
-    return _spread_small_scan(spark, df, path)
+    return _spread_small_scan(spark, df, path) if spread else df
 
 
 def load_corpus(

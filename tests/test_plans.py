@@ -164,7 +164,12 @@ def test_html_extract_is_one_projection_no_shuffle(spark):
     from datacurator_jl_spark.queries import QUERIES
 
     plan = _phys(QUERIES["d46_html_extract"](spark, "/root/testdata/sf0.001"))
-    assert "Exchange" not in plan, plan
+    # round-7: the loader's small-scan spread adds ONE round-robin
+    # exchange below the projection (deliberate scan parallelization,
+    # not an operator shuffle — sources/tables._spread_small_scan);
+    # the operator itself must still induce no hash/range exchange
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "EvalPython" not in plan, plan  # neither Batch- nor ArrowEval
     assert "Project" in plan, plan
 
@@ -233,7 +238,11 @@ def test_winnow_extraction_single_arrow_no_shuffle(spark):
     never shuffles to get fingerprinted)."""
     plan = _phys(QUERIES["d51_winnow_fingerprints"](spark, "/root/testdata/sf0.001"))
     assert plan.count("ArrowEvalPython") == 1, plan
-    assert "Exchange" not in plan, plan
+    # round-7: the loader's small-scan spread adds one round-robin
+    # exchange below the Arrow stage (scan parallelization, not an
+    # operator shuffle); the operator itself must add no hash/range one
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
 
 
 def test_winnow_pairs_no_cartesian_no_window(spark):
@@ -347,3 +356,34 @@ def test_mixture_plans_no_cartesian_broadcast_offsets(spark):
     assert "CartesianProduct" not in p62, p62
     assert "BroadcastHashJoin" in p62, p62
     assert "_pid" in p62, p62  # windows keyed on the pinned partition id
+
+
+def test_constant_cap_skips_group_count_join(spark):
+    """round-7 (VERDICT r6 #1) plan contract: the constant-cap path of
+    the salted rank cap never builds the per-group count table — no
+    count aggregate, no join, no broadcast of ~|groups| rows (at web
+    scale the group is the URL host, so that broadcast is an OOM). The
+    plan is two windows + filters over the corpus, nothing else. The
+    alpha/fraction paths still need ``_n`` (d27 pins that separately
+    below)."""
+    from datacurator_jl_spark.operators.sampling import group_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    plan = _phys(group_cap_sample(df, "source", "doc_id", cap=5))
+    assert "Join" not in plan, plan
+    assert "count(1)" not in plan, plan
+    # the variable-target path keeps the count join (it references _n)
+    alpha_plan = _phys(
+        QUERIES["d27_domain_cap"](spark, "/root/testdata/sf0.001")
+    )
+    assert "count(1)" in alpha_plan, alpha_plan
+
+
+def test_mixture_sample_skips_group_count_join(spark):
+    """d61's per-group quota is a CASE over the group value — no _n
+    reference, so the group-count aggregate + join must be absent."""
+    plan = _phys(QUERIES["d61_mixture_sample"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "count(1)" not in plan, plan
