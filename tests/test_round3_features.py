@@ -339,12 +339,15 @@ def test_recipe_level_dedup_materialize(spark, blanky_df, tmp_path):
 # --- non-convergence warning (ADVICE r2, low) --------------------------------
 
 
-def test_near_dup_components_warns_on_non_convergence(spark):
+def test_near_dup_components_warns_on_non_convergence(spark, monkeypatch):
     rows = [
         ("a", "identical twin text body"),
         ("b", "identical twin text body"),
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
+    # pin the DISTRIBUTED loop (round-7: small edge sets normally route
+    # to the driver union-find, which always converges)
+    monkeypatch.setattr(DD, "DRIVER_COMPONENTS_MAX_EDGES", 0)
     # max_iter=1: round 1 still flips b's label, so the loop exits without
     # observing a fixpoint and must say so instead of silently returning
     with pytest.warns(RuntimeWarning, match="fixpoint"):
