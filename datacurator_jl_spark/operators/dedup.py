@@ -61,6 +61,23 @@ def _materialize(df: DataFrame, policy: str = "local") -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def _materialize_spread(df: DataFrame, policy: str = "local") -> DataFrame:
+    """``_materialize`` + re-parallelize (round-7): a checkpointed
+    aggregate output inherits AQE's byte-coalesced partitioning — often
+    ONE partition at small scale — and any downstream per-row compute
+    (interpreted HOF folds, pair probes) then serializes on one core.
+    When the checkpointed frame has fewer partitions than the session
+    parallelism, repartition + re-checkpoint (two cheap jobs over a
+    provably tiny frame); at scale the aggregate output already has
+    ≥ parallelism partitions and this is a free no-op (the partition
+    count of a checkpointed frame is known without running a job)."""
+    out = _materialize(df, policy)
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < p:
+        out = _materialize(out.repartition(p), policy)
+    return out
+
+
 def _h32(col: Column, salt: str = "") -> Column:
     """Portable 32-bit hash: first 8 hex chars of md5, as bigint.
 

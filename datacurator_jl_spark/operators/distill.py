@@ -74,7 +74,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datacurator_jl_spark.functions.classifier import _h32_py
-from datacurator_jl_spark.operators.dedup import _materialize, _round_away
+from datacurator_jl_spark.operators.dedup import (
+    _materialize,
+    _materialize_spread,
+    _round_away,
+)
 from datacurator_jl_spark.operators.dsir import _TOKEN_RE
 
 
@@ -89,23 +93,54 @@ def _doc_buckets(text, salt: str, n_buckets: int) -> Counter:
     )
 
 
+#: (n_buckets, salt) -> token -> bucket id, shared across batches (the
+#: classifier/arrow_hash worker-cache pattern: Zipfian vocabulary makes
+#: the md5 run only for batch-NEW tokens)
+_B_CACHES: dict[tuple[int, str], dict[str, int]] = {}
+
+
 def unigram_buckets_arrow(
     text: Column, n_buckets: int = 1024, salt: str = "qw1"
 ) -> Column:
     """array<struct<b,c>> of the doc's hashed-unigram bucket counts —
     ONE Arrow pass, counts collapsed per doc inside the batch (the dsir
-    bigram builder's unigram twin, classifier bucket function)."""
+    bigram builder's unigram twin, classifier bucket function).
+
+    Round-7 kernel (guide §4.2): factorize the batch's tokens once,
+    md5-bucket per UNIQUE token (cached across batches), count per
+    (row, bucket) with one ``np.unique`` — replacing a per-doc Python
+    Counter that re-hashed every token OCCURRENCE. Values identical
+    (``_doc_buckets`` stays as the tests' per-row mirror)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     def batch(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            cnt = _doc_buckets(t, salt, n_buckets)
-            out.append(
-                [{"b": int(b), "c": int(c)} for b, c in sorted(cnt.items())]
-            )
-        return pd.Series(out, index=texts.index)
+        import numpy as np
+
+        from datacurator_jl_spark.operators.dsir import _TOKEN_RE as TR
+
+        cache = _B_CACHES.setdefault((n_buckets, salt), {})
+        n = len(texts)
+        toks = texts.fillna("").str.lower().str.findall(TR)
+        ex = toks.explode().dropna()
+        out_lists: list = [[] for _ in range(n)]
+        if not ex.empty:
+            rows = texts.index.get_indexer(ex.index)
+            codes, uniques = pd.factorize(ex.to_numpy())
+            bks = np.empty(len(uniques), dtype=np.int64)
+            for i, u in enumerate(uniques):
+                b = cache.get(u)
+                if b is None:
+                    b = _h32_py(f"{u}#{salt}") % n_buckets
+                    cache[u] = b
+                bks[i] = b
+            key = rows.astype(np.int64) * n_buckets + bks[codes]
+            uk, cnt = np.unique(key, return_counts=True)
+            for k, c in zip(uk.tolist(), cnt.tolist()):
+                out_lists[k // n_buckets].append(
+                    {"b": k % n_buckets, "c": c}
+                )
+        return pd.Series(out_lists, index=texts.index)
 
     schema = T.ArrayType(
         T.StructType(
@@ -130,34 +165,21 @@ def unigram_feature_table(
         F.col(id_col).alias("doc"),
         unigram_buckets_arrow(F.col(text_col), n_buckets, salt).alias("fs"),
     ).filter(F.size("fs") > 0)
-    ex = feats.select("doc", F.explode("fs").alias("f")).select(
-        "doc", F.col("f.b").alias("b"), F.col("f.c").alias("c")
-    )
-    dls = ex.groupBy("doc").agg(F.sum("c").alias("dl"))
-    return ex.join(dls, "doc")
-
-
-def _margins(train: DataFrame, w: DataFrame, bias_u: int) -> DataFrame:
-    """(doc, dl, y, m): pinned margin expression — see module pin."""
-    s = train.join(F.broadcast(w), "b").groupBy("doc", "dl", "y").agg(
-        F.sum(F.col("c") * F.col("w")).alias("s")
-    )
-    m = (
-        F.lit(int(bias_u)).cast("double")
-        + F.col("s").cast("double") / F.col("dl").cast("double")
-    ) / F.lit(1000000.0)
-    return s.select("doc", "dl", "y", m.alias("m"))
-
-
-def _residuals(m: DataFrame) -> DataFrame:
-    """(doc, dl, r): r_u = round(1e6 · (sigmoid(m) − y)) as bigint."""
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
-    return m.select(
+    # dl = Σ c folded from the per-doc array BEFORE the explode
+    # (round-7, guide §2.4): the old shape exploded first and then
+    # re-derived dl with a groupBy + join-back — two shuffles to
+    # recompute a value the array already held. The HOF fold is
+    # interpreted but runs over ≤ n_buckets-element arrays once per
+    # doc; values identical.
+    ex = feats.select(
         "doc",
-        "dl",
-        F.round(F.lit(1000000.0) * (p - F.col("y")), 0)
-        .cast("long")
-        .alias("r"),
+        F.aggregate(
+            "fs", F.lit(0).cast("long"), lambda a, x: a + x["c"]
+        ).alias("dl"),
+        F.explode("fs").alias("f"),
+    )
+    return ex.select(
+        "doc", F.col("f.b").alias("b"), F.col("f.c").alias("c"), "dl"
     )
 
 
@@ -180,62 +202,115 @@ def lr_fit(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    train = _materialize(
-        feats.join(
-            labels.select(
-                F.col(labels.columns[0]).alias("doc"),
-                F.col(labels.columns[1]).cast("double").alias("y"),
-            ).filter(F.col("y").isNotNull()),
-            "doc",
+    train = feats.join(
+        labels.select(
+            F.col(labels.columns[0]).alias("doc"),
+            F.col(labels.columns[1]).cast("double").alias("y"),
+        ).filter(F.col("y").isNotNull()),
+        "doc",
+    )
+    # round-7 iteration shape (guide §2.4): materialize ONE
+    # per-doc ARRAY frame (doc, dl, y, fs=[(b,c)...]) instead of the
+    # exploded rows — each iteration's margin sum then folds the array
+    # against an O(1)-indexed weight-array literal in a pure
+    # projection: no per-iteration broadcast join, no groupBy(doc)
+    # shuffle, and no residual checkpoint (r is a deterministic scalar
+    # of cached inputs, recomputed inline by the two tiny aggregates
+    # that consume it). All sums stay exact integers, so the fit is
+    # bit-equal to the old join+shuffle shape.
+    train_arr = _materialize_spread(
+        train.groupBy("doc", "dl", "y").agg(
+            F.collect_list(F.struct("b", "c")).alias("fs")
         ),
         materialize,
     )
-    counts = (
-        train.select("doc", "y")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("np"))
-        .collect()[0]
-    )
+    counts = train_arr.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    ).collect()[0]
     n = int(counts["n"])
     if n == 0:
         raise ValueError("lr_fit: empty training set (no labeled docs "
                          "with >= 1 token)")
     n_pos = float(counts["np"])
-    w = _materialize(
-        train.select("b").distinct().withColumn("w", F.lit(0).cast("long")),
-        materialize,
-    )
     import math
 
     bias_u = _round_away(
         1000000.0 * math.log((n_pos + 0.5) / (float(n) - n_pos + 0.5))
     )
+    # round-7: the weight vector is ≤ n_buckets rows BY CONSTRUCTION —
+    # hold it driver-side as a dict and rebuild the (tiny, literal)
+    # broadcast frame per iteration instead of checkpointing a
+    # distributed weights frame each step. The update arithmetic is the
+    # SAME exact-integer expression the plan computed —
+    # ``w_u -= round_half_away(lr * Σgq / N)`` with the identical
+    # (lr * g) / n float evaluation order — so weights are bit-equal to
+    # the old shape (the bias update below already used this pattern).
+    spark = feats.sparkSession
+    w_dict: dict = {}
+
+    def margin_r():
+        """Per-doc residual r as a pure projection over train_arr: the
+        margin sum folds fs against the weight-array literal (exact
+        integer adds, O(1) indexed lookups; try_element_at + coalesce
+        covers in-range gaps with the same 0 an absent weight row
+        meant). Deterministic, so the two aggregates below can both
+        inline it without a checkpoint."""
+        if w_dict:
+            w_arr = F.lit([int(w_dict.get(i, 0)) for i in range(max(w_dict) + 1)])
+            s = F.aggregate(
+                "fs",
+                F.lit(0).cast("long"),
+                lambda a, x: a
+                + x["c"]
+                * F.coalesce(
+                    F.try_element_at(w_arr, (x["b"] + F.lit(1)).cast("int")),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        else:
+            s = F.lit(0).cast("long")  # all weights are zero at init
+        m = (
+            F.lit(int(bias_u)).cast("double")
+            + s.cast("double") / F.col("dl").cast("double")
+        ) / F.lit(1000000.0)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        return (
+            F.round(F.lit(1000000.0) * (p - F.col("y")), 0)
+            .cast("long")
+            .alias("r")
+        )
+
     for _ in range(int(iters)):
-        r = _materialize(_residuals(_margins(train, w, bias_u)), materialize)
-        gq = train.join(r.select("doc", "r"), "doc").select(
-            "b",
+        gq = train_arr.select(
+            margin_r(), "dl", F.explode("fs").alias("f")
+        ).select(
+            F.col("f.b").alias("b"),
             F.round(
-                F.col("r").cast("double") * F.col("c") / F.col("dl"), 0
+                F.col("r").cast("double") * F.col("f.c") / F.col("dl"), 0
             )
             .cast("long")
             .alias("gq"),
         )
-        grad = gq.groupBy("b").agg(F.sum("gq").alias("g"))
-        step = F.round(
-            F.lit(float(lr)) * F.col("g").cast("double") / F.lit(int(n)), 0
-        ).cast("long")
-        w = _materialize(
-            w.join(grad, "b", "left").select(
-                "b",
-                (F.col("w") - F.coalesce(step, F.lit(0))).alias("w"),
-            ),
-            materialize,
+        grad = gq.groupBy("b").agg(F.sum("gq").alias("g")).collect()
+        gb = (
+            train_arr.select(margin_r())
+            .agg(F.sum("r").alias("g"))
+            .collect()[0]["g"]
         )
-        gb = r.agg(F.sum("r").alias("g")).collect()[0]["g"]
+        # apply AFTER both aggregates: they must see the same weights
+        for row in grad:
+            w_dict[int(row["b"])] = w_dict.get(int(row["b"]), 0) - _round_away(
+                float(lr) * float(row["g"]) / float(n)
+            )
         bias_u -= int(
             _round_away(float(lr) * float(gb) / float(n))
         )
-    return w, bias_u
+    return (
+        spark.createDataFrame(
+            [(b, wv) for b, wv in sorted(w_dict.items())], "b long, w long"
+        ),
+        bias_u,
+    )
 
 
 def lr_scores(

@@ -39,10 +39,11 @@ aggregate (map-side combine collapses a viral window to one row per
 partition before the exchange), one shuffle equi-join of window
 occurrences against the duplicated-key set (AQE skew-split applies;
 nothing must be broadcastable), a bounded explode of covered indices
-(<= n rows per duplicated occurrence), and the boilerplate-style
-anti-join + groupBy(id) reassembly. Per-doc state is bounded by doc
-length; a window duplicated 10^9 times contributes rows linear in its
-occurrence count, never a pair join.
+(<= n rows per duplicated occurrence) collapsed to one index SET per
+affected doc, and a projection-only reassembly (native array filter —
+round 7; only docs with a duplicated window shuffle at all). Per-doc
+state is bounded by doc length; a window duplicated 10^9 times
+contributes rows linear in its occurrence count, never a pair join.
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ from datacurator_jl_spark.operators.decontam import word_ngrams_arrow
 # the repo-wide explicit whitespace complement (CLAUDE.md: never \S)
 _TOKEN_CLASS = "[^ \\t\\n\\x0b\\f\\r]+"
 
-_ID, _IDX, _TOK = "_sd_id", "_sd_idx", "_sd_tok"
+_ID, _IDX = "_sd_id", "_sd_idx"
 
 
 def duplicated_windows(
@@ -134,40 +135,46 @@ def remove_duplicated_spans(
         .filter(F.col("_n") >= 2)
         .select("window")
     )
+    # round-7 reassembly (guide §2.3/§2.4): aggregate the covered token
+    # INDEX SET per doc (collect_set dedupes, replacing the separate
+    # distinct shuffle) and rebuild the text with a native array filter
+    # in one projection — the old shape posexploded every RAW token of
+    # the corpus, anti-joined it against the covered set, and re-sorted
+    # a collect_list per doc: three shuffles of the full token stream to
+    # move information the doc's own row already had. Only docs with a
+    # duplicated window carry a covered set; everything else streams
+    # through the left join untouched. Values unchanged (pinned
+    # semantics above, incl. the null/empty/all-removed distinctions).
     covered = (
         occ.join(dup, "window")
         .select(_ID, F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias(_IDX))
-        .distinct()
+        .groupBy(_ID)
+        .agg(F.collect_set(F.col(_IDX)).alias("_sd_cov"))
     )
-    toks = df.select(
-        F.col(id_col).alias(_ID),
-        F.posexplode(
-            F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_CLASS), 0)
-        ).alias(_IDX, _TOK),
-    )
-    kept = toks.join(covered, [_ID, _IDX], "left_anti")
-    reassembled = kept.groupBy(_ID).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(_IDX, _TOK))),
-                lambda s: s.getField(_TOK),
-            ),
-            " ",
-        ).alias("_sd_clean"),
-        F.count(F.lit(1)).alias("_sd_nkept"),
-    )
-    n_toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_CLASS), 0))
-    out = df.join(reassembled, df[id_col] == reassembled[_ID], "left").drop(_ID)
+    out = df.join(covered, df[id_col] == covered[_ID], "left").drop(_ID)
+    tok_arr = F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_CLASS), 0)
+    n_toks = F.size(tok_arr)
+    kept_arr = F.when(
+        F.col("_sd_cov").isNotNull(),
+        F.filter(
+            tok_arr,
+            lambda x, i: ~F.array_contains(F.col("_sd_cov"), i),
+        ),
+    ).otherwise(tok_arr)
+    # project the filtered array ONCE (multi-referenced non-cheap alias
+    # is not inlined), then derive the pinned outputs from it
+    out = out.withColumn("_sd_kept", kept_arr)
     clean = (
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .when(n_toks == 0, F.lit(""))  # token-less input -> empty, not null
-        .otherwise(F.col("_sd_clean"))  # null when every token removed
+        .when(F.size("_sd_kept") == 0, F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.col("_sd_kept"), " "))
     )
     return out.select(
         *[c for c in df.columns if c != out_col],
         clean.alias(out_col),
         F.when(
             F.col(text_col).isNotNull(),
-            (n_toks - F.coalesce(F.col("_sd_nkept"), F.lit(0))).cast("int"),
+            F.coalesce(F.size(F.col("_sd_cov")), F.lit(0)).cast("int"),
         ).alias(count_col),
     )
