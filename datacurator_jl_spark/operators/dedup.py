@@ -285,7 +285,9 @@ def minhash_signature(
     return out
 
 
-def _drop_over_cap(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+def _drop_over_cap(
+    df: DataFrame, keys: list[str], cap: int, broadcast_ok: bool = False
+) -> DataFrame:
     """Drop every row of a group (by ``keys``) larger than ``cap`` — the
     shared skew-guard primitive behind ``max_bucket``/``max_block``.
 
@@ -311,9 +313,21 @@ def _drop_over_cap(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     probe) and would re-run the lineage per consumer. For self-joins,
     cap ONE side only: a pair needs its key on both sides, so an a-side
     drop already kills every over-cap bucket's pairs, and the cap join
-    runs once instead of twice."""
+    runs once instead of twice.
+
+    ``broadcast_ok`` (round-7): hint the under-cap key set for
+    broadcast. Pass True ONLY when the caller has PROVED ``df`` (and
+    hence its distinct key set) is bounded — e.g. semdedup's
+    ``max_broadcast_rows`` probe. Without the hint, a checkpointed
+    input whose origin stats are unknown plans the semi join as a
+    sort-merge, which exchanges the probe side on the (few) keys and
+    serializes every downstream pair computation into as many tasks as
+    there are distinct keys (measured: e10's 6-cluster pair stage ran
+    3.3 s in ONE task; broadcast keeps the probe's input partitioning)."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     ok = counts.filter(F.col("_n") <= cap).select(*keys)
+    if broadcast_ok:
+        ok = F.broadcast(ok)
     return df.join(ok, keys, "left_semi")
 
 

@@ -455,6 +455,93 @@ def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: Row bound for the driver-side k-means fit: below it the (already
+#: filtered) point set is collected and Lloyd's runs in numpy with the
+#: SAME integer-quantized sums, fold-order dots, and half-up roundings
+#: as the distributed plan — bit-identical centroids, one collect
+#: instead of ~2 + 3·iters checkpoint/aggregate rounds. 50k rows of
+#: 768-dim doubles ≈ 300 MB driver-side, the cosine_topk posture.
+DRIVER_KMEANS_MAX_ROWS = 50_000
+
+
+def _round6_py(x: float) -> float:
+    """Bit-exact Python twin of Spark's ``F.round(double, 6)``
+    (BigDecimal HALF_UP over the shortest decimal repr — Python's
+    ``repr`` produces the same shortest form; fuzz-verified on 200k
+    draws incl. half-boundary neighborhoods)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _kmeans_fit_driver(rows, k: int, iters: int):
+    """Driver twin of the Lloyd's loop for a bounded point set.
+
+    Exactness contract (every step mirrors the plan op-for-op):
+    quantization = half-away ``round(v*1e6)`` (fuzz-matched to
+    ``F.round(x, 0)``); centroid mean = ``float(Σqv) / (n * 1e6)``;
+    dots/norms accumulate PER DIMENSION in index order — the same
+    left-to-right fold ``_dot`` evaluates — vectorized over rows only;
+    sim = ``round6(dot/(nv*nc)) + 0.0`` with ties to the lowest cid.
+    Returns [(cid, [centroid floats])]."""
+    import numpy as np
+
+    if not rows:
+        return []
+    rows = sorted(rows, key=lambda r: r[0])  # init = k lowest ids
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    n, dim = V.shape
+    QV = np.where(
+        V * 1e6 >= 0, np.floor(V * 1e6 + 0.5), np.ceil(V * 1e6 - 0.5)
+    ).astype(np.int64)
+
+    def seq_dot(A, B):
+        # per-dimension accumulation = the HOF fold's add order
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
+    nv = np.sqrt(seq_dot(V, V))
+
+    def centroids_of(member_cids):
+        cents = {}
+        for cid in sorted(set(member_cids.tolist())):
+            mask = member_cids == cid
+            m = int(mask.sum())
+            s = QV[mask].sum(axis=0, dtype=np.int64)
+            cents[cid] = s.astype(np.float64) / (m * 1e6)
+        return cents
+
+    # init: each of the k lowest-id docs is its own single-member
+    # cluster, so c0[cid] = qv / 1e6 exactly
+    cents = {cid: QV[cid].astype(np.float64) / 1e6 for cid in range(min(k, n))}
+    for _ in range(max(0, int(iters))):
+        cids = sorted(cents)
+        C = np.array([cents[c] for c in cids], dtype=np.float64)
+        nc = np.sqrt(seq_dot(C, C))
+        if not np.all(nc > 0):
+            # a zero-norm centroid has no cosine direction — defer the
+            # (astronomically rare) degenerate case to the distributed
+            # path rather than replicate its NaN ordering here
+            return None
+        best_cid = np.full(n, cids[0], dtype=np.int64)
+        best_sim = np.full(n, -np.inf)
+        for ci, cid in enumerate(cids):
+            denom = nv * nc[ci]
+            dots = seq_dot(V, np.broadcast_to(C[ci], V.shape))
+            sims = np.array(
+                [_round6_py(d / dn) + 0.0 for d, dn in zip(dots, denom)]
+            )
+            better = sims > best_sim  # strict: ties keep the LOWER cid
+            best_sim[better] = sims[better]
+            best_cid[better] = cid
+        cents = centroids_of(best_cid)
+    return [(int(c), [float(x) for x in cents[c]]) for c in sorted(cents)]
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -462,6 +549,7 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 2,
     materialize: str = "local",
+    driver_max_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column; returns
     the centroid table (cid int, centroid array<double>).
@@ -499,6 +587,21 @@ def kmeans_fit(
         .select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
         .filter(_dot(F.col("v"), F.col("v")) > 0)
     )
+    # round-7 scale-adaptive route (the driver-components pattern): a
+    # bounded limit-probe sends small point sets to the bit-identical
+    # numpy twin — one collect instead of ~2 + 3·iters checkpoint/
+    # aggregate rounds (measured: 2.0 s -> ~0.4 s at sf0.1). ``None``
+    # reads the module default; 0 disables the driver path.
+    limit = (
+        DRIVER_KMEANS_MAX_ROWS if driver_max_rows is None else driver_max_rows
+    )
+    if limit and pts.limit(int(limit) + 1).count() <= limit:
+        rows = [(r["doc"], list(r["v"])) for r in pts.collect()]
+        fitted = _kmeans_fit_driver(rows, k, iters)
+        if fitted is not None:
+            return df.sparkSession.createDataFrame(
+                fitted, "cid int, centroid array<double>"
+            )
     pts = _materialize(pts, materialize)
     qt = _materialize(_quantized_dims(pts), materialize)
     init = (
@@ -619,24 +722,28 @@ def semdedup_survivors(
         ),
         materialize,
     )
-    a = (
-        _drop_over_cap(cs, ["clu"], max_cluster) if max_cluster else cs
-    ).alias("a")
-    b = cs.alias("b")
     # bounded-count broadcast probe (round-7, the cosine_topk pattern):
     # cs is already materialized, so the row probe is a cheap cached
-    # scan. When the corpus side fits comfortably, broadcasting it keeps
-    # the pair join's PROBE side on its input partitioning — a few
+    # scan. When the corpus side fits comfortably, broadcasting it —
+    # and the cap's under-cap key set, which the same probe bounds —
+    # keeps the pair join's PROBE side on its input partitioning: a few
     # distinct cluster ids would otherwise cap a sort-merge join's
     # parallelism at the cluster count (measured: e10's 6-cluster SMJ
-    # ran its 330k interpreted pair-cosines in ≤6 tasks, 11 s). At
-    # 100-TB scale the probe exceeds the cap, nothing is broadcast, and
-    # the cluster-keyed SMJ parallelizes over the (many) cluster ids.
-    if (
+    # ran its 330k interpreted pair-cosines in ≤6 tasks, 11 s; the
+    # cap's own semi join serialized the pair stage the same way when
+    # the checkpoint's origin stats were unknown). At 100-TB scale the
+    # probe exceeds the cap, nothing is broadcast, and the
+    # cluster-keyed SMJ parallelizes over the (many) cluster ids.
+    small = (
         max_broadcast_rows is not None
         and cs.limit(int(max_broadcast_rows) + 1).count() <= max_broadcast_rows
-    ):
-        b = F.broadcast(cs.alias("b"))
+    )
+    a = (
+        _drop_over_cap(cs, ["clu"], max_cluster, broadcast_ok=small)
+        if max_cluster
+        else cs
+    ).alias("a")
+    b = F.broadcast(cs.alias("b")) if small else cs.alias("b")
     sim = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 6
     )

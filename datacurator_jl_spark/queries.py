@@ -3508,14 +3508,25 @@ def e10(spark, sf):
     column anywhere. The oracle is e09's CTE chain (ONE shared copy,
     _E09_CTES) feeding e08's oracle logic; null/zero-norm vectors get
     no cluster, pair with nothing, and survive."""
+    from datacurator_jl_spark.operators.dedup import _materialize_spread
     from datacurator_jl_spark.operators.similarity import (
         kmeans_assign, kmeans_fit, semdedup_survivors,
     )
 
     emb = _t(spark, sf, "embeddings")
-    labeled = kmeans_assign(
-        emb, kmeans_fit(emb, "vec_id", "embedding", k=6, iters=2),
-        "vec_id", "embedding",
+    # materialize the labeled frame ONCE (round-7): semdedup consumes
+    # its corpus twice (the e/cs build and the final anti join), and
+    # un-checkpointed each consumer replayed the whole k-means
+    # assignment lineage (~1 s each at sf0.1). The SPREAD variant
+    # matters: the assignment join's AQE-coalesced output froze at ONE
+    # partition through the checkpoint, serializing semdedup's whole
+    # 330k-pair cosine stage into a single 3.3 s task downstream.
+    labeled = _materialize_spread(
+        kmeans_assign(
+            emb, kmeans_fit(emb, "vec_id", "embedding", k=6, iters=2),
+            "vec_id", "embedding",
+        ),
+        "local",
     )
     return semdedup_survivors(
         labeled, "vec_id", "embedding", "cluster", threshold=0.35

@@ -94,3 +94,38 @@ def test_driver_components_fall_back_on_unlabeled_endpoint(spark):
     }
     # distributed semantics: 1 and 2 cannot see each other through 99
     assert out == {(1, 1), (2, 2)}
+
+
+def test_driver_kmeans_fit_matches_distributed(spark, monkeypatch):
+    """The driver numpy k-means twin (round-7) must produce BIT-EQUAL
+    centroids to the distributed Lloyd's plan — duplicate vectors
+    (exact 6dp ties), opposite vectors, k > n, and iters=0 included.
+    The zero-norm vector is excluded from fit by both paths."""
+    import random
+
+    from datacurator_jl_spark.operators import similarity as SIM
+
+    random.seed(3)
+    rows = []
+    for i in range(120):
+        if i % 5 == 0:
+            v = [1.0, 0.0, 0.0]
+        elif i % 5 == 1:
+            v = [-1.0, 0.0, 0.0]
+        else:
+            v = [random.uniform(-1, 1) for _ in range(3)]
+        rows.append((i, v))
+    rows.append((500, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cents(d):
+        return {(r["cid"], tuple(r["centroid"])) for r in d.collect()}
+
+    for k, iters in [(4, 3), (1, 0), (200, 2)]:
+        a = cents(SIM.kmeans_fit(df, "vec_id", "embedding", k=k, iters=iters))
+        b = cents(
+            SIM.kmeans_fit(
+                df, "vec_id", "embedding", k=k, iters=iters, driver_max_rows=0
+            )
+        )
+        assert a == b, (k, iters)
