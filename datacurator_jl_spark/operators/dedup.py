@@ -507,6 +507,36 @@ def simhash_prefix_block(
     ).drop("_dc_sh")
 
 
+def _bucket_star_edges(
+    buckets: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """STAR edges per LSH bucket: (bucket-min doc -> member), distinct.
+
+    Round-7 (guide §2.3 — shuffle fewer bytes, structurally): a bucket
+    of b docs is a CLIQUE in the candidate graph, so for CONNECTIVITY a
+    star centered on any member carries exactly the same components as
+    all b·(b-1)/2 pairwise edges — Σ(b-1) edge rows instead of Σ b²/2
+    (at sf0.1 that is ~20k edges where the pair join emitted millions,
+    which also puts the graph under the driver union-find bound; at
+    100 TB it removes the quadratic term from every components run).
+    Only valid for component-finding — pair-SCORING ops (Jaccard,
+    containment, hamming) still need the real pairs. Cap semantics
+    unchanged: an over-cap bucket is dropped wholesale, exactly what
+    the one-side-capped self-join produced."""
+    capped = (
+        _drop_over_cap(buckets, ["band", "key"], max_bucket)
+        if max_bucket
+        else buckets
+    )
+    reps = capped.groupBy("band", "key").agg(F.min("doc").alias("_rep"))
+    return (
+        capped.join(reps, ["band", "key"])
+        .filter(F.col("doc") != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def near_dup_components(
     df: DataFrame,
     id_col: str,
@@ -518,23 +548,31 @@ def near_dup_components(
     materialize: str = "local",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH
-    candidate-pair graph, as (doc, comp) where ``comp`` = min doc id in
+    candidate graph, as (doc, comp) where ``comp`` = min doc id in
     the component (singletons label themselves).
 
-    Algorithm: iterative min-label propagation to fixpoint — each round
-    is one equi-join + partial-agg min on the doc id, i.e. O(diameter)
-    shuffles. LSH buckets are cliques, so component diameter is ~#bands
-    hops and convergence is fast. Convergence is detected by the
-    monotone ``sum(comp)`` invariant (strictly decreases until the
-    fixpoint) — one scalar agg per round, no row-level diff join.
-    ``localCheckpoint`` truncates the per-iteration lineage so the plan
-    does not grow with rounds. At 1000-executor scale the same loop
-    applies (alternating large-star/small-star would cut rounds on
-    pathological chains; near-dup graphs do not have them).
+    Round-7 edge generation: buckets are cliques, so the component
+    structure is computed from per-bucket STAR edges
+    (:func:`_bucket_star_edges`) — identical components, Σ(b-1) edges
+    instead of the pair join's Σ b²/2 (the oracle's recursive CTE over
+    the pairwise graph agrees by construction). Label resolution:
+    driver union-find for provably small edge sets, else iterative
+    min-label propagation to fixpoint — each round one equi-join +
+    partial-agg min, O(diameter) shuffles, ``localCheckpoint``
+    truncating per-round lineage (see ``_propagate_min_labels``).
     """
-    pairs = lsh_candidate_pairs(
-        df, id_col, text_col, k, bands, max_bucket, materialize=materialize
+    sig = minhash_signature(df.select(id_col, text_col), text_col, k)
+    sig = sig.filter(F.col("mh0").isNotNull())
+    buckets = _materialize(
+        _band_buckets(
+            sig.select(F.col(id_col).alias("doc"), *[f"mh{i}" for i in range(k)]),
+            k,
+            bands,
+            max_bucket=None,
+        ),
+        materialize,
     )
+    pairs = _bucket_star_edges(buckets, max_bucket)
     return components_from_pairs(
         pairs, df.select(F.col(id_col).alias("doc")), max_iter, materialize
     )
@@ -985,16 +1023,17 @@ def incremental_near_dup_survivors(
     if max_bucket:
         buckets = _drop_over_cap(buckets, ["band", "key"], max_bucket)
     buckets = _materialize(buckets, materialize)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(
-            (F.col("a.doc") < F.col("b.doc"))
-            & ~(F.col("a.is_base") & F.col("b.is_base"))
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
-    )
+    # round-7: STAR edges per bucket (see _bucket_star_edges) replace
+    # the Σ b² pair self-join. The old graph excluded base-base EDGES;
+    # the star may link two base docs directly — but only inside a
+    # bucket that ALSO holds a new doc (the base side is semi-pruned on
+    # the batch's band keys, so an all-base bucket cannot exist here),
+    # and such bases were already connected THROUGH that new doc in the
+    # legal pair graph. Component connectivity — and therefore the
+    # survivor set, the operator's output — is identical; at worst two
+    # base-ROOTED components merge, which cannot flip any component's
+    # rank-0/rank-1 rootedness.
+    pairs = _bucket_star_edges(buckets, None)
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))

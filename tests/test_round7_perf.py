@@ -129,3 +129,47 @@ def test_driver_kmeans_fit_matches_distributed(spark, monkeypatch):
             )
         )
         assert a == b, (k, iters)
+
+
+def test_bucket_star_edges_components_match_pairwise(spark):
+    """Round-7: per-bucket STAR edges must yield the same connected
+    components as the full pairwise candidate join — overlapping
+    buckets chain components across bands exactly as before."""
+    from pyspark.sql import functions as F
+
+    from datacurator_jl_spark.operators.dedup import (
+        _bucket_star_edges,
+        _materialize,
+        components_from_pairs,
+    )
+
+    # buckets: (band, key) groups with overlap: doc 3 bridges two keys
+    rows = [
+        (1, 0, 10), (2, 0, 10), (3, 0, 10),   # bucket A: {1,2,3}
+        (3, 1, 20), (4, 1, 20), (5, 1, 20),   # bucket B: {3,4,5} — chains
+        (7, 0, 30), (8, 0, 30),               # bucket C: {7,8}
+        (9, 1, 40),                           # singleton bucket
+    ]
+    buckets = _materialize(
+        spark.createDataFrame(rows, "doc long, band int, key long"), "local"
+    )
+    universe = spark.createDataFrame([(i,) for i in range(1, 10)], "doc long")
+    star = _bucket_star_edges(buckets, None)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    clique = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    got_star = {
+        (r["doc"], r["comp"])
+        for r in components_from_pairs(star, universe).collect()
+    }
+    got_clique = {
+        (r["doc"], r["comp"])
+        for r in components_from_pairs(clique, universe).collect()
+    }
+    assert got_star == got_clique
+    assert (5, 1) in got_star     # chained across buckets A/B
+    assert (8, 7) in got_star and (9, 9) in got_star
