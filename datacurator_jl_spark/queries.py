@@ -3541,44 +3541,44 @@ def e10(spark, sf):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-6 head, tier 1: queries whose IMPLEMENTATIONS changed this
-    # round and therefore need fresh driver evidence (VERDICT r5 Next
-    # #1/#2: d11/d38/d39 MUST be in the r6 sample — drop_exact_dupes is
-    # now the min_by argmax; d46 gained general entity unescaping;
-    # d24/d27 run the two-phase salted caps; d47 moved to max_by;
-    # e01 gained the broadcast-size guard).
-    "d49_quantile_buckets",  # NEW this round — never driver-checked
-    "d50_encoding_noise",  # NEW this round — never driver-checked
-    "d51_winnow_fingerprints",  # NEW this round — never driver-checked
-    "d52_winnow_shared_passages",  # NEW this round — never driver-checked
-    "d53_dsir_weights",  # NEW this round — never driver-checked
-    "d54_sequence_pack",  # NEW this round — never driver-checked
-    "d55_incremental_exact",  # NEW this round — never driver-checked
-    "d56_gumbel_resample",  # NEW this round — never driver-checked
-    "e08_semdedup_survivors",  # NEW this round — never driver-checked
-    "d57_bm25_topk",  # NEW this round — never driver-checked
-    "e09_kmeans_clusters",  # NEW this round — never driver-checked
-    "d58_distill_classifier",  # NEW this round — never driver-checked
-    "d59_decision_diff",  # NEW this round — never driver-checked
-    "d60_lm_xent",  # NEW this round — never driver-checked
-    "d61_mixture_sample",  # NEW this round — never driver-checked
-    "d62_mixture_tokens",  # NEW this round — never driver-checked
-    "e10_semantic_pipeline",  # NEW this round — never driver-checked
-    "d11_drop_exact_dupes", "d38_normalized_dedup", "d39_url_dedup",
-    "d46_html_extract", "d24_stratified_sample", "d27_domain_cap",
-    "d47_latest_version", "e01_cosine_topk", "q12_group_counts",
-    # tier 2: the 28-minus-overlap queries whose last driver CORRECTNESS
-    # rows are r3/r4 or older (everything outside the r5 sample —
-    # VERDICT r5 Next #2): the round-3 hygiene suite, the round-1
-    # relational/streaming tails, and the ANN pair.
-    "d13_perplexity_proxy", "d21_repetition_stats", "d22_boilerplate_lines",
-    "d23_decontaminate", "d25_token_budget", "d26_paragraph_dedup",
-    "d29_blocklist", "d30_classifier_score", "d32_top_fraction",
-    "d33_canonical_url", "d34_corpus_report", "d35_top_terms",
-    "d36_compression_ratio", "d37_estimated_jaccard", "e02_ivf_topk",
-    "q13_star_join", "q14_skew_safe_counts", "q15_extract_ints",
-    "q16_aggregator_describe", "v01_hourly_rollup", "v02_user_sessions",
-    "v03_event_type_pivot", "v04_json_props",
+    # round-7 head (VERDICT r6 Next #2), tier 1: the 45 queries whose
+    # latest driver CORRECTNESS evidence is r5 — after r6 everything
+    # else has an r6 row. Oldest-first; several of these also had
+    # round-7 internals changes (d08/d31/d44 pair-stage intersect
+    # projected once; d14/d28 star edges + driver union-find; d43
+    # span-removal shuffle cut; d09 scrub gate; e05-e07 norm
+    # precompute / components path; d24-style caps untouched here but
+    # see tier 2) and need fresh rows doubly.
+    "d01_exact_dedup", "d02_text_stats", "d03_langid",
+    "d04_quality_filter", "d05_fingerprint", "d06_minhash_signature",
+    "d07_simhash", "d08_ngram_jaccard", "d09_scrub",
+    "d10_quality_score", "d12_lsh_candidate_pairs",
+    "d14_near_dup_components", "d15_near_dup_survivors",
+    "d16_hash_sample", "d17_line_ratios", "d18_condition_columns",
+    "d19_jaccard_lsh_prefilter", "d20_jaccard_block_cap",
+    "d28_incremental_dedup", "d31_ngram_containment",
+    "d40_contained_survivors", "d41_nfc_normalize",
+    "d42_dup_ngram_fraction", "d43_span_dedup",
+    "d44_blocked_containment", "d45_token_stats", "d48_url_host",
+    "e03_embedding_near_dup", "e04_srp_signature",
+    "e05_srp_near_dup_pairs", "e06_srp_capped_pairs",
+    "e07_srp_survivors", "q02_between_strict", "q03_extract_any",
+    "q04_delete_rows", "q05_extract_columns", "q06_groupbycolumn",
+    "q07_distinct_sort", "q08_describe_column", "q09_mode_bandpass",
+    "q10_counters_by_flag", "q11_grouped_collect",
+    "q17_name_predicates", "q18_hierarchical_levels",
+    "v05_domain_quota",
+    # tier 2: r6-checked queries whose ROUND-7 implementations changed
+    # the most (VERDICT r6 Next #2: "put anything task #1 touches in
+    # the sample too") — the constant-cap count-join skip (d24/d27/
+    # d61), the semdedup/kmeans driver paths (e08/e10), the distill
+    # trainer reshape (d58).
+    "d24_stratified_sample", "d27_domain_cap", "d61_mixture_sample",
+    "e08_semdedup_survivors", "e10_semantic_pipeline",
+    "d58_distill_classifier", "e09_kmeans_clusters",
+    "d62_mixture_tokens", "d49_quantile_buckets",
+    "d53_dsir_weights", "d56_gumbel_resample", "d59_decision_diff",
+    "d60_lm_xent", "d52_winnow_shared_passages", "d37_estimated_jaccard",
 ]
 
 
