@@ -20,17 +20,37 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pa_compute
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datacurator_jl_spark.functions.arrow_hash import _CACHE_CAP, _lru_evict
 from datacurator_jl_spark.functions.text import (
+    _ALLOWED,
     LANG_MARKERS,
     PUNCT_STRIP,
     STAT_SETS,
     STATS_FIELDS,
 )
+
+
+def _re2_class_escape(ch: str) -> str:
+    """Escape one char for use inside an RE2 character class."""
+    if ch in "\\]^-[":
+        return "\\" + ch
+    o = ord(ch)
+    if o < 32:
+        return f"\\x{o:02x}"
+    return ch
+
+
+#: negated RE2 class over EXACTLY text._ALLOWED — one count_substring_regex
+#: pass == length(translate(text, _ALLOWED, '')) (single-char matches
+#: cannot overlap; RE2 negated classes match per code point, same unit
+#: Spark's length()/translate() count)
+_SYMBOL_RE = "[^" + "".join(_re2_class_escape(c) for c in _ALLOWED) + "]"
 
 _STATS_TYPE = T.StructType(
     [T.StructField(name, T.IntegerType()) for name in STATS_FIELDS]
@@ -50,23 +70,71 @@ _MEMBER_CACHE: dict[str, int] = {}
 
 
 def _token_stats_batch(texts: pd.Series) -> pd.DataFrame:
-    """Round-7 shape (guide §4.2): ONE factorize over the batch's
-    tokens, per-UNIQUE-token normalization + set membership (cached
-    across batches), and C-speed ``bincount`` aggregations — replacing
-    a ``groupby.nunique`` plus one ``str.isin`` pass per stat set over
-    every token occurrence (measured: the flagship's stats stage
-    dropped ~2.4x). Values are pinned identical: nw = token count,
-    nd = distinct RAW (lowercased) tokens, set counts = occurrences
-    whose PUNCT_STRIP-normalized form is a member."""
+    """Round-7 shape (guide §4.2): Arrow-native tokenization +
+    dictionary encode over the batch's tokens, per-UNIQUE-token
+    normalization + set membership (cached across batches), and
+    C-speed ``bincount`` aggregations — replacing a per-row
+    ``re.findall`` + object ``explode`` + ``factorize`` (measured on
+    the 1M-doc corpus: tokenize+code 490 ms -> 61 ms per 20k-doc
+    batch) which itself replaced a ``groupby.nunique`` plus one
+    ``str.isin`` pass per stat set over every token occurrence.
+    Values are pinned identical: nw = token count, nd = distinct RAW
+    (lowercased) tokens, set counts = occurrences whose PUNCT_STRIP-
+    normalized form is a member.
+
+    Tokenizer parity (pinned by tests/test_whitespace_semantics +
+    the edge-case test): ``pc.ascii_split_whitespace`` splits on
+    exactly the 6 ASCII whitespace chars of ``re.ASCII \\S+`` and
+    collapses interior runs, but emits EMPTY strings at leading/
+    trailing boundaries (and [''] for an all-whitespace doc) — a real
+    ``\\S+`` match can never be empty, so dropping empty tokens
+    restores the exact match list. Lowercasing stays Python
+    ``str.lower`` (the pinned case semantics) — it is 9 ms of the
+    batch, not the cost center."""
     n = len(texts)
-    toks = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+    raw = texts.fillna("")
+    low = raw.str.lower()
     out = pd.DataFrame(index=texts.index, columns=list(STATS_FIELDS), data=0)
-    out["nw"] = toks.map(len).to_numpy()
-    ex = toks.explode().dropna()
-    if ex.empty:
+    # -- round-7 char/line stats over the RAW text (empty-string
+    #    semantics for null; lowercasing can CHANGE length — e.g.
+    #    'İ'.lower() is two code points — so these never read ``low``).
+    #    One RE2 class count replaces each JVM translate re-scan; the
+    #    line-distinct count rides the same dictionary_encode + unique-
+    #    pair trick as ``nd``. Computed before the token early-return:
+    #    an all-whitespace batch still has nl=ndl=1 per doc.
+    arr_raw = pa.Array.from_pandas(raw)
+    nchars = pa_compute.utf8_length(arr_raw).to_numpy(zero_copy_only=False)
+    nws = pa_compute.count_substring_regex(
+        arr_raw, r"[ \t\n\x0b\x0c\r]"
+    ).to_numpy(zero_copy_only=False)
+    out["ncnw"] = nchars - nws
+    out["nsym"] = pa_compute.count_substring_regex(
+        arr_raw, _SYMBOL_RE
+    ).to_numpy(zero_copy_only=False)
+    ln = pa_compute.split_pattern(arr_raw, "\n")
+    llen = pa_compute.list_value_length(ln).to_numpy(zero_copy_only=False)
+    out["nl"] = llen
+    lenc = pa_compute.dictionary_encode(pa_compute.list_flatten(ln))
+    lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lrows = np.repeat(np.arange(n, dtype=np.int64), llen)
+    luniq = len(lenc.dictionary)
+    lup = np.unique(lrows * luniq + lcodes)
+    out["ndl"] = np.bincount(lup // luniq, minlength=n)
+    # -- token stats over the LOWERED text
+    toks = pa_compute.ascii_split_whitespace(pa.Array.from_pandas(low))
+    flat = pa_compute.list_flatten(toks)
+    lens = pa_compute.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nonempty = np.asarray(pa_compute.not_equal(flat, ""))
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        rows = rows[nonempty]
+    if len(flat) == 0:
         return out.astype("int32")
-    rows = texts.index.get_indexer(ex.index)
-    codes, uniques = pd.factorize(ex.to_numpy())
+    out["nw"] = np.bincount(rows, minlength=n)
+    enc = pa_compute.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
     nuniq = len(uniques)
     # nd: distinct raw tokens per row = distinct (row, token-code) pairs
     pairkey = rows.astype(np.int64) * nuniq + codes

@@ -99,7 +99,13 @@ def mean_word_length(
     are CodegenFallback and knock the whole projection out of whole-stage
     codegen."""
     nw = n_words(text, w, stats)
-    total = F.length(F.translate(text, _WS, ""))
+    if stats is not None:
+        # round-7: the shared struct already counted non-ws chars
+        # (``ncnw``); null text has nw=0 so the branch below yields
+        # null either way — value-identical to the translate re-scan
+        total = stats.getField("ncnw")
+    else:
+        total = F.length(F.translate(text, _WS, ""))
     return F.when(nw > 0, total.cast("double") / nw)
 
 
@@ -125,8 +131,18 @@ def distinct_word_ratio(
     )
 
 
-def distinct_line_ratio(text: Column) -> Column:
-    """|distinct lines| / |lines|; repeated-line spam detector."""
+def distinct_line_ratio(text: Column, stats: Column | None = None) -> Column:
+    """|distinct lines| / |lines|; repeated-line spam detector.
+
+    ``stats`` (round-7): read the shared struct's nl/ndl instead of
+    re-splitting the text. Null text: direct path has nl=null →
+    otherwise → 1.0; struct path has nl=ndl=1 (empty-string
+    semantics) → 1/1 = 1.0 — same value."""
+    if stats is not None:
+        nl = stats.getField("nl")
+        return F.when(
+            nl > 0, stats.getField("ndl").cast("double") / nl
+        ).otherwise(F.lit(1.0))
     lines = F.split(text, r"\n")
     nl = F.size(lines)
     return F.when(nl > 0, F.size(F.array_distinct(lines)).cast("double") / nl).otherwise(
@@ -178,11 +194,18 @@ def uppercase_ratio(text: Column) -> Column:
     )
 
 
-def symbol_ratio(text: Column) -> Column:
+def symbol_ratio(text: Column, stats: Column | None = None) -> Column:
     """Fraction of characters outside letters/digits/whitespace/basic
-    punctuation — the C4 'symbol ratio' junk detector."""
+    punctuation — the C4 'symbol ratio' junk detector.
+
+    ``stats`` (round-7): read the shared struct's ``nsym`` count
+    instead of a translate re-scan; ``n`` stays length(text), so null
+    text still falls to 0.0 on both paths — same value."""
     n = F.length(text)
-    bad = F.length(F.translate(text, _ALLOWED, ""))
+    if stats is not None:
+        bad = stats.getField("nsym")
+    else:
+        bad = F.length(F.translate(text, _ALLOWED, ""))
     return F.when(n > 0, bad.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -208,7 +231,15 @@ def norm_tokens(text: Column, w: Column | None = None) -> Column:
     return F.transform(w, lambda x: F.translate(F.lower(x), PUNCT_STRIP, ""))
 
 
-STATS_FIELDS = ("nw", "nd", *STAT_SETS)  # word count, distinct words, set counts
+#: struct fields: word count, distinct words, set counts, then the
+#: round-7 char/line stats (non-ws chars, line count, distinct lines,
+#: symbol chars) — appended LAST so nothing positional moves. Token
+#: fields are zero-for-null; the char/line fields use empty-string
+#: semantics for null text (``coalesce(text, '')``: nl=ndl=1, counts 0)
+#: — every consuming ratio lands on the exact same value the direct
+#: expression produced for null (see symbol_ratio/distinct_line_ratio/
+#: mean_word_length).
+STATS_FIELDS = ("nw", "nd", *STAT_SETS, "ncnw", "nl", "ndl", "nsym")
 
 
 def token_stats(text: Column, w: Column | None = None) -> Column:
@@ -234,10 +265,19 @@ def token_stats(text: Column, w: Column | None = None) -> Column:
         )
 
     sets = F.aggregate(nt, zero, step)
+    raw = F.coalesce(text, F.lit(""))
+    lines = F.split(raw, r"\n")
     return F.struct(
         F.size(w).alias("nw"),
         F.size(F.array_distinct(w)).alias("nd"),
         *[sets.getField(c).alias(c) for c in STAT_SETS],
+        # round-7 char/line stats: one shared pass instead of a
+        # translate/split re-scan per consuming rule (empty-string
+        # semantics for null text — see STATS_FIELDS note)
+        F.length(F.translate(raw, _WS, "")).alias("ncnw"),
+        F.size(lines).alias("nl"),
+        F.size(F.array_distinct(lines)).alias("ndl"),
+        F.length(F.translate(raw, _ALLOWED, "")).alias("nsym"),
     )
 
 
@@ -374,7 +414,7 @@ def perplexity_proxy(
     sw = stopword_ratio(text, w, stats)
     mwl = F.coalesce(mean_word_length(text, w, stats), F.lit(0.0))
     rep = distinct_word_ratio(text, w, stats)
-    sym = symbol_ratio(text)
+    sym = symbol_ratio(text, stats)
     # natural English: sw ~0.3-0.6, mwl ~4-6, rep high, sym ~0
     return (
         F.abs(mwl - F.lit(4.5)) / F.lit(4.5)
@@ -410,7 +450,7 @@ def quality_score(
     """
     sw = F.least(stopword_ratio(text, w, stats) * F.lit(2.5), F.lit(1.0))
     rep = distinct_word_ratio(text, w, stats)
-    sym = F.lit(1.0) - F.least(symbol_ratio(text) * F.lit(5.0), F.lit(1.0))
+    sym = F.lit(1.0) - F.least(symbol_ratio(text, stats) * F.lit(5.0), F.lit(1.0))
     alpha = alpha_ratio(text)
     return (sw * F.lit(0.35) + rep * F.lit(0.25) + sym * F.lit(0.2) + alpha * F.lit(0.2))
 

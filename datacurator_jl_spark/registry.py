@@ -196,7 +196,9 @@ _cond("mean_word_length_between", 1, 1)(
 _cond("max_word_length_below", 1, 1)(
     lambda ctx, n: X.max_word_length(ctx.text, ctx.warr) < int(n)
 )
-_cond("symbol_ratio_below", 1, 1)(lambda ctx, r: X.symbol_ratio(ctx.text) < float(r))
+_cond("symbol_ratio_below", 1, 1)(
+    lambda ctx, r: X.symbol_ratio(ctx.text, ctx.stats) < float(r)
+)
 _cond("alpha_ratio_above", 1, 1)(lambda ctx, r: X.alpha_ratio(ctx.text) > float(r))
 _cond("digit_ratio_below", 1, 1)(lambda ctx, r: X.digit_ratio(ctx.text) < float(r))
 _cond("uppercase_ratio_below", 1, 1)(
@@ -218,7 +220,7 @@ _cond("word_repetition_below", 1, 1)(
     > F.lit(1.0) - float(r)
 )
 _cond("line_repetition_below", 1, 1)(
-    lambda ctx, r: X.distinct_line_ratio(ctx.text) > F.lit(1.0) - float(r)
+    lambda ctx, r: X.distinct_line_ratio(ctx.text, ctx.stats) > F.lit(1.0) - float(r)
 )
 # -- Gopher repetition conditions (functions/rep_stats.py struct). All
 #    read the pre-projected shared ``_dc_rep`` struct when the engine

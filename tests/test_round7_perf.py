@@ -173,3 +173,55 @@ def test_bucket_star_edges_components_match_pairwise(spark):
     assert got_star == got_clique
     assert (5, 1) in got_star     # chained across buckets A/B
     assert (8, 7) in got_star and (9, 9) in got_star
+
+
+def test_arrow_stats_tokenizer_parity_reference():
+    """The round-7 Arrow tokenization inside _token_stats_batch
+    (ascii_split_whitespace + empty-token drop + dictionary_encode)
+    must produce the EXACT per-row stats of a re.ASCII \\S+ findall
+    reference -- including the boundary cases where Arrow's splitter
+    emits empty strings (leading/trailing whitespace, all-whitespace
+    docs), the chars Python's ASCII \\s excludes (\\x00, \\x1c-\\x1f,
+    \\x85, \\xa0, U+2028), and the round-7 char/line fields (ncnw/nl/
+    ndl/nsym) against char-by-char references."""
+    import re
+
+    import pandas as pd
+
+    from datacurator_jl_spark.functions.arrow_stats import (
+        _SET_LIST,
+        _TBL,
+        _token_stats_batch,
+    )
+    from datacurator_jl_spark.functions.text import _ALLOWED, _WS, STATS_FIELDS
+
+    rx = re.compile(r"\S+", re.ASCII)
+    cases = [
+        "", " ", "  \t\n ", "\x0b\x0c", None, "a", " a ", "\ta b\r\n",
+        "a\x0bb\x0cc", "a\x00b", "x\xa0y z", "p\x85q", "\x1c\x1d",
+        "the fox the fox", "The THE the", "mixed \u2028 line",
+        " der und la le ", "\v lone \f", "nul\x00 \x00also \x00",
+        "a\nb\na", "\n", "x\n\n", "\n\nx", "li\u0307ne \u0130\n\u0130",
+        "$ymb0l$ & \u00a92024 \u2014 em", "quote\'\"paren() dash-",
+    ]
+    got = _token_stats_batch(pd.Series(cases))
+    for i, t in enumerate(cases):
+        raw = t or ""
+        toks = rx.findall(raw.lower())
+        exp = {name: 0 for name in STATS_FIELDS}
+        exp["nw"] = len(toks)
+        exp["nd"] = len(set(toks))
+        for tok in toks:
+            nu = tok.translate(_TBL)
+            for name, s in _SET_LIST:
+                if nu in s:
+                    exp[name] += 1
+        # round-7 char/line fields (empty-string semantics for null,
+        # computed over the RAW text -- lowercasing can change length)
+        exp["ncnw"] = sum(1 for c in raw if c not in _WS)
+        exp["nsym"] = sum(1 for c in raw if c not in _ALLOWED)
+        lines = raw.split("\n")
+        exp["nl"] = len(lines)
+        exp["ndl"] = len(set(lines))
+        for name in STATS_FIELDS:
+            assert int(got[name].iloc[i]) == exp[name], (t, name, exp)
