@@ -34,6 +34,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pa_compute
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -77,24 +79,49 @@ def _md5_prefix_int(data: bytes, nhex: int) -> int:
     return int(hashlib.md5(data).hexdigest()[:nhex], 16)
 
 
-def _distinct_token_pairs(texts: pd.Series) -> pd.DataFrame:
-    """(row, word) pairs, distinct per row, over lower(text) \\S+ tokens."""
-    toks = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
-    ex = toks.explode().dropna()
-    pairs = ex.reset_index()
-    pairs.columns = ["row", "w"]
-    return pairs.drop_duplicates()
+def _distinct_token_codes(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """(rows, codes, uniques): the distinct (row, token) pairs over
+    lower(text) ``\\S+`` tokens, as int arrays + the unique-token list.
+
+    Round-7 shape (guide §4.2, same pattern as arrow_stats): Arrow
+    ``ascii_split_whitespace`` + ``dictionary_encode`` replace the
+    per-row ``re.findall`` + object ``explode`` + string
+    ``drop_duplicates`` (~8x on the tokenize+code step). Arrow's
+    splitter emits EMPTY strings at leading/trailing-whitespace
+    boundaries — a real ``\\S+`` match can never be empty, so dropping
+    empties restores the exact match list (pinned by the arrow_stats
+    edge-case test; both kernels share the splitter semantics).
+    ``rows`` are batch POSITIONS 0..n-1; pair-distinctness via unique
+    (row, code) keys — integer work, no string re-hash."""
+    low = texts.fillna("").str.lower()
+    toks = pa_compute.ascii_split_whitespace(pa.Array.from_pandas(low))
+    flat = pa_compute.list_flatten(toks)
+    lens = pa_compute.list_value_length(toks).to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    nonempty = np.asarray(pa_compute.not_equal(flat, ""))
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        rows = rows[nonempty]
+    if len(flat) == 0:
+        return rows[:0], rows[:0], []
+    enc = pa_compute.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    nu = len(uniques)
+    pk = np.unique(rows * nu + codes)
+    return pk // nu, pk % nu, uniques
 
 
 def _minhash_batch(texts: pd.Series, k: int) -> pd.DataFrame:
     cache = _MH_CACHES.setdefault(k, {})
     _lru_evict(cache)
-    pairs = _distinct_token_pairs(texts)
+    rows, codes, uniques = _distinct_token_codes(texts)
     cols = [f"mh{i}" for i in range(k)]
-    if pairs.empty:
+    if not uniques:
         out = pd.DataFrame(index=texts.index, columns=cols, dtype="float64")
         return out.astype("Int64")
-    codes, uniques = pd.factorize(pairs["w"])
     lanes = np.empty((len(uniques), k), dtype=np.int64)
     salts = [f"#{i}".encode() for i in range(k)]
     for ui, w in enumerate(uniques):
@@ -107,20 +134,22 @@ def _minhash_batch(texts: pd.Series, k: int) -> pd.DataFrame:
             cache[w] = v
         lanes[ui] = v
     per_pair = pd.DataFrame(lanes[codes], columns=cols)
-    mins = per_pair.groupby(pairs["row"].values).min()
+    mins = per_pair.groupby(rows).min()
     # rows with no tokens (empty/whitespace/null text) -> null signature,
-    # matching array_min(empty)/DuckDB list_min([]) = NULL
-    return mins.reindex(texts.index).astype("Int64")
+    # matching array_min(empty)/DuckDB list_min([]) = NULL; groupby keys
+    # are batch positions, re-labeled to the input index positionally
+    mins = mins.reindex(range(len(texts)))
+    mins.index = texts.index
+    return mins.astype("Int64")
 
 
 def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
     cache = _SH_CACHES.setdefault(bits, {})
     _lru_evict(cache)
-    pairs = _distinct_token_pairs(texts)
+    rows, codes, uniques = _distinct_token_codes(texts)
     out = pd.Series(0, index=texts.index, dtype="int64")
-    if pairs.empty:
+    if not uniques:
         return out
-    codes, uniques = pd.factorize(pairs["w"])
     contrib = np.empty((len(uniques), bits), dtype=np.int64)
     jidx = np.arange(bits)
     for ui, w in enumerate(uniques):
@@ -130,9 +159,10 @@ def _simhash_batch(texts: pd.Series, bits: int) -> pd.Series:
             v = (((h >> jidx) & 1) * 2 - 1).astype(np.int64)
             cache[w] = v
         contrib[ui] = v
-    sums = pd.DataFrame(contrib[codes]).groupby(pairs["row"].values).sum()
+    sums = pd.DataFrame(contrib[codes]).groupby(rows).sum()
     packed = (sums.values > 0) @ (1 << jidx)
-    out[sums.index] = packed.astype(np.int64)
+    # groupby keys are batch positions — assign positionally
+    out.iloc[sums.index] = packed.astype(np.int64)
     return out
 
 

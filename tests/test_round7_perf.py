@@ -225,3 +225,69 @@ def test_arrow_stats_tokenizer_parity_reference():
         exp["ndl"] = len(set(lines))
         for name in STATS_FIELDS:
             assert int(got[name].iloc[i]) == exp[name], (t, name, exp)
+
+
+def test_arrow_hash_tokenizer_parity_reference():
+    """The round-7 Arrow tokenization inside _distinct_token_codes
+    (shared by the minhash and simhash batch kernels) must produce
+    signatures EXACTLY equal to the re.ASCII \\S+ findall +
+    explode + drop_duplicates shape it replaced, including boundary
+    whitespace, null text, and the non-ASCII-\\s chars."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    import datacurator_jl_spark.functions.arrow_hash as AH
+
+    rx = re.compile(r"\S+", re.ASCII)
+
+    def ref_pairs(texts):
+        toks = texts.fillna("").str.lower().str.findall(rx)
+        ex = toks.explode().dropna()
+        pairs = ex.reset_index()
+        pairs.columns = ["row", "w"]
+        return pairs.drop_duplicates()
+
+    def ref_minhash(texts, k):
+        pairs = ref_pairs(texts)
+        cols = [f"mh{i}" for i in range(k)]
+        if pairs.empty:
+            return pd.DataFrame(
+                index=texts.index, columns=cols, dtype="float64"
+            ).astype("Int64")
+        codes, uniques = pd.factorize(pairs["w"])
+        lanes = np.empty((len(uniques), k), dtype=np.int64)
+        salts = [f"#{i}".encode() for i in range(k)]
+        for ui, w in enumerate(uniques):
+            wb = w.encode("utf-8")
+            lanes[ui] = np.fromiter(
+                (AH._md5_prefix_int(wb + s, 8) for s in salts),
+                dtype=np.int64, count=k,
+            )
+        per_pair = pd.DataFrame(lanes[codes], columns=cols)
+        mins = per_pair.groupby(pairs["row"].values).min()
+        return mins.reindex(texts.index).astype("Int64")
+
+    def ref_simhash(texts, bits):
+        pairs = ref_pairs(texts)
+        out = pd.Series(0, index=texts.index, dtype="int64")
+        if pairs.empty:
+            return out
+        codes, uniques = pd.factorize(pairs["w"])
+        jidx = np.arange(bits)
+        contrib = np.empty((len(uniques), bits), dtype=np.int64)
+        for ui, w in enumerate(uniques):
+            h = AH._md5_prefix_int(w.encode("utf-8"), 15)
+            contrib[ui] = ((h >> jidx) & 1) * 2 - 1
+        sums = pd.DataFrame(contrib[codes]).groupby(pairs["row"].values).sum()
+        out[sums.index] = ((sums.values > 0) @ (1 << jidx)).astype(np.int64)
+        return out
+
+    cases = pd.Series([
+        "", " ", "  \t\n ", None, "a", " a b a ", "\ta b\r\n",
+        "a\x0bb\x0cc", "The the THE", "x\xa0y z", "\v lone \f",
+        "nul\x00 \x00also", "w1 w2 w3 w1", "p\x85q r",
+    ])
+    assert AH._minhash_batch(cases, 4).equals(ref_minhash(cases, 4))
+    assert AH._simhash_batch(cases, 16).equals(ref_simhash(cases, 16))
